@@ -1,0 +1,51 @@
+"""Cross-engine deterministic column functions.
+
+The correctness oracle (DuckDB) and Spark must compute bit-identical values.
+Spark's ``hash()``/``xxhash64()`` and DuckDB's ``hash()`` are different
+algorithms, so anything graded (batch assignment, shingle hashing, minhash)
+uses ``portable_hash32``: the first 8 hex chars of md5 of the string form,
+as an unsigned 32-bit value in a BIGINT. md5 is identical everywhere.
+
+Reference parity: the reference buckets rows with ``F.hash(request_id) %
+num_batches`` (src/orchestration/batch_processor.py:42-54), which can yield
+*negative* batch ids; we use a non-negative portable hash instead (the fix
+SURVEY.md flags).
+
+Decimal casts: double aggregation order differs between engines, so graded
+sums go through exact decimals (``dec``) and only the final value is cast
+back to double.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.types import DecimalType
+
+#: Modulus used by batch assignment demos; 2**32 fits in BIGINT.
+PORTABLE_HASH_MOD = 2**32
+
+
+def portable_hash32(col: Column | str) -> Column:
+    """Unsigned 32-bit deterministic hash of the column's string form (JVM-side).
+
+    Stays inside whole-stage codegen (md5/conv/substring are built-ins), so
+    it is shuffle-key-safe at 100 TB: no Python round-trip.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.conv(F.substring(F.md5(c.cast("string")), 1, 8), 16, 10).cast("bigint")
+
+
+def portable_hash32_sql(expr: str) -> str:
+    """DuckDB SQL equivalent of :func:`portable_hash32`."""
+    return f"CAST(('0x' || substr(md5(CAST(({expr}) AS VARCHAR)), 1, 8)) AS BIGINT)"
+
+
+def dec(col: Column | str, precision: int = 12, scale: int = 2) -> Column:
+    """Exact-decimal cast for cross-engine-stable aggregation."""
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast(DecimalType(precision, scale))
+
+
+def dec_sql(expr: str, precision: int = 12, scale: int = 2) -> str:
+    return f"CAST(({expr}) AS DECIMAL({precision},{scale}))"

@@ -1,0 +1,39 @@
+"""Text column functions (tokenization, shingling) — JVM-side built-ins only.
+
+Token index convention is 1-based (``element_at``) to match the SQL oracle's
+1-based list indexing exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def tokens(text: Column | str) -> Column:
+    """Whitespace tokens. Single-space split to match ``string_split`` in SQL."""
+    return F.split(_c(text), " ")
+
+
+def token_shingles(text: Column | str, n: int = 3) -> Column:
+    """Array of word n-gram shingles (space-joined), possibly with duplicates.
+
+    Built as ``transform(sequence(1, len-n+1), i -> concat_ws(' ',
+    element_at(t,i)...))`` — pure codegen, no explode until the caller asks.
+    Documents shorter than ``n`` tokens yield an empty array.
+    """
+    t = tokens(text)
+    upper = F.greatest(F.size(t) - (n - 1), F.lit(0))
+    idx = F.when(upper > 0, F.sequence(F.lit(1), upper)).otherwise(
+        F.array().cast("array<int>")
+    )
+    return F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(t, (i + k).cast("int")) for k in range(n)]
+        ),
+    )

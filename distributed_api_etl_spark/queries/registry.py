@@ -1,0 +1,91 @@
+"""Query catalog: every graded operator registers a Spark builder + oracle SQL.
+
+The driver harness runs each ``build(spark, sf_dir)`` and the matching
+``oracle`` SQL (DuckDB, over the same parquet files registered as views named
+``region nation customer supplier part orders lineitem events documents
+embeddings``), then compares row count, schema, and an order-insensitive
+value hash. Column names are aliased identically on both sides.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+BuildFn = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    name: str
+    build: BuildFn
+    oracle: str | None = None  # None => driver records a weaker rows-only check
+    bench: bool = False  # include in bench.py headline set
+    tags: tuple[str, ...] = field(default_factory=tuple)
+
+
+REGISTRY: dict[str, QuerySpec] = {}
+
+
+def register(
+    name: str,
+    oracle: str | None = None,
+    bench: bool = False,
+    tags: tuple[str, ...] = (),
+) -> Callable[[BuildFn], BuildFn]:
+    def deco(fn: BuildFn) -> BuildFn:
+        if name in REGISTRY:
+            raise ValueError(f"duplicate query name: {name}")
+        REGISTRY[name] = QuerySpec(name=name, build=fn, oracle=oracle, bench=bench, tags=tags)
+        return fn
+
+    return deco
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Parquet scan for one of the star-schema tables.
+
+    A plain ``spark.read.parquet`` so Catalyst gets filter pushdown, column
+    pruning and partition pruning for free on every query built on top.
+
+    ``events.ts`` is parquet TIMESTAMP(NANOS) which the Spark vectorized
+    reader rejects; it is read as raw nanos (``nanosAsLong``) and rebuilt as
+    a TIMESTAMP_NTZ (session tz pinned to UTC so LTZ->NTZ is the identity,
+    matching the oracle's naive timestamps).
+    """
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    path = f"{sf_dir}/{name}.parquet"
+    if name == "events":
+        from pyspark.sql import functions as F
+
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+        return df.withColumn(
+            "ts",
+            F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long")).cast(
+                "timestamp_ntz"
+            ),
+        )
+    return spark.read.parquet(path)
+
+
+def load_all() -> dict[str, QuerySpec]:
+    """Import all query modules (they self-register) and return the registry."""
+    from distributed_api_etl_spark.queries import (  # noqa: F401
+        dedup,
+        events,
+        pipeline,
+        relational,
+        similarity,
+        text,
+    )
+
+    return REGISTRY

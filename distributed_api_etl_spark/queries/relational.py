@@ -1,0 +1,305 @@
+"""Relational / dataflow operators from SURVEY.md §2.1, as graded queries.
+
+Covers: catalog scan + projection + predicate pushdown (#1,#4), anti-join
+idempotency diff (#5), hash batch assignment (#7, fixed to be non-negative
+and cross-engine portable), batch filter (#10), distinct batch enumeration
+(#9), plus the downstream Spark-SQL analytics the reference delegates to
+Spark (SURVEY §3.3) as TPC-H-style aggregation/join queries (the bench
+headliners).
+
+Scale notes: every query is a declarative DataFrame plan — Catalyst pushes
+filters into the parquet scan, prunes columns, and picks broadcast joins for
+the small dimensions (we also hint ``broadcast`` explicitly so the plan is
+stable without AQE statistics at 100 TB).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import DecimalType
+
+from distributed_api_etl_spark.functions.portable import (
+    dec,
+    portable_hash32,
+    portable_hash32_sql,
+)
+from distributed_api_etl_spark.queries.registry import register, table
+
+N_BATCHES = 16
+
+
+def _one_minus(col, sign: int = -1):
+    # exact (5,3) decimal for (1 - discount) / (1 + tax) factors
+    return (F.lit(1) + sign * dec(col, 5, 3)).cast(DecimalType(5, 3))
+
+
+# ---------------------------------------------------------------------------
+# Source scan / projection / pushdown  (reference op #1/#4: orchestrator.py
+# get_data_source + withColumnRenamed to request_id)
+# ---------------------------------------------------------------------------
+@register(
+    "source_scan_project",
+    oracle="""
+    SELECT CAST(c_custkey AS VARCHAR) AS request_id,
+           c_name, c_mktsegment, c_acctbal
+    FROM customer
+    WHERE c_acctbal > 1000.0 AND c_mktsegment <> 'MACHINERY'
+    """,
+    tags=("relational",),
+)
+def source_scan_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        table(spark, sf_dir, "customer")
+        .where((F.col("c_acctbal") > 1000.0) & (F.col("c_mktsegment") != "MACHINERY"))
+        .select(
+            F.col("c_custkey").cast("string").alias("request_id"),
+            "c_name",
+            "c_mktsegment",
+            "c_acctbal",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Idempotency diff (reference op #5: the one join in the codebase —
+# src/orchestration/batch_processor.py:36-40, left_anti on request_id)
+# ---------------------------------------------------------------------------
+@register(
+    "idempotency_anti_join",
+    oracle="""
+    WITH source AS (
+      SELECT CAST(o_orderkey AS VARCHAR) AS request_id, o_custkey, o_totalprice
+      FROM orders
+    ),
+    sink AS (
+      SELECT CAST(o_orderkey AS VARCHAR) AS request_id
+      FROM orders WHERE o_orderkey % 3 = 0
+    )
+    SELECT s.request_id, s.o_custkey, s.o_totalprice
+    FROM source s
+    WHERE NOT EXISTS (SELECT 1 FROM sink t WHERE t.request_id = s.request_id)
+    """,
+    tags=("relational", "etl"),
+)
+def idempotency_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    source = orders.select(
+        F.col("o_orderkey").cast("string").alias("request_id"),
+        "o_custkey",
+        "o_totalprice",
+    )
+    # stand-in for the bronze sink's already-processed request_ids
+    sink = (
+        orders.where(F.col("o_orderkey") % 3 == 0)
+        .select(F.col("o_orderkey").cast("string").alias("request_id"))
+    )
+    return source.join(sink, on="request_id", how="left_anti")
+
+
+# ---------------------------------------------------------------------------
+# Batch assignment (reference op #7: hash(request_id) % n — rebuilt with a
+# non-negative, cross-engine-portable hash; batch_processor.py:42-54)
+# ---------------------------------------------------------------------------
+_BATCH_ID_SQL = (
+    f"({portable_hash32_sql('o_orderkey')} % {N_BATCHES})"
+)
+
+
+@register(
+    "batch_assignment",
+    oracle=f"""
+    SELECT {_BATCH_ID_SQL} AS batch_id,
+           count(*) AS n_rows,
+           min(o_orderkey) AS min_key,
+           max(o_orderkey) AS max_key
+    FROM orders
+    GROUP BY 1
+    """,
+    tags=("relational", "etl"),
+)
+def batch_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    with_batch = orders.withColumn(
+        "batch_id", portable_hash32(F.col("o_orderkey")) % N_BATCHES
+    )
+    return with_batch.groupBy("batch_id").agg(
+        F.count("*").alias("n_rows"),
+        F.min("o_orderkey").alias("min_key"),
+        F.max("o_orderkey").alias("max_key"),
+    )
+
+
+@register(
+    "batch_filter",
+    oracle=f"""
+    SELECT CAST(o_orderkey AS VARCHAR) AS request_id, o_custkey
+    FROM orders
+    WHERE {_BATCH_ID_SQL} = 3
+    """,
+    tags=("relational", "etl"),
+)
+def batch_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Select one batch (reference op #10: batch_processor.py:57)."""
+    orders = table(spark, sf_dir, "orders")
+    return (
+        orders.withColumn("batch_id", portable_hash32(F.col("o_orderkey")) % N_BATCHES)
+        .where(F.col("batch_id") == 3)
+        .select(F.col("o_orderkey").cast("string").alias("request_id"), "o_custkey")
+    )
+
+
+@register(
+    "batch_ids_distinct",
+    oracle=f"""
+    SELECT DISTINCT {_BATCH_ID_SQL} AS batch_id FROM orders
+    """,
+    tags=("relational", "etl"),
+)
+def batch_ids_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Enumerate batches (reference op #9: batch_processor.py:79-81)."""
+    orders = table(spark, sf_dir, "orders")
+    return (
+        orders.select(
+            (portable_hash32(F.col("o_orderkey")) % N_BATCHES).alias("batch_id")
+        ).distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# Downstream analytics (SURVEY §3.3: "downstream querying is plain Spark
+# SQL") — TPC-H-style headliners, also the bench workload.
+# ---------------------------------------------------------------------------
+@register(
+    "q1_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * CAST(1 - CAST(l_discount AS DECIMAL(5,3)) AS DECIMAL(5,3)))
+                AS DOUBLE) AS sum_disc_price,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * CAST(1 - CAST(l_discount AS DECIMAL(5,3)) AS DECIMAL(5,3))
+                    * CAST(1 + CAST(l_tax AS DECIMAL(5,3)) AS DECIMAL(5,3)))
+                AS DOUBLE) AS sum_charge,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    bench=True,
+    tags=("analytics",),
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    price = dec("l_extendedprice", 12, 2)
+    disc_f = _one_minus(F.col("l_discount"), -1)
+    tax_f = _one_minus(F.col("l_tax"), +1)
+    return (
+        li.where(F.col("l_shipdate").cast("date") <= F.lit("1998-09-02").cast("date"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(dec("l_quantity", 12, 2)).cast("double").alias("sum_qty"),
+            F.sum(price).cast("double").alias("sum_base_price"),
+            F.sum(price * disc_f).cast("double").alias("sum_disc_price"),
+            F.sum(price * disc_f * tax_f).cast("double").alias("sum_charge"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@register(
+    "q3_shipping_priority",
+    oracle="""
+    SELECT CAST(l_orderkey AS BIGINT) AS l_orderkey,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * CAST(1 - CAST(l_discount AS DECIMAL(5,3)) AS DECIMAL(5,3)))
+                AS DOUBLE) AS revenue,
+           strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS o_orderdate,
+           o_orderpriority
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND CAST(o_orderdate AS DATE) < DATE '1995-03-15'
+      AND CAST(l_shipdate AS DATE) > DATE '1995-03-15'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+    bench=True,
+    tags=("analytics",),
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = table(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    orders = table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate").cast("date") < F.lit("1995-03-15").cast("date")
+    )
+    li = table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate").cast("date") > F.lit("1995-03-15").cast("date")
+    )
+    revenue = dec("l_extendedprice", 12, 2) * _one_minus(F.col("l_discount"), -1)
+    return (
+        li.join(
+            F.broadcast(orders.select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")),
+            li.l_orderkey == orders.o_orderkey,
+        )
+        .join(F.broadcast(cust.select("c_custkey")), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.date_format(F.col("o_orderdate").cast("date"), "yyyy-MM-dd").alias("o_orderdate"),
+            "o_orderpriority",
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "q5_local_supplier_volume",
+    oracle="""
+    SELECT n_name,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * CAST(1 - CAST(l_discount AS DECIMAL(5,3)) AS DECIMAL(5,3)))
+                AS DOUBLE) AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND CAST(o_orderdate AS DATE) >= DATE '1994-01-01'
+      AND CAST(o_orderdate AS DATE) <  DATE '1996-01-01'
+    GROUP BY n_name
+    """,
+    bench=True,
+    tags=("analytics",),
+)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate").cast("date") >= F.lit("1994-01-01").cast("date"))
+        & (F.col("o_orderdate").cast("date") < F.lit("1996-01-01").cast("date"))
+    )
+    li = table(spark, sf_dir, "lineitem")
+    supp = table(spark, sf_dir, "supplier")
+    nation = table(spark, sf_dir, "nation")
+    region = table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    revenue = dec("l_extendedprice", 12, 2) * _one_minus(F.col("l_discount"), -1)
+    return (
+        li.join(orders.select("o_orderkey", "o_custkey"), li.l_orderkey == F.col("o_orderkey"))
+        .join(F.broadcast(cust.select("c_custkey", "c_nationkey")), F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(supp.select("s_suppkey", "s_nationkey")),
+            (li.l_suppkey == F.col("s_suppkey")) & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(nation.select("n_nationkey", "n_name", "n_regionkey")), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region.select("r_regionkey")), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+    )

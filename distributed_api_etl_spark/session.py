@@ -1,0 +1,68 @@
+"""SparkSession factory tuned for this engine.
+
+Scale notes (100 TB / 1000-executor design):
+  * AQE on: runtime partition coalescing, skew-join splitting, dynamic
+    broadcast conversion cover most physical-plan decisions at scale.
+  * ``spark.sql.shuffle.partitions`` defaults to total cores locally; on a
+    real cluster set it to 2-3x total executor cores (AQE coalesces down).
+  * Arrow enabled so any pandas-UDF path is vectorized batch transfer.
+  * Kryo serializer for the few RDD/closure paths (the HTTP fan-out stage).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def _cpus() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+
+
+def get_spark(
+    app_name: str = "distributed-api-etl-spark",
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with engine defaults.
+
+    Configs that only apply at JVM launch (e.g. driver memory) are taken from
+    the environment when this process is the one creating the JVM; when the
+    caller already holds a session (driver harness), we reuse it untouched.
+    """
+    cpus = _cpus()
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]"))
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
+
+
+def apply_runtime_conf(spark: SparkSession) -> SparkSession:
+    """Apply the subset of engine defaults that are settable at runtime.
+
+    Used when an externally-created session (the driver's harness) is handed
+    to us and we cannot control JVM-launch configs.
+    """
+    for k, v in {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.session.timeZone": "UTC",
+    }.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:  # pragma: no cover - conf may be static
+            pass
+    return spark
