@@ -1,0 +1,5 @@
+from distributed_api_etl_spark.orchestration.orchestrator import (  # noqa: F401
+    PipelineOrchestrator,
+    PipelineResult,
+    run_pipeline,
+)

@@ -1,0 +1,87 @@
+"""Batch -> mapPartitions(HTTP) -> typed bronze rows -> sink.
+
+Reference parity: src/orchestration/batch_handler.py, with typed schema
+construction by name (no positional renaming bug) and a pluggable sink:
+parquet append (default), Delta append, or Delta MERGE on request_id for
+exactly-once upsert when delta-spark is installed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from distributed_api_etl_spark.core.bronze import BRONZE_SCHEMA
+from distributed_api_etl_spark.orchestration.partition_executor import build_partition_fn
+
+
+def delta_available(spark: SparkSession) -> bool:
+    try:
+        spark._jvm.io.delta.tables.DeltaTable  # noqa: SLF001
+        return True
+    except Exception:
+        return False
+
+
+class BronzeBatchHandler:
+    def __init__(self, spark: SparkSession, compiled: dict, sink: dict | None) -> None:
+        self._spark = spark
+        self._compiled = compiled
+        self._sink = sink
+        self.collected: list[DataFrame] = []  # dry-run mode accumulates here
+
+    def transform(self, batch_df: DataFrame) -> DataFrame:
+        fn = build_partition_fn(self._compiled)
+        rdd = batch_df.rdd.mapPartitions(fn)
+        return self._spark.createDataFrame(rdd, BRONZE_SCHEMA)
+
+    def process(self, batch_df: DataFrame) -> None:
+        result = self.transform(batch_df)
+        if self._sink is None:
+            # dry-run: materialize now (localCheckpoint) so a re-run of the
+            # lineage doesn't re-fire HTTP requests, then accumulate
+            self.collected.append(result.localCheckpoint(eager=True))
+            return
+        self._write(result)
+
+    def _write(self, result: DataFrame) -> None:
+        sink = self._sink
+        fmt = sink.get("format", "parquet")
+        location = sink.get("location")
+        partition_by = sink.get("partition_by") or []
+        if fmt == "delta" and sink.get("mode") == "merge":
+            self._merge_delta(result, sink)
+            return
+        writer = result.write.format(fmt).mode("append")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        if location:
+            writer.save(location)
+        else:
+            writer.saveAsTable(sink["name"])
+
+    def _merge_delta(self, result: DataFrame, sink: dict) -> None:
+        """Exactly-once upsert on request_id (Delta MERGE)."""
+        from delta.tables import DeltaTable  # gated: requires delta-spark
+
+        location = sink.get("location")
+        if location and DeltaTable.isDeltaTable(self._spark, location):
+            target = DeltaTable.forPath(self._spark, location)
+        elif not location:
+            target = DeltaTable.forName(self._spark, sink["name"])
+        else:
+            result.write.format("delta").save(location)
+            return
+        (
+            target.alias("t")
+            .merge(result.alias("s"), "t.request_id = s.request_id")
+            .whenNotMatchedInsertAll()
+            .execute()
+        )
+
+    def result_df(self) -> DataFrame | None:
+        if not self.collected:
+            return None
+        out = self.collected[0]
+        for df in self.collected[1:]:
+            out = out.unionByName(df)
+        return out

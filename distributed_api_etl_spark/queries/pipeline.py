@@ -1,1 +1,88 @@
-"""Graded query for the full API-ETL pipeline (filled in with the engine)."""
+"""Graded queries exercising the full API-ETL engine end-to-end.
+
+``api_pipeline_bronze`` is THE flagship: customer rows -> request contexts
+-> middleware chain -> deterministic mock transport -> typed bronze records
+-> DataFrame, all through the real orchestration path (batching,
+mapPartitions fan-out, schema imposition). The mock responder echoes params
+as canonical JSON, so every bronze column is reproducible in ANSI SQL.
+
+``_request_time`` is pinned via ``fixed_time`` and excluded from the graded
+projection (the oracle can't hash a wall clock).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from distributed_api_etl_spark.queries.registry import register, table
+
+FIXED_TIME = "2024-01-01T00:00:00"
+
+
+def _pipeline_config() -> dict:
+    return {
+        "endpoint": {
+            "method": "GET",
+            "url": "http://mock.local/api/customers",
+            "param_mapping": [
+                {"endpoint_param": "customer_id", "source_column": "request_id"},
+                {
+                    "endpoint_param": "segment",
+                    "source_column": "c_mktsegment",
+                    "transform": "lower",
+                },
+            ],
+        },
+        "transport": {"engine": "mock"},
+        "execution": {
+            "batch_size": 100_000,
+            "num_partitions": 32,
+            "max_concurrent_requests": 20,
+        },
+    }
+
+
+@register(
+    "api_pipeline_bronze",
+    oracle="""
+    SELECT CAST(c_custkey AS VARCHAR) AS request_id,
+           'http://mock.local/api/customers' AS url,
+           'GET' AS method,
+           200 AS status_code,
+           TRUE AS success,
+           1 AS attempts,
+           '{"customer_id": "' || CAST(c_custkey AS VARCHAR)
+             || '", "segment": "' || lower(c_mktsegment) || '"}' AS body_text,
+           sha256('{"customer_id": "' || CAST(c_custkey AS VARCHAR)
+             || '", "segment": "' || lower(c_mktsegment) || '"}') AS row_hash
+    FROM customer
+    """,
+    bench=True,
+    tags=("pipeline", "etl"),
+)
+def api_pipeline_bronze(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from distributed_api_etl_spark.orchestration import run_pipeline
+
+    source = table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").cast("string").alias("tracking_id"), "c_mktsegment"
+    )
+    result = run_pipeline(
+        spark,
+        _pipeline_config(),
+        source_df=source,
+        source_id="tracking_id",
+        dry_run=True,
+        fixed_time=FIXED_TIME,
+    )
+    bronze = result.bronze_df
+    return bronze.select(
+        "request_id",
+        "url",
+        "method",
+        F.col("status_code").cast("int").alias("status_code"),
+        "success",
+        F.col("attempts").cast("int").alias("attempts"),
+        "body_text",
+        "row_hash",
+    )

@@ -1,0 +1,125 @@
+from __future__ import annotations
+
+import pytest
+
+from distributed_api_etl_spark.config import load_config
+from distributed_api_etl_spark.config.models import (
+    ColumnSchema,
+    DataType,
+    PipelineConfig,
+    TableSchema,
+)
+
+MINIMAL = {
+    "endpoint": {"url": "http://api.local/v1/things", "method": "GET"},
+}
+
+
+def test_minimal_config_defaults():
+    cfg = PipelineConfig.model_validate(MINIMAL)
+    assert cfg.execution.batch_size == 10_000
+    assert cfg.execution.max_concurrent_requests == 20
+    assert cfg.execution.max_attempts == 5
+    assert cfg.retry.max_attempts == 10
+    assert cfg.auth.type == "none"
+    assert cfg.tables.source.id_column == "tracking_id"
+
+
+def test_yaml_round_trip(tmp_path):
+    p = tmp_path / "pipe.yml"
+    p.write_text(
+        """
+endpoint:
+  url: http://api.local/v1
+  method: POST
+  param_mapping:
+    - endpoint_param: pid
+      source_column: patient_id
+      transform: upper
+auth:
+  type: basic
+  username: u
+  password: p
+execution:
+  batch_size: 5
+"""
+    )
+    cfg = load_config(str(p))
+    assert cfg.endpoint.method == "POST"
+    assert cfg.endpoint.param_mapping[0].transform == "upper"
+    assert cfg.auth.type == "basic"
+    assert cfg.execution.batch_size == 5
+
+
+def test_secret_resolution(monkeypatch):
+    monkeypatch.setenv("SECRET_SCOPE1_APIKEY", "s3cret")
+    cfg = load_config(
+        {
+            "endpoint": {
+                "url": "http://x",
+                "headers": {"X-Api-Key": "{{secret.scope1:apikey}}"},
+            }
+        }
+    )
+    assert cfg.endpoint.headers["X-Api-Key"] == "s3cret"
+
+
+def test_struct_type_maps_to_spark():
+    # the reference declares struct but raises; we support it
+    col = ColumnSchema(
+        name="payload",
+        type=DataType.struct,
+        fields=[
+            ColumnSchema(name="a", type=DataType.long),
+            ColumnSchema(
+                name="tags",
+                type=DataType.array,
+                element_type=ColumnSchema(name="e", type=DataType.string),
+            ),
+        ],
+    )
+    t = col.to_spark_type()
+    assert t.simpleString() == "struct<a:bigint,tags:array<string>>"
+
+
+def test_schema_to_spark():
+    ts = TableSchema(
+        columns=[
+            ColumnSchema(name="id", type=DataType.string, nullable=False),
+            ColumnSchema(
+                name="m",
+                type=DataType.map,
+                key_type=DataType.string,
+                value_type=ColumnSchema(name="v", type=DataType.integer),
+            ),
+        ]
+    )
+    s = ts.to_spark_schema()
+    assert s.simpleString() == "struct<id:string,m:map<string,int>>"
+    assert s.fields[0].nullable is False
+
+
+def test_cross_field_validation_rejects_unknown_mapping():
+    bad = {
+        "endpoint": {
+            "url": "http://x",
+            "param_mapping": [{"endpoint_param": "a", "source_column": "nope"}],
+        },
+        "tables": {
+            "source": {
+                "schema": {"columns": [{"name": "tracking_id", "type": "string"}]}
+            }
+        },
+    }
+    with pytest.raises(ValueError, match="nope"):
+        PipelineConfig.model_validate(bad)
+
+
+def test_merge_requires_delta():
+    with pytest.raises(ValueError, match="merge"):
+        PipelineConfig.model_validate(
+            {
+                "endpoint": {"url": "http://x"},
+                "tables": {"sink": {"name": "t", "format": "parquet", "mode": "merge"}},
+            }
+        )

@@ -1,0 +1,169 @@
+from __future__ import annotations
+
+import asyncio
+import random
+
+import pytest
+
+from distributed_api_etl_spark.request_execution.executor import RequestExecutor
+from distributed_api_etl_spark.request_execution.middleware.interceptors import (
+    JsonResponseMiddleware,
+    RetryMiddleware,
+)
+from distributed_api_etl_spark.request_execution.middleware.injectors import (
+    BasicAuthMiddleware,
+    ParamInjectorMiddleware,
+)
+from distributed_api_etl_spark.request_execution.middleware.pipeline import (
+    MiddlewarePipeline,
+)
+from distributed_api_etl_spark.request_execution.models import (
+    RequestContext,
+    RequestExchange,
+    TransportResponse,
+)
+from distributed_api_etl_spark.request_execution.transport.mock import MockEngine
+
+
+def run(coro):
+    return asyncio.run(coro)
+
+
+def make_exchange(row=None, request_id="r1"):
+    return RequestExchange(
+        context=RequestContext(
+            method="GET", url="http://x/api", row=row or {}, request_id=request_id
+        )
+    )
+
+
+def test_param_injector_with_transform():
+    mw = ParamInjectorMiddleware([("pid", "patient_id", "upper"), ("q", "query", None)])
+
+    async def next_call(ex):
+        return ex
+
+    ex = make_exchange(row={"patient_id": "ab12", "query": "x"})
+    out = run(mw(ex, next_call))
+    assert out.context.params == {"pid": "AB12", "q": "x"}
+
+
+def test_basic_auth_header():
+    mw = BasicAuthMiddleware("user", "pass")
+
+    async def next_call(ex):
+        return ex
+
+    out = run(mw(make_exchange(), next_call))
+    assert out.context.headers["Authorization"] == "Basic dXNlcjpwYXNz"
+
+
+def test_retry_succeeds_after_failures():
+    calls = {"n": 0}
+
+    async def flaky(ex):
+        calls["n"] += 1
+        ex.status_code = 503 if calls["n"] < 3 else 200
+        ex.success = ex.status_code < 500
+        ex.error_message = None
+        return ex
+
+    mw = RetryMiddleware(max_attempts=5, rng=random.Random(0), sleep=_nosleep)
+    out = run(mw(make_exchange(), flaky))
+    assert out.status_code == 200
+    assert out.attempts == 3
+
+
+def test_retry_exhaustion_never_raises():
+    async def always_503(ex):
+        ex.status_code = 503
+        return ex
+
+    mw = RetryMiddleware(max_attempts=4, rng=random.Random(0), sleep=_nosleep)
+    out = run(mw(make_exchange(), always_503))
+    assert out.success is False
+    assert out.attempts == 4
+    assert "exhausted" in out.error_message
+
+
+def test_retry_on_transport_error():
+    calls = {"n": 0}
+
+    async def conn_refused_then_ok(ex):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            ex.status_code = None
+            ex.error_message = "ConnectionError: refused"
+        else:
+            ex.status_code = 200
+            ex.error_message = None
+        return ex
+
+    mw = RetryMiddleware(max_attempts=3, rng=random.Random(0), sleep=_nosleep)
+    out = run(mw(make_exchange(), conn_refused_then_ok))
+    assert out.status_code == 200
+    assert out.attempts == 2
+
+
+async def _nosleep(_):
+    return None
+
+
+def test_json_middleware_success_semantics():
+    async def resp_404(ex):
+        ex.status_code = 404
+        ex.body = b'{"error": "nf"}'
+        ex.success = True  # transport says <500 is "success"
+        return ex
+
+    out = run(JsonResponseMiddleware()(make_exchange(), resp_404))
+    assert out.success is False  # JSON middleware tightens to <400
+    assert out.body_text == '{"error": "nf"}'
+    assert out.metadata["json"]["valid"] is True
+
+
+def test_full_chain_with_mock_engine():
+    engine = MockEngine()
+    executor = RequestExecutor(engine)
+    chain = MiddlewarePipeline(
+        [
+            ParamInjectorMiddleware([("id", "request_id", None)]),
+            JsonResponseMiddleware(),
+            RetryMiddleware(max_attempts=2, sleep=_nosleep),
+        ],
+        executor.send,
+    )
+    ex = make_exchange(row={"request_id": "42"}, request_id="42")
+    out = run(chain.execute(ex))
+    assert out.status_code == 200
+    assert out.success is True
+    assert out.attempts == 1
+    assert out.body_text == '{"id": "42"}'
+    rec = out.build_record()
+    assert rec["request_id"] == "42"
+    assert rec["status_code"] == 200
+    assert len(rec["row_hash"]) == 64
+
+
+def test_mock_engine_failure_injection():
+    engine = MockEngine(fail_first_attempts=2, fail_status=503)
+    executor = RequestExecutor(engine)
+    chain = MiddlewarePipeline(
+        [JsonResponseMiddleware(), RetryMiddleware(max_attempts=5, sleep=_nosleep)],
+        executor.send,
+    )
+    out = run(chain.execute(make_exchange(request_id="a")))
+    assert out.status_code == 200
+    assert out.attempts == 3  # 2 injected failures + success
+
+
+def test_transport_error_is_data():
+    class BoomEngine(MockEngine):
+        async def send(self, request):
+            return TransportResponse(error="ConnectTimeout: x")
+
+    executor = RequestExecutor(BoomEngine())
+    out = run(executor.send(make_exchange()))
+    assert out.success is False
+    assert out.status_code is None
+    assert "ConnectTimeout" in out.error_message

@@ -1,0 +1,80 @@
+"""End-to-end pipeline: source -> mock HTTP -> typed bronze sink, plus the
+idempotency proof (re-run is a no-op) — M1 of SURVEY §7.2."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from distributed_api_etl_spark.core.bronze import BRONZE_COLUMNS
+from distributed_api_etl_spark.orchestration import run_pipeline
+
+
+def base_config(sink_location=None, **execution):
+    cfg = {
+        "endpoint": {
+            "method": "GET",
+            "url": "http://mock.local/api/items",
+            "param_mapping": [{"endpoint_param": "id", "source_column": "request_id"}],
+        },
+        "transport": {"engine": "mock"},
+        "execution": {"batch_size": 40, "num_partitions": 4, **execution},
+    }
+    if sink_location:
+        cfg["tables"] = {"sink": {"location": sink_location, "format": "parquet"}}
+    return cfg
+
+
+@pytest.fixture
+def source(spark):
+    return spark.range(100).select(F.col("id").cast("string").alias("tracking_id"))
+
+
+def test_dry_run_returns_typed_bronze(spark, source):
+    result = run_pipeline(
+        spark,
+        base_config(),
+        source_df=source,
+        source_id="tracking_id",
+        dry_run=True,
+        fixed_time="2024-01-01T00:00:00",
+    )
+    df = result.bronze_df
+    assert df is not None
+    assert [f.name for f in df.schema.fields] == list(BRONZE_COLUMNS)
+    rows = df.collect()
+    assert len(rows) == 100
+    r = rows[0]
+    assert r.status_code == 200 and r.success is True and r.attempts == 1
+    assert r.method == "GET"
+    assert result.stats.total_rows == 100
+
+
+def test_sink_write_and_idempotent_rerun(spark, source, tmp_path):
+    loc = str(tmp_path / "bronze")
+    cfg = base_config(sink_location=loc)
+    r1 = run_pipeline(spark, cfg, source_df=source, source_id="tracking_id")
+    sink = spark.read.parquet(loc)
+    assert sink.count() == 100
+    assert sink.select("request_id").distinct().count() == 100
+
+    # re-run: anti-join finds nothing to do; sink unchanged
+    r2 = run_pipeline(spark, cfg, source_df=source, source_id="tracking_id")
+    assert spark.read.parquet(loc).count() == 100
+    assert r2.stats.attempts == 1
+
+    # new rows only are processed on an incremental run
+    bigger = spark.range(120).select(F.col("id").cast("string").alias("tracking_id"))
+    run_pipeline(spark, cfg, source_df=bigger, source_id="tracking_id")
+    assert spark.read.parquet(loc).count() == 120
+
+
+def test_source_validation_rejects_missing_id(spark):
+    df = spark.range(5).select(F.col("id").alias("not_the_id"))
+    with pytest.raises(ValueError, match="missing id column"):
+        run_pipeline(spark, base_config(), source_df=df, source_id="tracking_id")
+
+
+def test_source_xor_enforced(spark):
+    with pytest.raises(ValueError, match="exactly one"):
+        run_pipeline(spark, base_config())  # no table name, no source_df
