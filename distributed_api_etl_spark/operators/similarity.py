@@ -1,0 +1,129 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+JVM-side higher-order functions for the dot products (no Python in the hot
+path). Two tiers:
+
+  * brute force: exact top-k / threshold pairs — the baseline and the
+    verifier for approximate methods; O(N*Q) dot products, embarrassingly
+    parallel (broadcast the query side).
+  * IVF (inverted-file): assign every vector to its nearest centroid, then
+    search only the probe's bucket — the 100 TB path. Centroids here are a
+    deterministic subset (lowest ids) so results are oracle-verifiable; at
+    scale you'd plug in k-means centroids, the plan shape is identical
+    (broadcast centroids -> argmax assignment -> co-partitioned bucket join).
+
+Embedding cosine near-dup (threshold pairs) doubles as the
+embedding-based dedup operator.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from distributed_api_etl_spark.functions.vectors import cosine_similarity
+
+
+def cosine_pairs(
+    emb: DataFrame, id_col: str, vec_col: str, threshold: float
+) -> DataFrame:
+    """All pairs with cosine >= threshold (embedding near-dup)."""
+    a = emb.select(F.col(id_col).alias("d1"), F.col(vec_col).alias("v1"))
+    b = emb.select(F.col(id_col).alias("d2"), F.col(vec_col).alias("v2"))
+    cos = cosine_similarity(F.col("v1"), F.col("v2"))
+    return (
+        a.crossJoin(b)
+        .where(F.col("d1") < F.col("d2"))
+        .withColumn("cosine", cos)
+        .where(F.col("cosine") >= threshold)
+        .select("d1", "d2", F.round("cosine", 6).alias("cosine"))
+    )
+
+
+def bruteforce_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+) -> DataFrame:
+    """Exact top-k neighbors for each query vector (excluding self).
+
+    The query side is broadcast — one pass over the corpus, no shuffle of
+    the big side; ranking happens per query partition.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    c = emb.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nv"))
+    scored = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", cosine_similarity(F.col("qv"), F.col("nv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "rnk", F.round("cosine", 6).alias("cosine"))
+    )
+
+
+def ivf_assign(
+    emb: DataFrame, centroids: DataFrame, id_col: str, vec_col: str
+) -> DataFrame:
+    """Assign each vector to its max-cosine centroid (ties -> lowest
+    centroid id). Centroids are broadcast; assignment is one scan."""
+    c = centroids.select(
+        F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("cv")
+    )
+    scored = emb.crossJoin(F.broadcast(c)).withColumn(
+        "ccos", cosine_similarity(F.col(vec_col), F.col("cv"))
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("ccos"), F.asc("centroid_id"))
+    return (
+        scored.withColumn("arnk", F.row_number().over(w))
+        .where(F.col("arnk") == 1)
+        .select(F.col(id_col), F.col(vec_col), F.col("centroid_id"))
+    )
+
+
+def ivf_topk(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_centroids: int,
+    queries: DataFrame,
+    k: int,
+) -> DataFrame:
+    """IVF search: probe only the query's own bucket (nprobe=1).
+
+    Deterministic centroid set = the n_centroids lowest-id vectors.
+    """
+    centroids = emb.orderBy(F.col(id_col)).limit(n_centroids)
+    assigned = ivf_assign(emb, centroids, id_col, vec_col)
+    q = queries.select(F.col(id_col).alias("query_id")).join(
+        assigned.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("qv"),
+            F.col("centroid_id"),
+        ),
+        "query_id",
+    )
+    cand = assigned.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("nv"),
+        F.col("centroid_id"),
+    )
+    scored = (
+        cand.join(F.broadcast(q), "centroid_id")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cosine", cosine_similarity(F.col("qv"), F.col("nv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "rnk", F.round("cosine", 6).alias("cosine"))
+    )

@@ -1,0 +1,108 @@
+"""Text analysis operators: token stats, language ID, quality scoring,
+document fingerprinting. All JVM-side column expressions (codegen-friendly,
+no Python) with integer-first arithmetic so scores are bit-identical across
+engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from distributed_api_etl_spark.functions.textfns import tokens
+
+# Tiny per-language stopword marker sets (public common function words).
+LANG_STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "in", "is"],
+    "es": ["el", "la", "de", "que", "los", "en"],
+    "de": ["der", "und", "das", "die", "ist", "nicht"],
+    "fr": ["le", "la", "et", "les", "des", "est"],
+}
+#: deterministic priority order for argmax ties
+LANG_PRIORITY = ["en", "es", "de", "fr"]
+
+#: BPE-ish pre-tokenizer: letter runs, digit runs, or single non-space marks
+BPE_TOKEN_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+
+def _stopword_hits(toks: Column, words: list[str]) -> Column:
+    arr = F.array(*[F.lit(w) for w in words])
+    return F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+
+
+def token_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Whitespace token counts + BPE-ish regex token count + char stats."""
+    toks = tokens(F.col(text_col))
+    return df.select(
+        F.col(id_col),
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+        F.length(F.col(text_col)).alias("n_chars"),
+        F.regexp_count(F.col(text_col), F.lit(BPE_TOKEN_RE)).alias("n_bpe_tokens"),
+    )
+
+
+def lang_id(df: DataFrame, id_col: str, text_col: str, label_col: str | None = None) -> DataFrame:
+    """Stopword-marker language ID with deterministic tie-breaking.
+
+    Predicts the language whose marker set hits the most tokens; ties go to
+    LANG_PRIORITY order; zero hits everywhere -> 'und'.
+    """
+    toks = tokens(F.col(text_col))
+    scores = {
+        lang: _stopword_hits(toks, words) for lang, words in LANG_STOPWORDS.items()
+    }
+    best = F.greatest(*[scores[lang] for lang in LANG_PRIORITY])
+    pred = F.when(best == 0, F.lit("und"))
+    for lang in LANG_PRIORITY:
+        pred = pred.when(scores[lang] == best, F.lit(lang))
+    cols = [
+        F.col(id_col),
+        *[scores[lang].alias(f"score_{lang}") for lang in LANG_PRIORITY],
+        pred.alias("predicted_lang"),
+    ]
+    if label_col:
+        cols.append(
+            (F.col(label_col) == pred).alias("matches_label")
+        )
+    return df.select(*cols)
+
+
+def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Composite [0,1] quality score from cheap surface statistics.
+
+    Components (each 0..1): length saturation, type-token ratio, alpha
+    character ratio, mean-token-length saturation. Single-division doubles
+    over exact integers — no accumulation-order ambiguity.
+    """
+    toks = tokens(F.col(text_col))
+    n_tokens = F.size(toks)
+    n_distinct = F.size(F.array_distinct(toks))
+    n_chars = F.length(F.col(text_col))
+    n_alpha = F.length(F.regexp_replace(F.col(text_col), "[^a-zA-Z]", ""))
+    len_sat = F.least(n_tokens / F.lit(50.0), F.lit(1.0))
+    ttr = n_distinct / n_tokens
+    alpha_ratio = n_alpha / n_chars
+    mean_tok = (n_chars - (n_tokens - 1)) / n_tokens  # chars minus separators
+    mean_sat = F.least(mean_tok / F.lit(8.0), F.lit(1.0))
+    score = F.round(
+        0.25 * len_sat + 0.25 * ttr + 0.25 * alpha_ratio + 0.25 * mean_sat, 6
+    )
+    return df.select(
+        F.col(id_col),
+        n_tokens.alias("n_tokens"),
+        F.round(ttr, 6).alias("type_token_ratio"),
+        F.round(alpha_ratio, 6).alias("alpha_ratio"),
+        score.alias("quality"),
+    )
+
+
+def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Normalization fingerprint (lowercase, collapse whitespace) + dup-group
+    size via a window over the fingerprint."""
+    norm = F.regexp_replace(F.trim(F.lower(F.col(text_col))), "\\s+", " ")
+    out = df.select(F.col(id_col), F.md5(norm).alias("fingerprint"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("fingerprint")
+    return out.withColumn("group_size", F.count("*").over(w))

@@ -1,1 +1,223 @@
-"""Dedup-family graded queries (filled in by operators milestone)."""
+"""Dedup-family graded queries over the ``documents`` table.
+
+Jaccard values are reported as integer parts-per-million (``jaccard_ppm`` =
+floor(1e6 * inter / union) via integer division) so threshold and output are
+bit-exact on both engines — no float rounding at the compare boundary.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from distributed_api_etl_spark.functions.portable import portable_hash32_sql
+from distributed_api_etl_spark.operators import dedup as D
+from distributed_api_etl_spark.queries.registry import register, table
+
+# --- shared oracle CTE fragments -------------------------------------------
+SHINGLE_CTES = """
+toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+sh AS (SELECT DISTINCT doc_id, s FROM toks,
+       UNNEST(list_transform(generate_series(1, greatest(len(t) - 2, 0)),
+              i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) u(s)),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id)
+"""
+
+PAIRS_CTE = """
+pairs AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+"""
+
+
+def _ppm(inter: str, union: str) -> str:
+    return f"(1000000 * {inter}) // ({union})"
+
+
+def _spark_ppm(df: DataFrame) -> DataFrame:
+    """Replace the operator's rounded jaccard with exact integer ppm."""
+    return df  # operators below are called with ppm projection directly
+
+
+# --- exact dedup ------------------------------------------------------------
+@register(
+    "dedup_exact",
+    oracle="""
+    SELECT md5(text) AS fingerprint,
+           min(doc_id) AS keep_id,
+           count(*) AS n_copies
+    FROM documents
+    GROUP BY md5(text)
+    """,
+    tags=("dedup",),
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return D.exact_fingerprint_groups(docs, "doc_id", "text")
+
+
+# --- n-gram Jaccard ---------------------------------------------------------
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH {SHINGLE_CTES}, {PAIRS_CTE}
+    SELECT p.d1, p.d2,
+           {_ppm('p.inter', 's1.sz + s2.sz - p.inter')} AS jaccard_ppm
+    FROM pairs p
+    JOIN sizes s1 ON s1.doc_id = p.d1
+    JOIN sizes s2 ON s2.doc_id = p.d2
+    WHERE 100 * p.inter >= 80 * (s1.sz + s2.sz - p.inter)
+    """,
+    bench=True,
+    tags=("dedup",),
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    sh = D.shingles(docs, "doc_id", "text", 3)
+    sizes = D.shingle_sizes(sh, "doc_id")
+    a = sh.select(F.col("doc_id").alias("d1"), "s")
+    b = sh.select(F.col("doc_id").alias("d2"), "s")
+    inter = (
+        a.join(b, "s")
+        .where(F.col("d1") < F.col("d2"))
+        .groupBy("d1", "d2")
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(sizes.select(F.col("doc_id").alias("d1"), F.col("sz").alias("sz1")), "d1")
+        .join(sizes.select(F.col("doc_id").alias("d2"), F.col("sz").alias("sz2")), "d2")
+        .withColumn("union_sz", F.col("sz1") + F.col("sz2") - F.col("inter"))
+        .where(100 * F.col("inter") >= 80 * F.col("union_sz"))
+        .select(
+            "d1",
+            "d2",
+            F.expr("div(1000000 * inter, union_sz)").alias("jaccard_ppm"),
+        )
+    )
+
+
+# --- MinHash + LSH ----------------------------------------------------------
+def _minhash_sig_sql() -> str:
+    hashes = ",\n        ".join(
+        f"min(({D.MINHASH_A[i]} * xh + {D.MINHASH_B[i]}) % {D.MINHASH_P}) AS h{i}"
+        for i in range(D.N_HASHES)
+    )
+    return f"""
+sigx AS (SELECT doc_id, {portable_hash32_sql('s')} AS xh FROM sh),
+sigs AS (SELECT doc_id,
+        {hashes}
+        FROM sigx GROUP BY doc_id)
+"""
+
+
+def _lsh_cand_sql() -> str:
+    n_bands = D.N_HASHES // D.BAND_ROWS
+    joins = []
+    for b in range(n_bands):
+        cols = [f"h{b * D.BAND_ROWS + r}" for r in range(D.BAND_ROWS)]
+        cond = " AND ".join(f"a.{c} = b.{c}" for c in cols)
+        joins.append(
+            f"SELECT a.doc_id AS d1, b.doc_id AS d2 FROM sigs a "
+            f"JOIN sigs b ON a.doc_id < b.doc_id AND {cond}"
+        )
+    return "cands AS (SELECT DISTINCT d1, d2 FROM (" + " UNION ALL ".join(joins) + "))"
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=f"""
+    WITH {SHINGLE_CTES}, {_minhash_sig_sql()}, {_lsh_cand_sql()}, {PAIRS_CTE}
+    SELECT p.d1, p.d2,
+           {_ppm('p.inter', 's1.sz + s2.sz - p.inter')} AS jaccard_ppm
+    FROM pairs p
+    JOIN cands c ON c.d1 = p.d1 AND c.d2 = p.d2
+    JOIN sizes s1 ON s1.doc_id = p.d1
+    JOIN sizes s2 ON s2.doc_id = p.d2
+    WHERE 100 * p.inter >= 70 * (s1.sz + s2.sz - p.inter)
+    """,
+    bench=True,
+    tags=("dedup",),
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    sh = D.shingles(docs, "doc_id", "text", 3)
+    sizes = D.shingle_sizes(sh, "doc_id")
+    cands = D.lsh_candidate_pairs(D.minhash_signatures(sh, "doc_id"), "doc_id")
+    a = sh.select(F.col("doc_id").alias("d1"), "s")
+    b = sh.select(F.col("doc_id").alias("d2"), "s")
+    inter = (
+        a.join(cands.hint("broadcast"), "d1")
+        .join(b, ["s", "d2"])
+        .groupBy("d1", "d2")
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(sizes.select(F.col("doc_id").alias("d1"), F.col("sz").alias("sz1")), "d1")
+        .join(sizes.select(F.col("doc_id").alias("d2"), F.col("sz").alias("sz2")), "d2")
+        .withColumn("union_sz", F.col("sz1") + F.col("sz2") - F.col("inter"))
+        .where(100 * F.col("inter") >= 70 * F.col("union_sz"))
+        .select(
+            "d1",
+            "d2",
+            F.expr("div(1000000 * inter, union_sz)").alias("jaccard_ppm"),
+        )
+    )
+
+
+# --- SimHash ----------------------------------------------------------------
+def _simhash_sig_sql(bits: int = 32) -> str:
+    sums = ",\n        ".join(
+        f"sum(cnt * (((xh >> {j}) & 1) * 2 - 1)) AS s{j}" for j in range(bits)
+    )
+    terms = " + ".join(
+        f"(CASE WHEN s{j} > 0 THEN CAST({2**j} AS BIGINT) ELSE 0 END)"
+        for j in range(bits)
+    )
+    return f"""
+tokc AS (SELECT doc_id, tok, count(*) AS cnt
+         FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+         GROUP BY doc_id, tok),
+hashed AS (SELECT doc_id, cnt, {portable_hash32_sql('tok')} AS xh FROM tokc),
+sums AS (SELECT doc_id, {sums} FROM hashed GROUP BY doc_id),
+simsigs AS (SELECT doc_id, {terms} AS simhash FROM sums)
+"""
+
+
+@register(
+    "dedup_simhash",
+    oracle=f"""
+    WITH {_simhash_sig_sql()}
+    SELECT a.doc_id AS d1, b.doc_id AS d2,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+    FROM simsigs a JOIN simsigs b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
+    """,
+    tags=("dedup",),
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return D.simhash_pairs_exhaustive(docs, "doc_id", "text", max_hamming=2).select(
+        "d1", "d2", F.col("hamming").cast("int").alias("hamming")
+    )
+
+
+# --- embedding cosine near-dup ---------------------------------------------
+@register(
+    "dedup_embedding_cosine",
+    oracle="""
+    SELECT a.vec_id AS d1, b.vec_id AS d2,
+           round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                        CAST(b.embedding AS DOUBLE[])), 6) AS cosine
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                 CAST(b.embedding AS DOUBLE[])) >= 0.3
+    """,
+    tags=("dedup", "similarity"),
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from distributed_api_etl_spark.operators.similarity import cosine_pairs
+
+    emb = table(spark, sf_dir, "embeddings")
+    return cosine_pairs(emb, "vec_id", "embedding", threshold=0.3)

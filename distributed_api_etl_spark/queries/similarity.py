@@ -1,1 +1,85 @@
-"""Similarity-search graded queries (filled in by operators milestone)."""
+"""Similarity-search graded queries over the ``embeddings`` table."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from distributed_api_etl_spark.operators import similarity as S
+from distributed_api_etl_spark.queries.registry import register, table
+
+N_QUERIES = 10
+TOP_K = 5
+IVF_CENTROIDS = 8
+IVF_QUERY_LO, IVF_QUERY_HI = 100, 110
+IVF_K = 3
+
+
+@register(
+    "ann_bruteforce_topk",
+    oracle=f"""
+    WITH vecs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM vecs WHERE vec_id < {N_QUERIES}),
+    scored AS (
+      SELECT q.query_id, c.vec_id AS neighbor_id,
+             list_cosine_similarity(q.qv, c.v) AS cosine
+      FROM vecs c CROSS JOIN q
+      WHERE c.vec_id <> q.query_id
+    )
+    SELECT query_id, neighbor_id, CAST(rnk AS INTEGER) AS rnk,
+           round(cosine, 6) AS cosine
+    FROM (SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
+          FROM scored)
+    WHERE rnk <= {TOP_K}
+    """,
+    bench=True,
+    tags=("similarity",),
+)
+def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < N_QUERIES)
+    return S.bruteforce_topk(emb, queries, "vec_id", "embedding", TOP_K)
+
+
+@register(
+    "ann_ivf_topk",
+    oracle=f"""
+    WITH vecs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    cents AS (SELECT vec_id AS centroid_id, v AS cv FROM vecs
+              WHERE vec_id < {IVF_CENTROIDS}),
+    assign0 AS (
+      SELECT vecs.vec_id, vecs.v, cents.centroid_id,
+             list_cosine_similarity(vecs.v, cents.cv) AS ccos
+      FROM vecs CROSS JOIN cents
+    ),
+    assigned AS (
+      SELECT vec_id, v, centroid_id
+      FROM (SELECT *, row_number() OVER (
+              PARTITION BY vec_id ORDER BY ccos DESC, centroid_id) AS arnk
+            FROM assign0)
+      WHERE arnk = 1
+    ),
+    q AS (SELECT vec_id AS query_id, v AS qv, centroid_id
+          FROM assigned WHERE vec_id >= {IVF_QUERY_LO} AND vec_id < {IVF_QUERY_HI}),
+    scored AS (
+      SELECT q.query_id, a.vec_id AS neighbor_id,
+             list_cosine_similarity(q.qv, a.v) AS cosine
+      FROM assigned a JOIN q ON a.centroid_id = q.centroid_id
+                            AND a.vec_id <> q.query_id
+    )
+    SELECT query_id, neighbor_id, CAST(rnk AS INTEGER) AS rnk,
+           round(cosine, 6) AS cosine
+    FROM (SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
+          FROM scored)
+    WHERE rnk <= {IVF_K}
+    """,
+    tags=("similarity",),
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.where(
+        (F.col("vec_id") >= IVF_QUERY_LO) & (F.col("vec_id") < IVF_QUERY_HI)
+    ).select("vec_id")
+    return S.ivf_topk(emb, "vec_id", "embedding", IVF_CENTROIDS, queries, IVF_K)

@@ -1,1 +1,153 @@
-"""Text-analysis graded queries (filled in by operators milestone)."""
+"""Text-analysis graded queries over the ``documents`` table."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from distributed_api_etl_spark.operators import text as TX
+from distributed_api_etl_spark.queries.registry import register, table
+
+
+def _in_list(words: list[str]) -> str:
+    return ", ".join(repr(w) for w in words)
+
+
+@register(
+    "text_token_stats",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+           CAST(len(list_distinct(string_split(text, ' '))) AS INTEGER) AS n_distinct_tokens,
+           CAST(length(text) AS INTEGER) AS n_chars,
+           CAST(len(regexp_extract_all(text, '{TX.BPE_TOKEN_RE}')) AS INTEGER) AS n_bpe_tokens
+    FROM documents
+    """,
+    tags=("text",),
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return TX.token_stats(docs, "doc_id", "text")
+
+
+def _lang_scores_sql() -> str:
+    return ",\n           ".join(
+        f"CAST(len(list_filter(string_split(text, ' '), "
+        f"x -> x IN ({_in_list(words)}))) AS INTEGER) AS score_{lang}"
+        for lang, words in TX.LANG_STOPWORDS.items()
+    )
+
+
+def _lang_pred_sql() -> str:
+    best = "greatest(" + ", ".join(f"score_{lg}" for lg in TX.LANG_PRIORITY) + ")"
+    whens = " ".join(
+        f"WHEN score_{lg} = {best} THEN '{lg}'" for lg in TX.LANG_PRIORITY
+    )
+    return f"CASE WHEN {best} = 0 THEN 'und' {whens} END"
+
+
+@register(
+    "text_lang_id",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, lang,
+           {_lang_scores_sql()}
+      FROM documents
+    )
+    SELECT doc_id, score_en, score_es, score_de, score_fr,
+           {_lang_pred_sql()} AS predicted_lang,
+           (lang = {_lang_pred_sql()}) AS matches_label
+    FROM scored
+    """,
+    tags=("text",),
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return TX.lang_id(docs, "doc_id", "text", label_col="lang")
+
+
+@register(
+    "text_quality_score",
+    oracle="""
+    WITH stats AS (
+      SELECT doc_id,
+             len(string_split(text, ' ')) AS n_tokens,
+             len(list_distinct(string_split(text, ' '))) AS n_distinct,
+             length(text) AS n_chars,
+             length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS n_alpha
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(n_tokens AS INTEGER) AS n_tokens,
+           round(n_distinct / n_tokens, 6) AS type_token_ratio,
+           round(n_alpha / n_chars, 6) AS alpha_ratio,
+           round(0.25 * least(n_tokens / 50.0, 1.0)
+               + 0.25 * (n_distinct / n_tokens)
+               + 0.25 * (n_alpha / n_chars)
+               + 0.25 * least(((n_chars - (n_tokens - 1)) / n_tokens) / 8.0, 1.0),
+             6) AS quality
+    FROM stats
+    """,
+    bench=True,
+    tags=("text",),
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return TX.quality_score(docs, "doc_id", "text")
+
+
+@register(
+    "text_fingerprint",
+    oracle="""
+    WITH fp AS (
+      SELECT doc_id,
+             md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fingerprint
+      FROM documents
+    )
+    SELECT doc_id, fingerprint,
+           count(*) OVER (PARTITION BY fingerprint) AS group_size
+    FROM fp
+    """,
+    tags=("text",),
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return TX.fingerprint(docs, "doc_id", "text")
+
+
+@register(
+    "multimodal_manifest",
+    oracle="""
+    SELECT doc_id,
+           'text/plain' AS media_type,
+           CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+           sha256(text) AS content_sha
+    FROM documents
+    """,
+    tags=("multimodal",),
+)
+def multimodal_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from distributed_api_etl_spark.operators.multimodal import attach_binary_content
+
+    docs = table(spark, sf_dir, "documents")
+    return attach_binary_content(docs, "doc_id", "text").select(
+        "doc_id",
+        F.col("media_meta.media_type").alias("media_type"),
+        F.col("media_meta.byte_len").alias("byte_len"),
+        F.col("media_meta.content_sha").alias("content_sha"),
+    )
+
+
+@register(
+    "multimodal_feature_extract",
+    oracle=None,  # Arrow/pandas decode stage: not SQL-expressible (rows-only check)
+    tags=("multimodal",),
+)
+def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from distributed_api_etl_spark.operators.multimodal import (
+        attach_binary_content,
+        extract_features,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    return extract_features(attach_binary_content(docs, "doc_id", "text"))

@@ -1,0 +1,115 @@
+"""Unit tests for the LLM-pipeline operator library (beyond the oracle gate)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from distributed_api_etl_spark.operators import dedup as D
+from distributed_api_etl_spark.operators import multimodal as MM
+from distributed_api_etl_spark.operators import similarity as S
+
+
+def docs_df(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_exact_dedup_groups_duplicates(spark):
+    df = docs_df(
+        spark,
+        [(1, "a b c"), (2, "a b c"), (3, "x y z"), (4, "a b c")],
+    )
+    out = {
+        r.keep_id: r.n_copies
+        for r in D.exact_fingerprint_groups(df, "doc_id", "text").collect()
+    }
+    assert out == {1: 3, 3: 1}
+
+
+def test_jaccard_pairs_finds_near_dup(spark):
+    base = "w0 w1 w2 w3 w4 w5 w6 w7 w8 w9"
+    df = docs_df(
+        spark,
+        [(1, base), (2, base + " extra"), (3, "q r s t u v w x y z")],
+    )
+    pairs = {(r.d1, r.d2) for r in D.jaccard_pairs(df, "doc_id", "text", 3, 80).collect()}
+    assert (1, 2) in pairs
+    assert all(3 not in p for p in pairs)
+
+
+def test_minhash_lsh_agrees_with_bruteforce_jaccard(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    brute = {
+        (r.d1, r.d2)
+        for r in D.jaccard_pairs(docs, "doc_id", "text", 3, 70).collect()
+    }
+    lsh = {
+        (r.d1, r.d2)
+        for r in D.minhash_lsh_pairs(docs, "doc_id", "text", 3, 70).collect()
+    }
+    # LSH candidates are a subset; at jaccard>=0.7 with 4 bands x 2 rows the
+    # planted near-dups (j~0.97) are all found
+    assert lsh <= brute
+    high = {
+        (r.d1, r.d2)
+        for r in D.jaccard_pairs(docs, "doc_id", "text", 3, 90).collect()
+    }
+    assert high <= lsh
+
+
+def test_simhash_blocked_vs_exhaustive_at_zero(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # at max_hamming=0 the two-half blocking is exactly complete
+    blocked = {
+        (r.d1, r.d2)
+        for r in D.simhash_pairs(docs, "doc_id", "text", max_hamming=0).collect()
+    }
+    exact = {
+        (r.d1, r.d2)
+        for r in D.simhash_pairs_exhaustive(docs, "doc_id", "text", max_hamming=0).collect()
+    }
+    assert blocked == exact
+
+
+def test_ivf_assignment_covers_all_vectors(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = emb.orderBy("vec_id").limit(8)
+    assigned = S.ivf_assign(emb, cents, "vec_id", "embedding")
+    assert assigned.count() == emb.count()
+    assert assigned.select("centroid_id").distinct().count() <= 8
+
+
+def test_bruteforce_topk_excludes_self_and_ranks(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.where(F.col("vec_id") < 3)
+    out = S.bruteforce_topk(emb, q, "vec_id", "embedding", 4).collect()
+    assert len(out) == 12
+    by_q = {}
+    for r in out:
+        assert r.neighbor_id != r.query_id
+        by_q.setdefault(r.query_id, []).append((r.rnk, r.cosine))
+    for ranks in by_q.values():
+        ranks.sort()
+        cosines = [c for _, c in ranks]
+        assert cosines == sorted(cosines, reverse=True)
+
+
+def test_multimodal_plumbing_deterministic(spark):
+    df = docs_df(spark, [(1, "hello world"), (2, "abc")])
+    binary = MM.attach_binary_content(df, "doc_id", "text")
+    feats1 = {r.doc_id: r for r in MM.extract_features(binary).collect()}
+    feats2 = {r.doc_id: r for r in MM.extract_features(binary).collect()}
+    assert feats1.keys() == feats2.keys() == {1, 2}
+    r = feats1[1]
+    assert r.byte_len == len(b"hello world")
+    assert r.width == (11 % 64) + 1 and r.height == 1
+    assert len(r.features) == 8
+    assert abs(sum(r.features) - 1.0) < 1e-9
+    assert feats1[2].features == feats2[2].features
+
+
+def test_multimodal_real_decoder_raises(spark):
+    df = MM.attach_binary_content(docs_df(spark, [(1, "x")]), "doc_id", "text")
+    import pytest
+
+    with pytest.raises(NotImplementedError, match="mapInPandas contract"):
+        MM.extract_features(df, decoder="pil")
