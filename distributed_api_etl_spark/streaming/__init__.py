@@ -1,0 +1,7 @@
+from distributed_api_etl_spark.streaming.pipeline import (  # noqa: F401
+    run_streaming_pipeline,
+)
+from distributed_api_etl_spark.streaming.windows import (  # noqa: F401
+    sessionized_stream,
+    tumbling_window_stream,
+)
