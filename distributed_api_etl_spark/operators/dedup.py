@@ -61,6 +61,28 @@ def shingle_sizes(sh: DataFrame, id_col: str) -> DataFrame:
     return sh.groupBy(id_col).agg(F.count("*").alias("sz"))
 
 
+def doc_shingle_sets(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """Per-doc distinct shingle array + its 32-bit hashes + set size, in ONE
+    aggregation pass.
+
+    This is the set representation every downstream stage shares: signatures
+    read ``xhs``, verification reads ``shs``/``sz``. Computing it once (and
+    persisting at the call site) replaces three independent recomputations
+    of the explode+distinct lineage.
+    """
+    sh = shingles(df, id_col, text_col, n)
+    return (
+        sh.groupBy(id_col)
+        .agg(F.collect_set("s").alias("shs"))
+        .select(
+            F.col(id_col),
+            "shs",
+            F.transform("shs", lambda s: portable_hash32(s)).alias("xhs"),
+            F.size("shs").alias("sz"),
+        )
+    )
+
+
 def jaccard_pairs(
     df: DataFrame,
     id_col: str,
@@ -73,11 +95,16 @@ def jaccard_pairs(
 
     The threshold test is integer arithmetic (``100*inter >= pct*union``) so
     boundary pairs are decided identically on every engine.
+
+    The shingle table feeds three plan branches (both join sides + sizes);
+    it is persisted so the explode+distinct shuffle happens once.
+    Output columns: d1, d2, inter, union_sz, jaccard.
     """
     sh = shingles(df, id_col, text_col, n)
     if max_shingle_freq is not None:
         freq = sh.groupBy("s").agg(F.count("*").alias("f"))
         sh = sh.join(freq.where(F.col("f") <= max_shingle_freq).select("s"), "s")
+    sh = sh.persist()
     sizes = shingle_sizes(sh, id_col)
     a = sh.select(F.col(id_col).alias("d1"), "s")
     b = sh.select(F.col(id_col).alias("d2"), "s")
@@ -95,6 +122,8 @@ def jaccard_pairs(
         .select(
             "d1",
             "d2",
+            "inter",
+            "union_sz",
             F.round(F.col("inter") / F.col("union_sz"), 6).alias("jaccard"),
         )
     )
@@ -136,6 +165,22 @@ def lsh_candidate_pairs(sigs: DataFrame, id_col: str) -> DataFrame:
     )
 
 
+def minhash_signatures_from_sets(base: DataFrame, id_col: str) -> DataFrame:
+    """k min-hash values straight off the pre-hashed shingle array (``xhs``
+    from :func:`doc_shingle_sets`): ``array_min(transform(...))`` per hash —
+    no extra shuffle at all (the one aggregation already happened)."""
+    sig_cols = [
+        F.array_min(
+            F.transform(
+                "xhs",
+                lambda x: (F.lit(MINHASH_A[i]) * x + F.lit(MINHASH_B[i])) % MINHASH_P,
+            )
+        ).alias(f"h{i}")
+        for i in range(N_HASHES)
+    ]
+    return base.select(F.col(id_col), *sig_cols)
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -143,28 +188,42 @@ def minhash_lsh_pairs(
     n: int = 3,
     threshold_pct: int = 70,
 ) -> DataFrame:
-    """MinHash+LSH near-dup: shingle -> signature -> band buckets ->
-    candidates -> verify true Jaccard >= threshold. Only candidate pairs pay
-    the set-intersection cost."""
-    sh = shingles(df, id_col, text_col, n)
-    sizes = shingle_sizes(sh, id_col)
-    cands = lsh_candidate_pairs(minhash_signatures(sh, id_col), id_col)
-    a = sh.select(F.col(id_col).alias("d1"), "s")
-    b = sh.select(F.col(id_col).alias("d2"), "s")
-    inter = (
-        a.join(cands.hint("broadcast"), "d1")
-        .join(b, ["s", "d2"])
-        .groupBy("d1", "d2")
-        .agg(F.count("*").alias("inter"))
-    )
+    """MinHash+LSH near-dup: shingle-set -> signature -> band buckets ->
+    candidates -> verify true Jaccard >= threshold.
+
+    Plan shape (the 100 TB rationale):
+      * ONE shuffle builds the per-doc shingle sets (persisted — signatures,
+        and both sides of the candidate verification reuse it instead of
+        recomputing the explode+distinct lineage three times);
+      * candidates come from cheap band-bucket equi-joins on the fixed-size
+        signatures, never from a shingle-level self-join;
+      * verification is ``array_intersect`` on the two docs' shingle arrays
+        — cost proportional to candidate count x doc length, not corpus².
+    Output columns: d1, d2, inter, union_sz, jaccard.
+    """
+    base = doc_shingle_sets(df, id_col, text_col, n).persist()
+    cands = lsh_candidate_pairs(minhash_signatures_from_sets(base, id_col), id_col)
     return (
-        inter.join(sizes.select(F.col(id_col).alias("d1"), F.col("sz").alias("sz1")), "d1")
-        .join(sizes.select(F.col(id_col).alias("d2"), F.col("sz").alias("sz2")), "d2")
+        cands.join(
+            base.select(
+                F.col(id_col).alias("d1"), F.col("shs").alias("shs1"), F.col("sz").alias("sz1")
+            ),
+            "d1",
+        )
+        .join(
+            base.select(
+                F.col(id_col).alias("d2"), F.col("shs").alias("shs2"), F.col("sz").alias("sz2")
+            ),
+            "d2",
+        )
+        .withColumn("inter", F.size(F.array_intersect("shs1", "shs2")))
         .withColumn("union_sz", F.col("sz1") + F.col("sz2") - F.col("inter"))
         .where(100 * F.col("inter") >= threshold_pct * F.col("union_sz"))
         .select(
             "d1",
             "d2",
+            "inter",
+            "union_sz",
             F.round(F.col("inter") / F.col("union_sz"), 6).alias("jaccard"),
         )
     )

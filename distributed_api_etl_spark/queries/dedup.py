@@ -12,7 +12,7 @@ from pyspark.sql import functions as F
 
 from distributed_api_etl_spark.functions.portable import portable_hash32_sql
 from distributed_api_etl_spark.operators import dedup as D
-from distributed_api_etl_spark.queries.registry import register, table
+from distributed_api_etl_spark.queries.registry import fan_out, register, table
 
 # --- shared oracle CTE fragments -------------------------------------------
 SHINGLE_CTES = """
@@ -54,7 +54,7 @@ def _spark_ppm(df: DataFrame) -> DataFrame:
     tags=("dedup",),
 )
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = table(spark, sf_dir, "documents")
+    docs = fan_out(table(spark, sf_dir, "documents"))
     return D.exact_fingerprint_groups(docs, "doc_id", "text")
 
 
@@ -74,27 +74,9 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("dedup",),
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = table(spark, sf_dir, "documents")
-    sh = D.shingles(docs, "doc_id", "text", 3)
-    sizes = D.shingle_sizes(sh, "doc_id")
-    a = sh.select(F.col("doc_id").alias("d1"), "s")
-    b = sh.select(F.col("doc_id").alias("d2"), "s")
-    inter = (
-        a.join(b, "s")
-        .where(F.col("d1") < F.col("d2"))
-        .groupBy("d1", "d2")
-        .agg(F.count("*").alias("inter"))
-    )
-    return (
-        inter.join(sizes.select(F.col("doc_id").alias("d1"), F.col("sz").alias("sz1")), "d1")
-        .join(sizes.select(F.col("doc_id").alias("d2"), F.col("sz").alias("sz2")), "d2")
-        .withColumn("union_sz", F.col("sz1") + F.col("sz2") - F.col("inter"))
-        .where(100 * F.col("inter") >= 80 * F.col("union_sz"))
-        .select(
-            "d1",
-            "d2",
-            F.expr("div(1000000 * inter, union_sz)").alias("jaccard_ppm"),
-        )
+    docs = fan_out(table(spark, sf_dir, "documents"))
+    return D.jaccard_pairs(docs, "doc_id", "text", 3, 80).select(
+        "d1", "d2", F.expr("div(1000000 * inter, union_sz)").alias("jaccard_ppm")
     )
 
 
@@ -141,28 +123,9 @@ def _lsh_cand_sql() -> str:
     tags=("dedup",),
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = table(spark, sf_dir, "documents")
-    sh = D.shingles(docs, "doc_id", "text", 3)
-    sizes = D.shingle_sizes(sh, "doc_id")
-    cands = D.lsh_candidate_pairs(D.minhash_signatures(sh, "doc_id"), "doc_id")
-    a = sh.select(F.col("doc_id").alias("d1"), "s")
-    b = sh.select(F.col("doc_id").alias("d2"), "s")
-    inter = (
-        a.join(cands.hint("broadcast"), "d1")
-        .join(b, ["s", "d2"])
-        .groupBy("d1", "d2")
-        .agg(F.count("*").alias("inter"))
-    )
-    return (
-        inter.join(sizes.select(F.col("doc_id").alias("d1"), F.col("sz").alias("sz1")), "d1")
-        .join(sizes.select(F.col("doc_id").alias("d2"), F.col("sz").alias("sz2")), "d2")
-        .withColumn("union_sz", F.col("sz1") + F.col("sz2") - F.col("inter"))
-        .where(100 * F.col("inter") >= 70 * F.col("union_sz"))
-        .select(
-            "d1",
-            "d2",
-            F.expr("div(1000000 * inter, union_sz)").alias("jaccard_ppm"),
-        )
+    docs = fan_out(table(spark, sf_dir, "documents"))
+    return D.minhash_lsh_pairs(docs, "doc_id", "text", 3, 70).select(
+        "d1", "d2", F.expr("div(1000000 * inter, union_sz)").alias("jaccard_ppm")
     )
 
 
@@ -197,7 +160,7 @@ simsigs AS (SELECT doc_id, {terms} AS simhash FROM sums)
     tags=("dedup",),
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = table(spark, sf_dir, "documents")
+    docs = fan_out(table(spark, sf_dir, "documents"))
     return D.simhash_pairs_exhaustive(docs, "doc_id", "text", max_hamming=2).select(
         "d1", "d2", F.col("hamming").cast("int").alias("hamming")
     )
@@ -219,5 +182,5 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     from distributed_api_etl_spark.operators.similarity import cosine_pairs
 
-    emb = table(spark, sf_dir, "embeddings")
+    emb = fan_out(table(spark, sf_dir, "embeddings"))
     return cosine_pairs(emb, "vec_id", "embedding", threshold=0.3)

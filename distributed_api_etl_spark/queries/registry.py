@@ -77,6 +77,22 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Give CPU-bound per-row work cluster-wide parallelism.
+
+    A small parquet file scans as ONE partition, so everything downstream
+    (shingling, hashing, vector math) runs on one core regardless of cluster
+    size. Repartition up to ``defaultParallelism`` — but only when the scan
+    is under-parallel: at 100 TB the scan already has thousands of splits
+    and this is a no-op (no extra shuffle), which is why the guard matters.
+    """
+    spark = df.sparkSession
+    target = min_partitions or spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def load_all() -> dict[str, QuerySpec]:
     """Import all query modules (they self-register) and return the registry."""
     from distributed_api_etl_spark.queries import (  # noqa: F401

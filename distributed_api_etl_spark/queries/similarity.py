@@ -6,7 +6,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from distributed_api_etl_spark.operators import similarity as S
-from distributed_api_etl_spark.queries.registry import register, table
+from distributed_api_etl_spark.queries.registry import fan_out, register, table
 
 N_QUERIES = 10
 TOP_K = 5
@@ -37,7 +37,7 @@ IVF_K = 3
     tags=("similarity",),
 )
 def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = table(spark, sf_dir, "embeddings")
+    emb = fan_out(table(spark, sf_dir, "embeddings"))
     queries = emb.where(F.col("vec_id") < N_QUERIES)
     return S.bruteforce_topk(emb, queries, "vec_id", "embedding", TOP_K)
 
@@ -78,7 +78,7 @@ def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("similarity",),
 )
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = table(spark, sf_dir, "embeddings")
+    emb = fan_out(table(spark, sf_dir, "embeddings"))
     queries = emb.where(
         (F.col("vec_id") >= IVF_QUERY_LO) & (F.col("vec_id") < IVF_QUERY_HI)
     ).select("vec_id")

@@ -6,7 +6,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from distributed_api_etl_spark.operators import text as TX
-from distributed_api_etl_spark.queries.registry import register, table
+from distributed_api_etl_spark.queries.registry import fan_out, register, table
 
 
 def _in_list(words: list[str]) -> str:
@@ -26,7 +26,7 @@ def _in_list(words: list[str]) -> str:
     tags=("text",),
 )
 def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = table(spark, sf_dir, "documents")
+    docs = fan_out(table(spark, sf_dir, "documents"))
     return TX.token_stats(docs, "doc_id", "text")
 
 
@@ -62,7 +62,7 @@ def _lang_pred_sql() -> str:
     tags=("text",),
 )
 def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = table(spark, sf_dir, "documents")
+    docs = fan_out(table(spark, sf_dir, "documents"))
     return TX.lang_id(docs, "doc_id", "text", label_col="lang")
 
 
@@ -92,7 +92,7 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("text",),
 )
 def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = table(spark, sf_dir, "documents")
+    docs = fan_out(table(spark, sf_dir, "documents"))
     return TX.quality_score(docs, "doc_id", "text")
 
 
@@ -111,7 +111,7 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("text",),
 )
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = table(spark, sf_dir, "documents")
+    docs = fan_out(table(spark, sf_dir, "documents"))
     return TX.fingerprint(docs, "doc_id", "text")
 
 
@@ -129,7 +129,7 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 def multimodal_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     from distributed_api_etl_spark.operators.multimodal import attach_binary_content
 
-    docs = table(spark, sf_dir, "documents")
+    docs = fan_out(table(spark, sf_dir, "documents"))
     return attach_binary_content(docs, "doc_id", "text").select(
         "doc_id",
         F.col("media_meta.media_type").alias("media_type"),
@@ -149,5 +149,5 @@ def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         extract_features,
     )
 
-    docs = table(spark, sf_dir, "documents")
+    docs = fan_out(table(spark, sf_dir, "documents"))
     return extract_features(attach_binary_content(docs, "doc_id", "text"))

@@ -39,6 +39,7 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
@@ -59,7 +60,14 @@ def apply_runtime_conf(spark: SparkSession) -> SparkSession:
     for k, v in {
         "spark.sql.adaptive.enabled": "true",
         "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        # Let AQE convert shuffle joins to broadcast from RUNTIME stats up to
+        # 64MB: small-SF intermediates (e.g. the shingle table) broadcast;
+        # at 100 TB the same plan keeps sort-merge — stats decide, not code.
+        "spark.sql.autoBroadcastJoinThreshold": "64MB",
         "spark.sql.session.timeZone": "UTC",
+        # Externally-created sessions often keep the 200 default; size the
+        # shuffle to the actual cluster (AQE coalesces down, never up).
+        "spark.sql.shuffle.partitions": str(spark.sparkContext.defaultParallelism),
     }.items():
         try:
             spark.conf.set(k, v)
