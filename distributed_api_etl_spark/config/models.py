@@ -157,13 +157,48 @@ class TablesConfig(BaseModel):
 
 
 class EndpointConfig(BaseModel):
+    """Request shape. ``request_template`` and ``response_schema`` are
+    declared-but-dead in the reference (endpoint.py:15-16); here both are
+    consumed for real: the template renders per-row JSON bodies, the
+    response schema drives the silver-layer ``from_json`` extraction."""
+
     method: Literal["GET", "POST", "PUT", "PATCH", "DELETE"] = "GET"
     url: str
     headers: dict[str, str] = Field(default_factory=dict)
     param_mapping: list[ColumnMapping] = Field(default_factory=list)
     json_body_mapping: list[ColumnMapping] = Field(default_factory=list)
+    #: JSON body template; string leaves may hold ``{column}`` placeholders
+    #: substituted from the source row (json_body_mapping overrides on key
+    #: collision — it runs after the template renders).
+    request_template: dict[str, Any] | None = None
+    #: Declared schema of the (JSON) response body — enables typed
+    #: silver extraction from bronze ``body_text``.
+    response_schema: TableSchema | None = None
     timeout: float | None = None
     metadata: dict[str, str] = Field(default_factory=dict)
+
+    def template_columns(self) -> set[str]:
+        """Source columns referenced by ``{...}`` placeholders in the
+        template (needed for scan-level column pruning)."""
+        import string as _string
+
+        cols: set[str] = set()
+
+        def walk(node: Any) -> None:
+            if isinstance(node, str):
+                for _, field_name, _, _ in _string.Formatter().parse(node):
+                    if field_name:
+                        cols.add(field_name)
+            elif isinstance(node, dict):
+                for v in node.values():
+                    walk(v)
+            elif isinstance(node, list):
+                for v in node:
+                    walk(v)
+
+        if self.request_template:
+            walk(self.request_template)
+        return cols
 
 
 class RetryConfig(BaseModel):

@@ -1,0 +1,180 @@
+"""DDL + schema governance for sink tables.
+
+Reference parity (rebuilt, not ported):
+  * CREATE DATABASE / CREATE TABLE DDL rendered from a StructType with
+    column comments, NOT NULL, PARTITIONED BY, LOCATION and TBLPROPERTIES —
+    src/core/table_manager.py:49-114 in the reference.
+  * Schema drift validation (missing/extra columns, type mismatch,
+    nullability tightening) — reference table_manager.py:141-195.
+  * Comment enrichment: config column descriptions copied into StructField
+    metadata so they surface in ``DESCRIBE`` — reference
+    table_manager.py:116-139.
+
+Format: ``USING PARQUET`` by default; ``USING DELTA`` is emitted when the
+config asks for it (requires delta-spark on the cluster — import-gated, not
+assumed).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import SparkSession
+from pyspark.sql import types as T
+
+
+def enrich_schema_with_comments(
+    schema: T.StructType, descriptions: dict[str, str]
+) -> T.StructType:
+    """Copy column descriptions into StructField metadata (-> DDL COMMENT)."""
+    fields = []
+    for f in schema.fields:
+        meta = dict(f.metadata or {})
+        if f.name in descriptions:
+            meta["comment"] = descriptions[f.name]
+        fields.append(T.StructField(f.name, f.dataType, f.nullable, meta))
+    return T.StructType(fields)
+
+
+def _sql_literal(value: str) -> str:
+    return "'" + value.replace("'", "''") + "'"
+
+
+def render_create_table(
+    table_name: str,
+    schema: T.StructType,
+    *,
+    fmt: str = "parquet",
+    partition_by: list[str] | None = None,
+    location: str | None = None,
+    properties: dict[str, str] | None = None,
+    or_replace: bool = False,
+    if_not_exists: bool = True,
+) -> str:
+    """Render CREATE TABLE DDL from a StructType (comments + NOT NULL)."""
+    cols = []
+    for f in schema.fields:
+        line = f"  `{f.name}` {f.dataType.simpleString()}"
+        if not f.nullable:
+            line += " NOT NULL"
+        comment = (f.metadata or {}).get("comment")
+        if comment:
+            line += f" COMMENT {_sql_literal(comment)}"
+        cols.append(line)
+    head = "CREATE OR REPLACE TABLE" if or_replace else (
+        "CREATE TABLE IF NOT EXISTS" if if_not_exists else "CREATE TABLE"
+    )
+    ddl = f"{head} {table_name} (\n" + ",\n".join(cols) + f"\n) USING {fmt.upper()}"
+    if partition_by:
+        ddl += "\nPARTITIONED BY (" + ", ".join(f"`{c}`" for c in partition_by) + ")"
+    if location:
+        ddl += f"\nLOCATION {_sql_literal(location)}"
+    if properties:
+        props = ", ".join(
+            f"{_sql_literal(k)} = {_sql_literal(v)}" for k, v in sorted(properties.items())
+        )
+        ddl += f"\nTBLPROPERTIES ({props})"
+    return ddl
+
+
+@dataclass
+class SchemaDriftIssue:
+    issue_type: str  # missing_column | extra_column | type_mismatch | nullability_tightened
+    column: str
+    detail: str
+
+
+@dataclass
+class SchemaDriftReport:
+    issues: list[SchemaDriftIssue] = field(default_factory=list)
+
+    @property
+    def ok(self) -> bool:
+        return not self.issues
+
+
+def validate_schema(actual: T.StructType, expected: T.StructType) -> SchemaDriftReport:
+    """Drift between a live table's schema and the declared contract.
+
+    * missing_column — declared but absent in the table;
+    * extra_column — present in the table but undeclared (warning-grade);
+    * type_mismatch — same name, different Spark type;
+    * nullability_tightened — declared NOT NULL but the table allows nulls
+      (the direction that breaks writers; the opposite is safe).
+    """
+    report = SchemaDriftReport()
+    actual_by_name = {f.name: f for f in actual.fields}
+    expected_by_name = {f.name: f for f in expected.fields}
+    for name, exp in expected_by_name.items():
+        act = actual_by_name.get(name)
+        if act is None:
+            report.issues.append(
+                SchemaDriftIssue("missing_column", name, exp.dataType.simpleString())
+            )
+            continue
+        if act.dataType != exp.dataType:
+            report.issues.append(
+                SchemaDriftIssue(
+                    "type_mismatch",
+                    name,
+                    f"expected {exp.dataType.simpleString()}, "
+                    f"found {act.dataType.simpleString()}",
+                )
+            )
+        if not exp.nullable and act.nullable:
+            report.issues.append(
+                SchemaDriftIssue(
+                    "nullability_tightened", name, "declared NOT NULL, table allows NULL"
+                )
+            )
+    for name in actual_by_name:
+        if name not in expected_by_name:
+            report.issues.append(
+                SchemaDriftIssue(
+                    "extra_column", name, actual_by_name[name].dataType.simpleString()
+                )
+            )
+    return report
+
+
+class TableManager:
+    """Create sink databases/tables and police their schemas."""
+
+    def __init__(self, spark: SparkSession) -> None:
+        self.spark = spark
+
+    def ensure_database(self, name: str) -> None:
+        self.spark.sql(f"CREATE DATABASE IF NOT EXISTS `{name}`")
+
+    def create_table(
+        self,
+        table_name: str,
+        schema: T.StructType,
+        *,
+        fmt: str = "parquet",
+        partition_by: list[str] | None = None,
+        location: str | None = None,
+        properties: dict[str, str] | None = None,
+        descriptions: dict[str, str] | None = None,
+        or_replace: bool = False,
+    ) -> str:
+        """CREATE (OR REPLACE) the table; returns the DDL executed."""
+        if "." in table_name:
+            self.ensure_database(table_name.rsplit(".", 1)[0].strip("`"))
+        if descriptions:
+            schema = enrich_schema_with_comments(schema, descriptions)
+        ddl = render_create_table(
+            table_name,
+            schema,
+            fmt=fmt,
+            partition_by=partition_by,
+            location=location,
+            properties=properties,
+            or_replace=or_replace,
+        )
+        self.spark.sql(ddl)
+        return ddl
+
+    def validate_table(self, table_name: str, expected: T.StructType) -> SchemaDriftReport:
+        actual = self.spark.table(table_name).schema
+        return validate_schema(actual, expected)

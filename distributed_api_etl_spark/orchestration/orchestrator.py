@@ -62,9 +62,11 @@ class PipelineOrchestrator:
         # column pruning: request_id + every column a mapping binds. At scale
         # this reaches the parquet scan as ReadSchema pruning.
         ep = self.config.endpoint
-        needed = {"request_id"} | {
-            m.source_column for m in ep.param_mapping + ep.json_body_mapping
-        }
+        needed = (
+            {"request_id"}
+            | {m.source_column for m in ep.param_mapping + ep.json_body_mapping}
+            | ep.template_columns()
+        )
         needed.discard(id_col)
         needed = [c for c in df.columns if c in needed | {"request_id"}]
         df = df.select(*needed).withColumn(

@@ -40,6 +40,7 @@ from distributed_api_etl_spark.request_execution.middleware.injectors import (
     JsonBodyInjectorMiddleware,
     LoggingMiddleware,
     ParamInjectorMiddleware,
+    RequestTemplateMiddleware,
     TimingMiddleware,
     WorkerIdentityMiddleware,
 )
@@ -85,6 +86,8 @@ def build_middlewares(compiled: dict) -> list:
     ]
     if param_mapping:
         chain.append(ParamInjectorMiddleware(param_mapping))
+    if endpoint.get("request_template"):
+        chain.append(RequestTemplateMiddleware(endpoint["request_template"]))
     body_mapping = [
         (m["endpoint_param"], m["source_column"], m.get("transform"))
         for m in endpoint.get("json_body_mapping", [])

@@ -86,3 +86,77 @@ def api_pipeline_bronze(spark: SparkSession, sf_dir: str) -> DataFrame:
         "body_text",
         "row_hash",
     )
+
+
+@register(
+    "api_pipeline_silver",
+    oracle="""
+    SELECT CAST(c_custkey AS VARCHAR) AS request_id,
+           CAST(c_custkey AS VARCHAR) AS customer_id,
+           lower(c_mktsegment) AS segment,
+           TRUE AS _parse_ok
+    FROM customer
+    """,
+    tags=("pipeline", "etl", "silver"),
+)
+def api_pipeline_silver(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """bronze -> silver: ``endpoint.response_schema`` consumed for real.
+
+    The declared response schema drives ``from_json`` over ``body_text``
+    (core/silver.py); the mock transport's canonical JSON echo makes the
+    typed output SQL-reproducible.
+    """
+    from distributed_api_etl_spark.core.silver import silver_extract
+    from distributed_api_etl_spark.orchestration import run_pipeline
+
+    cfg = _pipeline_config()
+    cfg["endpoint"]["response_schema"] = {
+        "columns": [
+            {"name": "customer_id", "type": "string"},
+            {"name": "segment", "type": "string"},
+        ]
+    }
+    source = table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").cast("string").alias("tracking_id"), "c_mktsegment"
+    )
+    result = run_pipeline(
+        spark, cfg, source_df=source, source_id="tracking_id",
+        dry_run=True, fixed_time=FIXED_TIME,
+    )
+    return silver_extract(result.bronze_df, cfg["endpoint"]["response_schema"])
+
+
+@register(
+    "schema_drift_report",
+    oracle="""
+    SELECT * FROM (VALUES
+      ('missing_column', 'c_phone', 'string'),
+      ('type_mismatch', 'c_acctbal', 'expected decimal(12,2), found double'),
+      ('nullability_tightened', 'c_custkey', 'declared NOT NULL, table allows NULL'),
+      ('extra_column', 'c_mktsegment', 'string'),
+      ('extra_column', 'c_nationkey', 'int')
+    ) AS t(issue_type, column_name, detail)
+    """,
+    tags=("ddl", "governance"),
+)
+def schema_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema drift validation (reference table_manager.py:141-195) as a
+    graded query: declared contract vs the live customer parquet schema."""
+    from pyspark.sql import types as T
+
+    from distributed_api_etl_spark.core.table_manager import validate_schema
+
+    actual = table(spark, sf_dir, "customer").schema
+    expected = T.StructType(
+        [
+            T.StructField("c_custkey", T.LongType(), False),
+            T.StructField("c_name", T.StringType(), True),
+            T.StructField("c_acctbal", T.DecimalType(12, 2), True),
+            T.StructField("c_phone", T.StringType(), True),
+        ]
+    )
+    report = validate_schema(actual, expected)
+    rows = [(i.issue_type, i.column, i.detail) for i in report.issues]
+    return spark.createDataFrame(
+        rows, "issue_type string, column_name string, detail string"
+    )

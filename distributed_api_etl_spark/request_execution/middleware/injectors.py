@@ -49,6 +49,46 @@ class ParamInjectorMiddleware:
         return await next_call(exchange)
 
 
+class _RowMap(dict):
+    """format_map source: missing columns render as empty string (a row
+    simply lacking an optional field must not fail the whole request)."""
+
+    def __missing__(self, key: str) -> str:
+        return ""
+
+
+class RequestTemplateMiddleware:
+    """Render ``endpoint.request_template`` into the JSON body per row.
+
+    String leaves are ``str.format_map``-substituted with the source row
+    (``{column}`` placeholders); non-string leaves pass through untouched.
+    Runs before JsonBodyInjector, so explicit mappings override template
+    keys on collision.
+    """
+
+    def __init__(self, template: dict[str, Any]) -> None:
+        self.template = template
+
+    def _render(self, node: Any, row: _RowMap) -> Any:
+        if isinstance(node, str):
+            return node.format_map(row)
+        if isinstance(node, dict):
+            return {k: self._render(v, row) for k, v in node.items()}
+        if isinstance(node, list):
+            return [self._render(v, row) for v in node]
+        return node
+
+    async def __call__(self, exchange: RequestExchange, next_call: NextCall) -> RequestExchange:
+        row = _RowMap(
+            {k: ("" if v is None else v) for k, v in (exchange.context.row or {}).items()}
+        )
+        body = self._render(self.template, row)
+        existing = exchange.context.json_body or {}
+        body.update(existing)  # explicit body keys win over template keys
+        exchange.context.json_body = body
+        return await next_call(exchange)
+
+
 class JsonBodyInjectorMiddleware:
     """Bind mapped source-row columns into the JSON request body (POST/PUT)."""
 

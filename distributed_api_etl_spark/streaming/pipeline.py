@@ -53,7 +53,9 @@ def run_streaming_pipeline(
         raise ValueError("streaming pipeline requires a configured sink")
     handler = BronzeBatchHandler(spark, compiled, sink)
     ep = config.endpoint
-    needed = {m.source_column for m in ep.param_mapping + ep.json_body_mapping}
+    needed = {
+        m.source_column for m in ep.param_mapping + ep.json_body_mapping
+    } | ep.template_columns()
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         df = batch_df

@@ -167,3 +167,58 @@ def test_transport_error_is_data():
     assert out.success is False
     assert out.status_code is None
     assert "ConnectTimeout" in out.error_message
+
+
+def test_request_template_renders_row_placeholders():
+    from distributed_api_etl_spark.request_execution.middleware.injectors import (
+        RequestTemplateMiddleware,
+    )
+
+    mw = RequestTemplateMiddleware(
+        {
+            "patient": {"id": "{patient_id}", "kind": "static"},
+            "flags": ["{flag_a}", 7, True],
+            "note": "id={patient_id} missing=<{nope}>",
+        }
+    )
+
+    async def next_call(ex):
+        return ex
+
+    ex = make_exchange(row={"patient_id": "P-9", "flag_a": "on"})
+    out = run(mw(ex, next_call))
+    assert out.context.json_body == {
+        "patient": {"id": "P-9", "kind": "static"},
+        "flags": ["on", 7, True],
+        "note": "id=P-9 missing=<>",
+    }
+
+
+def test_request_template_mapping_overrides_template():
+    from distributed_api_etl_spark.request_execution.middleware.injectors import (
+        JsonBodyInjectorMiddleware,
+        RequestTemplateMiddleware,
+    )
+
+    tmpl = RequestTemplateMiddleware({"k": "{a}", "keep": "tmpl"})
+    inj = JsonBodyInjectorMiddleware([("k", "b", None)])
+
+    async def terminal(ex):
+        return ex
+
+    async def inner(ex):
+        return await inj(ex, terminal)
+
+    ex = make_exchange(row={"a": "from_tmpl", "b": "from_mapping"})
+    out = run(tmpl(ex, inner))
+    assert out.context.json_body == {"k": "from_mapping", "keep": "tmpl"}
+
+
+def test_template_columns_pruning_set():
+    from distributed_api_etl_spark.config.models import EndpointConfig
+
+    ep = EndpointConfig(
+        url="http://x",
+        request_template={"a": "{col1}", "b": {"c": ["{col2}", "{col1}"]}, "d": 5},
+    )
+    assert ep.template_columns() == {"col1", "col2"}

@@ -1,0 +1,131 @@
+"""DDL rendering, table creation, schema drift, comment enrichment, and
+silver extraction (the reference's table_manager + the response_schema
+surface, rebuilt)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from distributed_api_etl_spark.core.table_manager import (
+    TableManager,
+    enrich_schema_with_comments,
+    render_create_table,
+    validate_schema,
+)
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.StringType(), False, {"comment": "primary key"}),
+        T.StructField("n", T.IntegerType(), True),
+        T.StructField("tags", T.ArrayType(T.StringType()), True),
+    ]
+)
+
+
+def test_render_create_table_full():
+    ddl = render_create_table(
+        "db.t",
+        SCHEMA,
+        fmt="parquet",
+        partition_by=["n"],
+        properties={"owner": "etl", "note": "it's quoted"},
+    )
+    assert "CREATE TABLE IF NOT EXISTS db.t" in ddl
+    assert "`id` string NOT NULL COMMENT 'primary key'" in ddl
+    assert "`tags` array<string>" in ddl
+    assert "PARTITIONED BY (`n`)" in ddl
+    assert "'note' = 'it''s quoted'" in ddl
+
+
+def test_create_and_validate_roundtrip(spark, tmp_path):
+    tm = TableManager(spark)
+    name = "default.tm_roundtrip"
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    ddl = tm.create_table(
+        name,
+        T.StructType(
+            [
+                T.StructField("id", T.StringType(), True),
+                T.StructField("n", T.IntegerType(), True),
+            ]
+        ),
+        location=str(tmp_path / "tm_roundtrip"),
+        descriptions={"id": "the id"},
+    )
+    assert "COMMENT 'the id'" in ddl
+    report = tm.validate_table(
+        name,
+        T.StructType(
+            [
+                T.StructField("id", T.StringType(), True),
+                T.StructField("n", T.IntegerType(), True),
+            ]
+        ),
+    )
+    assert report.ok
+    comment_row = [
+        r for r in spark.sql(f"DESCRIBE {name}").collect() if r.col_name == "id"
+    ][0]
+    assert comment_row.comment == "the id"
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+def test_validate_schema_drift_kinds():
+    actual = T.StructType(
+        [
+            T.StructField("a", T.StringType(), True),
+            T.StructField("b", T.DoubleType(), True),
+            T.StructField("extra", T.StringType(), True),
+        ]
+    )
+    expected = T.StructType(
+        [
+            T.StructField("a", T.StringType(), False),  # nullability tightened
+            T.StructField("b", T.DecimalType(10, 2), True),  # type mismatch
+            T.StructField("missing", T.StringType(), True),
+        ]
+    )
+    report = validate_schema(actual, expected)
+    kinds = {(i.issue_type, i.column) for i in report.issues}
+    assert kinds == {
+        ("nullability_tightened", "a"),
+        ("type_mismatch", "b"),
+        ("missing_column", "missing"),
+        ("extra_column", "extra"),
+    }
+
+
+def test_enrich_schema_preserves_existing_metadata():
+    enriched = enrich_schema_with_comments(SCHEMA, {"n": "a counter"})
+    by_name = {f.name: f for f in enriched.fields}
+    assert by_name["id"].metadata["comment"] == "primary key"
+    assert by_name["n"].metadata["comment"] == "a counter"
+
+
+def test_silver_extract_types_and_parse_flag(spark):
+    from distributed_api_etl_spark.core.silver import silver_extract
+
+    bronze = spark.createDataFrame(
+        [
+            ("r1", '{"uid": "u1", "score": 4.5}', True),
+            ("r2", "not json at all", True),
+            ("r3", '{"uid": "u3"}', False),  # excluded: success=false
+        ],
+        "request_id string, body_text string, success boolean",
+    )
+    out = silver_extract(
+        bronze,
+        {
+            "columns": [
+                {"name": "uid", "type": "string"},
+                {"name": "score", "type": "double"},
+            ]
+        },
+    )
+    rows = {r.request_id: r for r in out.collect()}
+    assert set(rows) == {"r1", "r2"}
+    assert rows["r1"].uid == "u1" and rows["r1"].score == 4.5 and rows["r1"]._parse_ok
+    assert rows["r2"].uid is None and not rows["r2"]._parse_ok
+    assert dict(out.dtypes)["score"] == "double"
