@@ -30,7 +30,7 @@ def cosine_pairs(
     """All pairs with cosine >= threshold (embedding near-dup)."""
     a = emb.select(F.col(id_col).alias("d1"), F.col(vec_col).alias("v1"))
     b = emb.select(F.col(id_col).alias("d2"), F.col(vec_col).alias("v2"))
-    cos = cosine_similarity(F.col("v1"), F.col("v2"))
+    cos = cosine_similarity("v1", "v2")
     return (
         a.crossJoin(b)
         .where(F.col("d1") < F.col("d2"))
@@ -58,7 +58,7 @@ def bruteforce_topk(
     c = emb.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nv"))
     scored = (
         c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cosine", cosine_similarity(F.col("qv"), F.col("nv")))
+        .withColumn("cosine", cosine_similarity("qv", "nv"))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine"), F.asc("neighbor_id")
@@ -79,7 +79,7 @@ def ivf_assign(
         F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("cv")
     )
     scored = emb.crossJoin(F.broadcast(c)).withColumn(
-        "ccos", cosine_similarity(F.col(vec_col), F.col("cv"))
+        "ccos", cosine_similarity(vec_col, "cv")
     )
     w = Window.partitionBy(id_col).orderBy(F.desc("ccos"), F.asc("centroid_id"))
     return (
@@ -119,7 +119,7 @@ def ivf_topk(
     scored = (
         cand.join(F.broadcast(q), "centroid_id")
         .where(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("cosine", cosine_similarity(F.col("qv"), F.col("nv")))
+        .withColumn("cosine", cosine_similarity("qv", "nv"))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (

@@ -88,7 +88,14 @@ def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     """
     spark = df.sparkSession
     target = min_partitions or spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    # inputFiles() is a cheap catalog call (~4ms); df.rdd would force full
+    # plan analysis through Py4J (~1s of driver time). File count lower-
+    # bounds scan parallelism: many files => already parallel => no-op.
+    try:
+        n_files = len(df.inputFiles())
+    except Exception:
+        n_files = 0
+    if n_files < target:
         return df.repartition(target)
     return df
 
