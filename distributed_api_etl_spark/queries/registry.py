@@ -108,6 +108,7 @@ def load_all() -> dict[str, QuerySpec]:
         pipeline,
         relational,
         similarity,
+        streaming,
         text,
     )
 

@@ -1,0 +1,127 @@
+"""Graded queries for the Structured Streaming operators.
+
+Each runs a real streaming query (availableNow drain over the sf_dir
+parquet) into a memory sink and returns the materialized result. With a
+single input batch the stateful semantics collapse to SQL-expressible
+aggregates, so even custom ``applyInPandasWithState`` operators get full
+hash-match oracles (cross-micro-batch state behavior is covered by
+tests/test_streaming.py with maxFilesPerTrigger=1).
+"""
+
+from __future__ import annotations
+
+import itertools
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from distributed_api_etl_spark.queries.registry import register, table
+
+_SINK_IDS = itertools.count()
+
+
+def _stream_source(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """File-stream over one table (FileStreamSource requires a directory, so
+    the single parquet file is symlinked into a temp dir)."""
+    src_file = os.path.abspath(f"{sf_dir}/{name}.parquet")
+    d = tempfile.mkdtemp(prefix=f"stream_{name}_")
+    os.symlink(src_file, os.path.join(d, f"{name}.parquet"))
+    schema = spark.read.parquet(src_file).schema
+    return spark.readStream.schema(schema).parquet(d)
+
+
+def _drain_to_memory(out: DataFrame, mode: str = "update") -> str:
+    name = f"stream_sink_{next(_SINK_IDS)}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return name
+
+
+@register(
+    "streaming_stateful_dedup",
+    oracle="""
+    SELECT md5(text) AS fingerprint, min(doc_id) AS keep_id
+    FROM documents
+    GROUP BY md5(text)
+    """,
+    tags=("streaming", "dedup"),
+)
+def streaming_stateful_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-batch stateful exact dedup (applyInPandasWithState) — single
+    input batch, so keep_id == global min doc_id (the SQL oracle)."""
+    from distributed_api_etl_spark.streaming import streaming_exact_dedup
+
+    stream = _stream_source(spark, sf_dir, "documents")
+    name = _drain_to_memory(streaming_exact_dedup(stream))
+    return spark.table(name)
+
+
+@register(
+    "streaming_user_event_counts",
+    oracle="""
+    SELECT CAST(user_id AS VARCHAR) AS user_id,
+           count(*) AS n_events
+    FROM events
+    GROUP BY user_id
+    """,
+    tags=("streaming",),
+)
+def streaming_user_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running per-user totals (applyInPandasWithState); counts only in the
+    graded projection (double sums are fold-order-dependent across engines)."""
+    from distributed_api_etl_spark.streaming import stateful_user_totals
+
+    table(spark, sf_dir, "events")  # pins session TZ + nanosAsLong confs
+    stream = _stream_source(spark, sf_dir, "events")
+    out = stateful_user_totals(stream)
+    name = _drain_to_memory(out)
+    return spark.table(name).select("user_id", "n_events")
+
+
+@register(
+    "streaming_tumbling_window",
+    oracle="""
+    SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS window_start,
+           event_type,
+           count(*) AS n_events
+    FROM events
+    GROUP BY 1, 2
+    """,
+    tags=("streaming",),
+)
+def streaming_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked tumbling-window aggregation executed as a real stream
+    (complete mode over one drain == the batch window aggregation)."""
+    from distributed_api_etl_spark.streaming import tumbling_window_stream
+
+    table(spark, sf_dir, "events")  # pins session TZ + nanosAsLong confs
+    # the streaming source reads the raw parquet (ts as raw nanos), then
+    # re-applies the same ts normalization table() does for batch reads
+    stream = _stream_source(spark, sf_dir, "events")
+    from pyspark.sql.types import TimestampType
+
+    if not isinstance(stream.schema["ts"].dataType, TimestampType):
+        stream = stream.withColumn(
+            "ts",
+            F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long")).cast(
+                "timestamp"
+            ),
+        )
+    out = tumbling_window_stream(stream, ts_col="ts")
+    name = _drain_to_memory(out, mode="complete")
+    return (
+        spark.table(name)
+        .select(
+            F.col("window_start").cast("timestamp_ntz").alias("window_start"),
+            "event_type",
+            "n_events",
+        )
+    )

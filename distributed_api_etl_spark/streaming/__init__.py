@@ -5,3 +5,7 @@ from distributed_api_etl_spark.streaming.windows import (  # noqa: F401
     sessionized_stream,
     tumbling_window_stream,
 )
+from distributed_api_etl_spark.streaming.stateful import (  # noqa: F401
+    stateful_user_totals,
+    streaming_exact_dedup,
+)

@@ -1,0 +1,115 @@
+"""Custom stateful streaming operators (``applyInPandasWithState``).
+
+Where the built-in watermarked aggregations (windows.py) can't express the
+semantics, these maintain explicit per-key state across micro-batches —
+Arrow-batched pandas on the worker, state in the Spark state store
+(RocksDB-backed on a real cluster).
+
+100 TB / continuous-ingest notes:
+  * state is partitioned by the grouping key — scale-out is the same
+    hash-shuffle story as any aggregation; skewed keys (one viral doc
+    fingerprint) carry one task's worth of state, still O(1) per key;
+  * streaming exact-dedup keeps one boolean per fingerprint forever unless
+    a TTL evicts it — at trillion-doc scale pair it with a TTL matched to
+    the re-crawl horizon, or periodically compact the state into a bloom
+    filter / bronze-side anti-join;
+  * ``update`` output mode emits per-batch deltas, not a growing result.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def streaming_exact_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Cross-micro-batch exact dedup: emit only first-seen fingerprints.
+
+    Batch-mode ``dropDuplicates`` dedups within one job; this dedups across
+    the whole life of the stream — per-fingerprint state survives
+    micro-batches (the training-data-ingest requirement: never ship the
+    same document twice, even when re-crawls arrive days apart).
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    fingerprinted = docs.select(
+        F.col(id_col).cast("string").alias("doc_id"),
+        F.md5(F.col(text_col)).alias("fingerprint"),
+    )
+
+    def dedup_fn(
+        key: tuple[Any, ...],
+        pdf_iter: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        seen = state.exists
+        first_id: str | None = None
+        for pdf in pdf_iter:
+            if not seen and len(pdf) > 0:
+                # deterministic winner: lowest doc_id in the first batch seen
+                cand = pdf["doc_id"].min()
+                first_id = cand if first_id is None else min(first_id, cand)
+        if not seen and first_id is not None:
+            state.update((True,))
+            yield pd.DataFrame({"fingerprint": [key[0]], "keep_id": [first_id]})
+
+    return fingerprinted.groupBy("fingerprint").applyInPandasWithState(
+        dedup_fn,
+        outputStructType="fingerprint string, keep_id string",
+        stateStructType="seen boolean",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def stateful_user_totals(
+    events: DataFrame,
+    user_col: str = "user_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Running per-user totals maintained across micro-batches.
+
+    Emits the updated (user_id, n_events, sum_value) after every batch that
+    touches the user — the streaming form of a ``groupBy().agg()`` that
+    never forgets (use a timeout to expire idle users at scale).
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    slim = events.select(
+        F.col(user_col).cast("string").alias("user_id"),
+        F.col(value_col).cast("double").alias("value"),
+    )
+
+    def totals_fn(
+        key: tuple[Any, ...],
+        pdf_iter: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        n, total = state.get if state.exists else (0, 0.0)
+        touched = False
+        for pdf in pdf_iter:
+            if len(pdf):
+                touched = True
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+        if touched:
+            state.update((n, total))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "sum_value": [total]}
+            )
+
+    return slim.groupBy("user_id").applyInPandasWithState(
+        totals_fn,
+        outputStructType="user_id string, n_events bigint, sum_value double",
+        stateStructType="n bigint, total double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -112,3 +112,75 @@ def test_sessionized_stream_runs_and_bounds_state(spark, sf_dir, tmp_path):
     assert len(rows) > 0
     # session integrity: end >= start, positive event counts
     assert all(r.session_end >= r.session_start and r.n_events > 0 for r in rows)
+
+
+def test_streaming_exact_dedup_across_microbatches(spark, tmp_path):
+    """State survives micro-batches: a fingerprint seen in batch 1 is not
+    re-emitted by batch 2 (maxFilesPerTrigger=1 forces two batches)."""
+    from distributed_api_etl_spark.streaming import streaming_exact_dedup
+
+    src = str(tmp_path / "docs_src")
+    spark.createDataFrame(
+        [("d1", "alpha"), ("d2", "beta"), ("d3", "alpha")],
+        "doc_id string, text string",
+    ).coalesce(1).write.parquet(src)
+    spark.createDataFrame(
+        [("d4", "alpha"), ("d5", "gamma")], "doc_id string, text string"
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema("doc_id string, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = streaming_exact_dedup(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dedup_out")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM dedup_out").collect()
+    # one emission per distinct text, regardless of batch boundaries
+    by_fp = {}
+    for r in rows:
+        assert r.fingerprint not in by_fp, "fingerprint emitted twice"
+        by_fp[r.fingerprint] = r.keep_id
+    assert len(by_fp) == 3  # alpha, beta, gamma
+    assert sorted(by_fp.values())[0] in {"d1", "d2", "d4", "d5"}
+
+
+def test_stateful_user_totals_accumulate(spark, tmp_path):
+    from distributed_api_etl_spark.streaming import stateful_user_totals
+
+    src = str(tmp_path / "ev_src")
+    spark.createDataFrame(
+        [("u1", 1.0), ("u1", 2.0), ("u2", 5.0)], "user_id string, value double"
+    ).coalesce(1).write.parquet(src)
+    spark.createDataFrame(
+        [("u1", 4.0)], "user_id string, value double"
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema("user_id string, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = stateful_user_totals(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("totals_out")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM totals_out").collect()
+    # last emission per user is the running total over ALL batches
+    final = {}
+    for r in rows:
+        final[r.user_id] = (r.n_events, r.sum_value)
+    assert final["u1"] == (3, 7.0)
+    assert final["u2"] == (1, 5.0)
