@@ -35,17 +35,23 @@ MEDIA_META_SCHEMA = T.StructType(
     ]
 )
 
-FEATURE_SCHEMA = T.StructType(
-    [
-        T.StructField("doc_id", T.LongType()),
-        T.StructField("media_type", T.StringType()),
-        T.StructField("byte_len", T.LongType()),
-        T.StructField("width", T.IntegerType()),
-        T.StructField("height", T.IntegerType()),
-        T.StructField("n_frames", T.IntegerType()),
-        T.StructField("features", T.ArrayType(T.DoubleType())),
-    ]
-)
+def feature_schema(id_type: T.DataType = T.LongType()) -> T.StructType:
+    """Feature-stage output schema; ``doc_id`` keeps the source's id type
+    (long for table ids, string for binaryFile paths)."""
+    return T.StructType(
+        [
+            T.StructField("doc_id", id_type),
+            T.StructField("media_type", T.StringType()),
+            T.StructField("byte_len", T.LongType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("n_frames", T.IntegerType()),
+            T.StructField("features", T.ArrayType(T.DoubleType())),
+        ]
+    )
+
+
+FEATURE_SCHEMA = feature_schema()
 
 
 def attach_binary_content(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -62,6 +68,55 @@ def attach_binary_content(df: DataFrame, id_col: str, text_col: str) -> DataFram
             F.lit("text/plain").alias("media_type"),
             F.octet_length(content).cast("long").alias("byte_len"),
             F.sha2(content, 256).alias("content_sha"),
+        ).alias("media_meta"),
+    )
+
+
+_EXT_MEDIA_TYPES = {
+    ".jpg": "image/jpeg", ".jpeg": "image/jpeg", ".png": "image/png",
+    ".gif": "image/gif", ".webp": "image/webp",
+    ".wav": "audio/wav", ".mp3": "audio/mpeg", ".flac": "audio/flac",
+    ".mp4": "video/mp4", ".mkv": "video/x-matroska", ".webm": "video/webm",
+    ".txt": "text/plain", ".json": "application/json",
+}
+
+
+def binary_file_manifest(
+    spark,
+    path: str,
+    *,
+    path_glob: str | None = None,
+    max_bytes: int | None = None,
+) -> DataFrame:
+    """Read raw media blobs via the ``binaryFile`` source into the same
+    (doc_id, content, media_meta) shape ``attach_binary_content`` produces —
+    downstream decode/feature stages are source-agnostic.
+
+    100 TB notes: binaryFile scans parallelize per file; ``max_bytes``
+    (pushed down as a length filter on the file metadata, no content read)
+    keeps giant payloads out of memory-bounded decode stages — route those
+    to a byte-range/chunked path instead.
+    """
+    reader = spark.read.format("binaryFile")
+    if path_glob:
+        reader = reader.option("pathGlobFilter", path_glob)
+    df = reader.load(path)
+    if max_bytes is not None:
+        df = df.where(F.col("length") <= max_bytes)
+    ext = F.lower(F.regexp_extract(F.col("path"), r"(\.[A-Za-z0-9]+)$", 1))
+    media_type = ext
+    mapping = F.create_map(
+        *[F.lit(x) for kv in _EXT_MEDIA_TYPES.items() for x in kv]
+    )
+    return df.select(
+        F.col("path").alias("doc_id"),
+        F.col("content"),
+        F.struct(
+            F.coalesce(mapping[media_type], F.lit("application/octet-stream")).alias(
+                "media_type"
+            ),
+            F.col("length").cast("long").alias("byte_len"),
+            F.sha2(F.col("content"), 256).alias("content_sha"),
         ).alias("media_meta"),
     )
 
@@ -94,6 +149,8 @@ def extract_features(
             "the mapInPandas contract (bytes in, FEATURE_SCHEMA out) is final"
         )
 
+    schema = feature_schema(df.schema["doc_id"].dataType)
+
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
@@ -113,6 +170,6 @@ def extract_features(
                         "features": feats,
                     }
                 )
-            yield pd.DataFrame(rows, columns=[f.name for f in FEATURE_SCHEMA.fields])
+            yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
 
-    return df.mapInPandas(decode_batches, schema=FEATURE_SCHEMA)
+    return df.mapInPandas(decode_batches, schema=schema)

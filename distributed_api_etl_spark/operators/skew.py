@@ -1,0 +1,79 @@
+"""Skew-mitigation operators: salted two-stage aggregation.
+
+At 100 TB a handful of hot keys (one viral event_type, one mega-customer)
+can pin an aggregation to a single reducer. AQE's skew-join splitting fixes
+joins, but *aggregation* skew on high-cardinality state (exact distinct
+counts, large collect-style state) needs salting: spread each key over N
+buckets in stage 1, merge the N partials in stage 2.
+
+Salting rule that keeps results EXACT:
+  * for algebraic aggs (count/sum/min/max) the salt can be anything
+    roughly uniform — partials merge associatively;
+  * for ``count(DISTINCT x)`` the salt must be a function of ``x`` itself
+    (same value -> same bucket, so buckets partition the distinct set and
+    bucket counts add up exactly).
+
+Both stages stay in whole-stage codegen (portable md5 hash, no UDFs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from distributed_api_etl_spark.functions.portable import portable_hash32
+
+
+def _bucket(col: Column, n: int) -> Column:
+    return F.pmod(portable_hash32(col), F.lit(n))
+
+
+def salted_distinct_count(
+    df: DataFrame,
+    key_cols: list[str],
+    distinct_col: str,
+    n_buckets: int = 32,
+    out_col: str = "n_distinct",
+) -> DataFrame:
+    """Exact count(DISTINCT distinct_col) per key, skew-spread over
+    ``n_buckets`` reducers per key.
+
+    Stage 1 groups by (keys, bucket(distinct_value)) so a key with 10⁹
+    distinct values becomes ``n_buckets`` tasks instead of one straggler;
+    stage 2 sums the disjoint bucket counts (exact by construction).
+    """
+    stage1 = (
+        df.groupBy(*key_cols, _bucket(F.col(distinct_col), n_buckets).alias("_salt"))
+        .agg(F.count_distinct(F.col(distinct_col)).alias("_partial"))
+    )
+    return (
+        stage1.groupBy(*key_cols)
+        .agg(F.sum("_partial").alias(out_col))
+    )
+
+
+def salted_agg(
+    df: DataFrame,
+    key_cols: list[str],
+    salt_col: str,
+    aggs: dict[str, tuple[Column, Column]],
+    n_buckets: int = 32,
+) -> DataFrame:
+    """Generic two-stage salted aggregation for algebraic aggregates.
+
+    ``aggs`` maps output name -> (stage1 partial expr, stage2 merge expr
+    over the stage-1 column of the same name), e.g.::
+
+        {"n": (F.count("*"), F.sum("n")),
+         "total": (F.sum("v"), F.sum("total")),
+         "mx": (F.max("v"), F.max("mx"))}
+
+    ``salt_col`` supplies the entropy (any column; uniqueness not required).
+    """
+    stage1 = (
+        df.groupBy(*key_cols, _bucket(F.col(salt_col), n_buckets).alias("_salt"))
+        .agg(*[partial.alias(name) for name, (partial, _) in aggs.items()])
+    )
+    return stage1.groupBy(*key_cols).agg(
+        *[merge.alias(name) for name, (_, merge) in aggs.items()]
+    )

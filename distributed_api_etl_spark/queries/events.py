@@ -165,3 +165,33 @@ def events_json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events")
     k = F.get_json_object(F.col("props"), "$.k").cast("bigint")
     return ev.select("event_id", k.alias("k_value")).where(F.col("k_value") >= 50)
+
+
+@register(
+    "events_salted_distinct_users",
+    oracle="""
+    SELECT event_type,
+           count(DISTINCT user_id) AS n_distinct,
+           count(*) AS n_events
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("events", "skew"),
+)
+def events_salted_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resistant exact distinct count (operators/skew.py): each
+    event_type's distinct-user set is spread over 32 salt buckets in stage
+    1, so a hot key becomes 32 tasks instead of one straggler; stage 2 sums
+    the disjoint bucket counts — exact by construction."""
+    from distributed_api_etl_spark.operators.skew import salted_agg, salted_distinct_count
+
+    ev = table(spark, sf_dir, "events")
+    distinct = salted_distinct_count(ev, ["event_type"], "user_id", n_buckets=32)
+    counts = salted_agg(
+        ev,
+        ["event_type"],
+        salt_col="event_id",
+        aggs={"n_events": (F.count("*"), F.sum("n_events"))},
+        n_buckets=32,
+    )
+    return distinct.join(counts, "event_type")

@@ -113,3 +113,38 @@ def test_multimodal_real_decoder_raises(spark):
 
     with pytest.raises(NotImplementedError, match="mapInPandas contract"):
         MM.extract_features(df, decoder="pil")
+
+
+def test_binary_file_manifest_and_features(spark, tmp_path):
+    """binaryFile source -> manifest shape -> Arrow decode stage end-to-end."""
+    from distributed_api_etl_spark.operators.multimodal import (
+        binary_file_manifest,
+        extract_features,
+    )
+
+    media = tmp_path / "media"
+    media.mkdir()
+    (media / "a.jpg").write_bytes(b"\xff\xd8fakejpeg" * 10)
+    (media / "b.wav").write_bytes(b"RIFFfakewav" * 5)
+    (media / "notes.txt").write_bytes(b"hello world")
+    (media / "blob.xyz").write_bytes(b"\x00\x01\x02")
+
+    man = binary_file_manifest(spark, str(media))
+    rows = {r.doc_id.rsplit("/", 1)[-1]: r for r in man.collect()}
+    assert rows["a.jpg"].media_meta.media_type == "image/jpeg"
+    assert rows["b.wav"].media_meta.media_type == "audio/wav"
+    assert rows["notes.txt"].media_meta.media_type == "text/plain"
+    assert rows["blob.xyz"].media_meta.media_type == "application/octet-stream"
+    assert rows["notes.txt"].media_meta.byte_len == 11
+    assert bytes(rows["notes.txt"].content) == b"hello world"
+
+    feats = {r.doc_id.rsplit("/", 1)[-1]: r for r in extract_features(man).collect()}
+    assert feats["a.jpg"].byte_len == 100
+    assert len(feats["a.jpg"].features) == 8
+    assert abs(sum(feats["a.jpg"].features) - 1.0) < 1e-9
+
+    # glob + size pushdown
+    only_jpg = binary_file_manifest(spark, str(media), path_glob="*.jpg")
+    assert only_jpg.count() == 1
+    small = binary_file_manifest(spark, str(media), max_bytes=20)
+    assert small.count() == 2
