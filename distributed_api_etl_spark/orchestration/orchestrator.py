@@ -177,3 +177,19 @@ def run_pipeline(
     return orch.run(
         source_df=source_df, source_id=source_id, dry_run=dry_run, fixed_time=fixed_time
     )
+
+
+def generate_tracking_ids(
+    spark: SparkSession, n: int, partitions: int | None = None
+) -> DataFrame:
+    """Synthesize a demo/test source of n unique tracking ids.
+
+    Reference parity: ``spark.range(n).repartition(p).select(sha2(uuid(),
+    256))`` (dags/scripts/run_demo_pipeline.py:62-70). Generation is
+    distributed — ``range`` splits across the cluster and uuid() runs
+    per-row on executors; no driver-side materialization.
+    """
+    df = spark.range(n)
+    if partitions:
+        df = df.repartition(partitions)
+    return df.select(F.sha2(F.uuid(), 256).alias("tracking_id"))

@@ -26,9 +26,12 @@ Responder = Callable[[TransportRequest], TransportResponse]
 
 
 def default_responder(request: TransportRequest) -> TransportResponse:
-    body = json.dumps(
-        {k: str(v) for k, v in request.params.items()}, sort_keys=True
-    ).encode()
+    echoed = {k: str(v) for k, v in request.params.items()}
+    if request.json_body is not None:
+        # body keys echo under their own names (params win on collision so
+        # param-only pipelines keep a byte-identical response shape)
+        echoed = {**{k: str(v) for k, v in request.json_body.items()}, **echoed}
+    body = json.dumps(echoed, sort_keys=True).encode()
     return TransportResponse(
         status_code=200, headers={"content-type": "application/json"}, body=body
     )

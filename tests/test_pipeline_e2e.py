@@ -78,3 +78,47 @@ def test_source_validation_rejects_missing_id(spark):
 def test_source_xor_enforced(spark):
     with pytest.raises(ValueError, match="exactly one"):
         run_pipeline(spark, base_config())  # no table name, no source_df
+
+
+def test_generate_tracking_ids_unique_and_distributed(spark):
+    from distributed_api_etl_spark.orchestration import generate_tracking_ids
+
+    df = generate_tracking_ids(spark, 500, partitions=8)
+    assert df.rdd.getNumPartitions() == 8
+    rows = df.collect()
+    ids = {r.tracking_id for r in rows}
+    assert len(ids) == 500
+    assert all(len(i) == 64 for i in ids)  # sha2-256 hex
+
+
+def test_pipeline_with_request_template_e2e(spark):
+    """request_template rendered per row, POSTed through the mock engine,
+    template columns survive scan pruning."""
+    import json as _json
+
+    from distributed_api_etl_spark.request_execution.transport import mock as mock_mod
+    from distributed_api_etl_spark.orchestration import run_pipeline
+
+    src = spark.createDataFrame(
+        [("t1", "SEG_A"), ("t2", "SEG_B")], "tracking_id string, seg string"
+    )
+    cfg = {
+        "endpoint": {
+            "method": "POST",
+            "url": "http://mock.local/api/post",
+            "request_template": {"body_seg": "{seg}", "static": "x"},
+        },
+        "transport": {"engine": "mock"},
+        "execution": {"num_partitions": 2},
+    }
+    result = run_pipeline(
+        spark, cfg, source_df=src, source_id="tracking_id", dry_run=True,
+        fixed_time="2024-01-01T00:00:00",
+    )
+    rows = {r.request_id: r for r in result.bronze_df.collect()}
+    assert set(rows) == {"t1", "t2"}
+    assert all(r.status_code == 200 for r in rows.values())
+    # the mock echoes the rendered json body — proves the template crossed
+    # the whole pipeline (row -> middleware -> transport -> bronze)
+    assert _json.loads(rows["t1"].body_text) == {"body_seg": "SEG_A", "static": "x"}
+    assert _json.loads(rows["t2"].body_text) == {"body_seg": "SEG_B", "static": "x"}
