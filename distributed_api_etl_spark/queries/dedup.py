@@ -184,3 +184,43 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = fan_out(table(spark, sf_dir, "embeddings"))
     return cosine_pairs(emb, "vec_id", "embedding", threshold=0.3)
+
+
+# --- near-dup clustering (connected components over MinHash pairs) ----------
+@register(
+    "dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE {SHINGLE_CTES}, {_minhash_sig_sql()}, {_lsh_cand_sql()}, {PAIRS_CTE},
+    dup_pairs AS (
+      SELECT p.d1, p.d2
+      FROM pairs p
+      JOIN cands c ON c.d1 = p.d1 AND c.d2 = p.d2
+      JOIN sizes s1 ON s1.doc_id = p.d1
+      JOIN sizes s2 ON s2.doc_id = p.d2
+      WHERE 100 * p.inter >= 70 * (s1.sz + s2.sz - p.inter)
+    ),
+    sym AS (SELECT d1 AS a, d2 AS b FROM dup_pairs
+            UNION SELECT d2, d1 FROM dup_pairs),
+    reach(v, w) AS (
+      SELECT a, a FROM (SELECT DISTINCT a FROM sym)
+      UNION
+      SELECT r.v, s.b FROM reach r JOIN sym s ON r.w = s.a
+    ),
+    comp AS (SELECT v AS doc_id, min(w) AS cluster_id FROM reach GROUP BY v)
+    SELECT d.doc_id,
+           COALESCE(c.cluster_id, d.doc_id) AS cluster_id,
+           (COALESCE(c.cluster_id, d.doc_id) = d.doc_id) AS is_keep
+    FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
+    """,
+    tags=("dedup", "graph"),
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise near-dups -> canonical clusters: connected components
+    (min-label propagation, operators/graph.py) over the MinHash+LSH pair
+    graph, then a full-corpus cluster map with is_keep markers — the actual
+    'which docs ship' answer a training-data pipeline needs."""
+    from distributed_api_etl_spark.operators.graph import dedup_cluster_assignment
+
+    docs = fan_out(table(spark, sf_dir, "documents"))
+    pairs = D.minhash_lsh_pairs(docs, "doc_id", "text", 3, 70).select("d1", "d2")
+    return dedup_cluster_assignment(pairs, docs, "doc_id")

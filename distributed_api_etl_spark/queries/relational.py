@@ -303,3 +303,33 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name")
         .agg(F.sum(revenue).cast("double").alias("revenue"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Multi-level aggregation: ROLLUP (grouping sets). The reference has no
+# aggregations beyond count (SURVEY §2.4); downstream analytics delegate to
+# Spark — rollup is the canonical "one shuffle, all levels" pattern (partial
+# aggregation covers every grouping set in a single pass).
+# ---------------------------------------------------------------------------
+@register(
+    "q1_rollup_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-02'
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    tags=("analytics",),
+)
+def q1_rollup_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate").cast("date") <= F.lit("1998-09-02").cast("date"))
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(dec("l_quantity", 12, 2)).cast("double").alias("sum_qty"),
+            F.count("*").alias("count_order"),
+        )
+    )

@@ -148,3 +148,27 @@ def test_binary_file_manifest_and_features(spark, tmp_path):
     assert only_jpg.count() == 1
     small = binary_file_manifest(spark, str(media), max_bytes=20)
     assert small.count() == 2
+
+
+def test_connected_components_chain_and_clique(spark):
+    from distributed_api_etl_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4),      # chain -> one component, label 1
+         (10, 11), (11, 10),          # duplicate/reverse edges collapse
+         (20, 21), (21, 22), (20, 22)],  # clique
+        "d1 bigint, d2 bigint",
+    )
+    got = {r.node: r.cluster_id for r in connected_components(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+
+def test_dedup_cluster_assignment_singletons(spark):
+    from distributed_api_etl_spark.operators.graph import dedup_cluster_assignment
+
+    pairs = spark.createDataFrame([(2, 5)], "d1 bigint, d2 bigint")
+    ids = spark.createDataFrame([(i,) for i in range(1, 7)], "doc_id bigint")
+    rows = {r.doc_id: r for r in dedup_cluster_assignment(pairs, ids, "doc_id").collect()}
+    assert rows[2].cluster_id == 2 and rows[5].cluster_id == 2
+    assert rows[2].is_keep and not rows[5].is_keep
+    assert all(rows[i].is_keep and rows[i].cluster_id == i for i in (1, 3, 4, 6))
