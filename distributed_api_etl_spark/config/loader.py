@@ -33,8 +33,9 @@ def _resolve_secrets(node: Any, resolver: SecretResolver | None) -> Any:
 
 
 def env_secret_resolver(scope: str, key: str) -> str:
-    """Default resolver: SECRET_<SCOPE>_<KEY> environment variable."""
-    var = f"SECRET_{scope.upper()}_{key.upper()}"
+    """Default resolver: SECRET_<SCOPE>_<KEY> environment variable
+    (hyphens become underscores — env var names can't hold '-')."""
+    var = f"SECRET_{scope.upper()}_{key.upper()}".replace("-", "_")
     val = os.environ.get(var)
     if val is None:
         raise KeyError(f"secret env var {var} not set")

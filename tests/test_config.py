@@ -123,3 +123,33 @@ def test_merge_requires_delta():
                 "tables": {"sink": {"name": "t", "format": "parquet", "mode": "merge"}},
             }
         )
+
+
+def test_all_example_configs_load(monkeypatch):
+    """Every shipped example validates (secrets resolved from env)."""
+    import glob
+
+    from distributed_api_etl_spark.config.loader import load_config
+
+    for var in (
+        "SECRET_API_USERNAME", "SECRET_API_PASSWORD", "SECRET_API_TOKEN",
+        "SECRET_IDP_CLIENT-SECRET", "SECRET_IDP_USERNAME", "SECRET_IDP_PASSWORD",
+    ):
+        monkeypatch.setenv(var.replace("-", "_").upper(), "x")
+    paths = sorted(glob.glob("configs/examples/*.yml"))
+    assert len(paths) == 6
+    for p in paths:
+        cfg = load_config(p)
+        assert cfg.endpoint.url.startswith("https://")
+
+
+def test_full_featured_example_semantics(monkeypatch):
+    from distributed_api_etl_spark.config.loader import load_config
+
+    cfg = load_config("configs/examples/full_featured_demo.yml")
+    assert cfg.endpoint.template_columns() == {"request_id", "segment"}
+    assert cfg.endpoint.response_schema is not None
+    spark_schema = cfg.endpoint.response_schema.to_spark_schema()
+    assert spark_schema["labels"].dataType.simpleString() == "array<string>"
+    assert cfg.execution.max_requests_per_second == 25.0
+    assert cfg.tables.sink.partition_by == ["method"]
