@@ -208,3 +208,39 @@ def build_partition_fn(compiled: dict):
             yield tuple(record[c] for c in BRONZE_COLUMNS)
 
     return partition_fn
+
+
+def build_map_in_pandas_fn(compiled: dict):
+    """Returns the mapInPandas body: Iterator[pd.DataFrame] -> same, with
+    BRONZE_COLUMNS output.
+
+    The Arrow path: no ``df.rdd`` conversion (which costs ~1s of driver-side
+    plan analysis per batch) and no per-row pickle — input rows arrive as
+    Arrow batches and bronze records leave as Arrow batches. numpy scalars
+    are unboxed so request params/json serialize as plain Python values.
+    """
+    from distributed_api_etl_spark.core.bronze import BRONZE_COLUMNS
+
+    def fn(batches):
+        import pandas as pd
+
+        def dict_rows():
+            for pdf in batches:
+                cols = list(pdf.columns)
+                for tup in pdf.itertuples(index=False, name=None):
+                    yield {
+                        c: (v.item() if hasattr(v, "item") else v)
+                        for c, v in zip(cols, tup)
+                    }
+
+        flush_size = max(1, int(compiled["execution"].get("chunk_size", 5000)))
+        buf: list[dict] = []
+        for record in run_rows(dict_rows(), compiled):
+            buf.append(record)
+            if len(buf) >= flush_size:
+                yield pd.DataFrame(buf, columns=list(BRONZE_COLUMNS))
+                buf = []
+        if buf:
+            yield pd.DataFrame(buf, columns=list(BRONZE_COLUMNS))
+
+    return fn
