@@ -177,9 +177,20 @@ class EndpointConfig(BaseModel):
     timeout: float | None = None
     metadata: dict[str, str] = Field(default_factory=dict)
 
+    @model_validator(mode="after")
+    def _check_template(self) -> "EndpointConfig":
+        # fail fast on the driver: a malformed format string (stray brace)
+        # must never reach the workers
+        try:
+            self.template_columns()
+        except ValueError as exc:
+            raise ValueError(f"invalid request_template format string: {exc}") from exc
+        return self
+
     def template_columns(self) -> set[str]:
         """Source columns referenced by ``{...}`` placeholders in the
-        template (needed for scan-level column pruning)."""
+        template (needed for scan-level column pruning). Raises ValueError
+        on malformed format strings."""
         import string as _string
 
         cols: set[str] = set()

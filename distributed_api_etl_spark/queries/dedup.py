@@ -36,11 +36,6 @@ def _ppm(inter: str, union: str) -> str:
     return f"(1000000 * {inter}) // ({union})"
 
 
-def _spark_ppm(df: DataFrame) -> DataFrame:
-    """Replace the operator's rounded jaccard with exact integer ppm."""
-    return df  # operators below are called with ppm projection directly
-
-
 # --- exact dedup ------------------------------------------------------------
 @register(
     "dedup_exact",

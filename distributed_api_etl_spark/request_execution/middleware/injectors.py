@@ -71,7 +71,13 @@ class RequestTemplateMiddleware:
 
     def _render(self, node: Any, row: _RowMap) -> Any:
         if isinstance(node, str):
-            return node.format_map(row)
+            try:
+                return node.format_map(row)
+            except ValueError:
+                # malformed format string (stray brace): config-time
+                # validation rejects these; if one slips through, a literal
+                # pass-through must not kill the whole partition
+                return node
         if isinstance(node, dict):
             return {k: self._render(v, row) for k, v in node.items()}
         if isinstance(node, list):

@@ -153,3 +153,12 @@ def test_full_featured_example_semantics(monkeypatch):
     assert spark_schema["labels"].dataType.simpleString() == "array<string>"
     assert cfg.execution.max_requests_per_second == 25.0
     assert cfg.tables.sink.partition_by == ["method"]
+
+
+def test_malformed_request_template_rejected():
+    import pytest as _pytest
+
+    from distributed_api_etl_spark.config.models import EndpointConfig
+
+    with _pytest.raises(ValueError, match="request_template"):
+        EndpointConfig(url="http://x", request_template={"bad": "single { brace"})

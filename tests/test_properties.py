@@ -1,0 +1,160 @@
+"""Property-based tests (hypothesis) — the reference has none (SURVEY §5);
+these pin the invariants the oracle comparison depends on.
+
+Spark-free where possible (fast); the Spark-backed ones reuse the session
+fixture and small generated frames.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+# ---------------------------------------------------------------------------
+# portable_hash32: Spark expr == DuckDB SQL for arbitrary strings
+# ---------------------------------------------------------------------------
+text_strategy = st.text(
+    alphabet=st.characters(blacklist_categories=("Cs",), blacklist_characters="'"),
+    min_size=0,
+    max_size=64,
+)
+
+
+@settings(max_examples=30, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(st.lists(text_strategy, min_size=1, max_size=20, unique=True))
+def test_portable_hash_cross_engine(spark_global, strings):
+    from pyspark.sql import functions as F
+
+    from distributed_api_etl_spark.functions.portable import (
+        portable_hash32,
+        portable_hash32_sql,
+    )
+
+    sdf = spark_global.createDataFrame([(s,) for s in strings], "s string")
+    got = {
+        r.s: r.h
+        for r in sdf.select("s", portable_hash32(F.col("s")).alias("h")).collect()
+    }
+    con = duckdb.connect()
+    for s in strings:
+        expected = con.sql(
+            f"SELECT {portable_hash32_sql('?')} AS h", params=[s]
+        ).fetchone()[0]
+        assert got[s] == expected, f"hash mismatch for {s!r}"
+    # range invariant: unsigned 32-bit
+    assert all(0 <= h < 2**32 for h in got.values())
+
+
+# ---------------------------------------------------------------------------
+# Request template rendering: total (never raises), identity without
+# placeholders, and round-trip of row values
+# ---------------------------------------------------------------------------
+keys = st.text(alphabet="abcdefgh_", min_size=1, max_size=8)
+vals = st.one_of(st.text(max_size=20), st.integers(), st.booleans(), st.none())
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.dictionaries(keys, vals, max_size=6), st.dictionaries(keys, st.text(max_size=10), max_size=6))
+def test_template_render_total_and_roundtrip(template_static, row):
+    import asyncio
+
+    from distributed_api_etl_spark.request_execution.middleware.injectors import (
+        RequestTemplateMiddleware,
+    )
+    from distributed_api_etl_spark.request_execution.models import (
+        RequestContext,
+        RequestExchange,
+    )
+
+    # template: static leaves + one placeholder per row key
+    template = dict(template_static)
+    for k in row:
+        template[f"ph_{k}"] = "{" + k + "}"
+    mw = RequestTemplateMiddleware(template)
+
+    async def next_call(ex):
+        return ex
+
+    ex = RequestExchange(context=RequestContext(url="http://x", row=dict(row)))
+    out = asyncio.run(mw(ex, next_call))
+    body = out.context.json_body
+    for k, v in template_static.items():
+        if not isinstance(v, str):
+            assert body[k] == v  # non-strings pass through untouched
+    for k, v in row.items():
+        assert body[f"ph_{k}"] == str(v)
+
+
+# ---------------------------------------------------------------------------
+# Salted aggregation == plain aggregation, any data, any bucket count
+# ---------------------------------------------------------------------------
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    st.lists(
+        st.tuples(st.sampled_from("abc"), st.integers(0, 50)),
+        min_size=1,
+        max_size=60,
+    ),
+    st.integers(1, 7),
+)
+def test_salted_distinct_count_exact(spark_global, rows, n_buckets):
+    from distributed_api_etl_spark.operators.skew import salted_distinct_count
+
+    df = spark_global.createDataFrame(rows, "k string, v bigint")
+    got = {
+        r.k: r.n_distinct
+        for r in salted_distinct_count(df, ["k"], "v", n_buckets).collect()
+    }
+    expected: dict[str, set] = {}
+    for k, v in rows:
+        expected.setdefault(k, set()).add(v)
+    assert got == {k: len(s) for k, s in expected.items()}
+
+
+# ---------------------------------------------------------------------------
+# Connected components == brute-force union-find on random graphs
+# ---------------------------------------------------------------------------
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 15), st.integers(0, 15)).filter(lambda t: t[0] != t[1]),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_connected_components_matches_union_find(spark_global, edges):
+    from distributed_api_etl_spark.operators.graph import connected_components
+
+    df = spark_global.createDataFrame(edges, "d1 bigint, d2 bigint")
+    got = {r.node: r.cluster_id for r in connected_components(df).collect()}
+
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in edges:
+        union(a, b)
+    expected = {n: find(n) for n in parent}
+    # normalize: union-find min-root == min-label component id
+    comp_min: dict[int, int] = {}
+    for n, r in expected.items():
+        comp_min[find(r)] = min(comp_min.get(find(r), n), n)
+    expected = {n: comp_min[find(n)] for n in expected}
+    assert got == expected
+
+
+@pytest.fixture(scope="session")
+def spark_global(spark):
+    return spark
