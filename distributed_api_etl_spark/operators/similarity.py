@@ -127,3 +127,89 @@ def ivf_topk(
         .where(F.col("rnk") <= k)
         .select("query_id", "neighbor_id", "rnk", F.round("cosine", 6).alias("cosine"))
     )
+
+
+def quantize_embeddings(
+    emb: DataFrame, id_col: str, vec_col: str, levels: int = 127
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization: q[j] = round(v[j]/s), with
+    scale s = max|v|/levels stored alongside.
+
+    The 100 TB storage path: 4x smaller than float32 (16x vs float64),
+    enough precision for ANN candidate generation; re-rank the top
+    candidates with the full-precision vectors. All JVM-side HOFs.
+    """
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    amax = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    scale = F.when(amax > 0, amax / levels).otherwise(F.lit(1.0))
+    return emb.select(
+        F.col(id_col),
+        scale.alias("scale"),
+        F.transform(v, lambda x: F.round(x / scale).cast("int")).alias("qvec"),
+    )
+
+
+def dequantize(qvec_col: str = "qvec", scale_col: str = "scale"):
+    """Column expression: approximate reconstruction v[j] ~= q[j] * scale."""
+    return F.transform(
+        F.col(qvec_col), lambda q: q.cast("double") * F.col(scale_col)
+    )
+
+
+def ivf_kmeans_topk(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_centroids: int,
+    queries: DataFrame,
+    k: int,
+    max_iter: int = 5,
+    seed: int = 7,
+) -> DataFrame:
+    """IVF with learned (k-means) centroids — the production variant of
+    :func:`ivf_topk` (which uses a deterministic centroid subset so it can
+    be oracle-verified). Plan shape is identical: fit on a sample, broadcast
+    centroids, argmax assignment, bucket equi-join.
+
+    Uses pyspark.ml KMeans (Lloyd's); at 100 TB fit on a sample
+    (``sampleBy``/limit) — assignment cost, one corpus scan, is unchanged.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    train = emb.select(
+        array_to_vector(
+            F.transform(F.col(vec_col), lambda x: x.cast("double"))
+        ).alias("features")
+    )
+    model = KMeans(k=n_centroids, maxIter=max_iter, seed=seed).fit(train)
+    centers = [list(map(float, c)) for c in model.clusterCenters()]
+    spark = emb.sparkSession
+    cdf = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(centers)], f"{id_col} bigint, {vec_col} array<double>"
+    )
+    assigned = ivf_assign(emb, cdf, id_col, vec_col)
+    q = queries.select(F.col(id_col).alias("query_id")).join(
+        assigned.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("qv"),
+            F.col("centroid_id"),
+        ),
+        "query_id",
+    )
+    cand = assigned.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("nv"),
+        F.col("centroid_id"),
+    )
+    scored = (
+        cand.join(F.broadcast(q), "centroid_id")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cosine", cosine_similarity("qv", "nv"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "rnk", F.round("cosine", 6).alias("cosine"))
+    )

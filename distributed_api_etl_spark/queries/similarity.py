@@ -83,3 +83,61 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("vec_id") >= IVF_QUERY_LO) & (F.col("vec_id") < IVF_QUERY_HI)
     ).select("vec_id")
     return S.ivf_topk(emb, "vec_id", "embedding", IVF_CENTROIDS, queries, IVF_K)
+
+
+@register(
+    "ann_quantized_topk",
+    oracle=f"""
+    WITH vecs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    qt AS (
+      SELECT vec_id,
+             CASE WHEN list_max(list_transform(v, x -> abs(x))) > 0
+                  THEN list_max(list_transform(v, x -> abs(x))) / 127
+                  ELSE 1.0 END AS scale,
+             v
+      FROM vecs
+    ),
+    quant AS (
+      SELECT vec_id, list_transform(v, x -> CAST(round(x / scale) AS INTEGER)) AS qvec
+      FROM qt
+    ),
+    q AS (SELECT vec_id AS query_id, qvec AS qq FROM quant WHERE vec_id < {N_QUERIES}),
+    scored AS (
+      SELECT q.query_id, c.vec_id AS neighbor_id,
+             list_cosine_similarity(CAST(q.qq AS DOUBLE[]),
+                                    CAST(c.qvec AS DOUBLE[])) AS cosine
+      FROM quant c CROSS JOIN q
+      WHERE c.vec_id <> q.query_id
+    )
+    SELECT query_id, neighbor_id, CAST(rnk AS INTEGER) AS rnk,
+           round(cosine, 6) AS cosine
+    FROM (SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
+          FROM scored)
+    WHERE rnk <= {TOP_K}
+    """,
+    tags=("similarity", "quantization"),
+)
+def ann_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k over int8-quantized vectors (the compact candidate-generation
+    path; scale factor per vector, symmetric rounding). Quantized cosine ==
+    full cosine of the rounded vectors — exact cross-engine."""
+    emb = fan_out(table(spark, sf_dir, "embeddings"))
+    quant = S.quantize_embeddings(emb, "vec_id", "embedding", levels=127)
+    queries = quant.where(F.col("vec_id") < N_QUERIES)
+    return S.bruteforce_topk(quant, queries, "vec_id", "qvec", TOP_K)
+
+
+@register(
+    "ann_ivf_kmeans_topk",
+    oracle=None,  # learned k-means centroids: not SQL-expressible (rows-only)
+    tags=("similarity", "ml"),
+)
+def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF over learned centroids (pyspark.ml KMeans) — production variant;
+    recall vs brute force asserted in tests/test_operators.py."""
+    emb = fan_out(table(spark, sf_dir, "embeddings"))
+    queries = emb.where(
+        (F.col("vec_id") >= IVF_QUERY_LO) & (F.col("vec_id") < IVF_QUERY_HI)
+    ).select("vec_id")
+    return S.ivf_kmeans_topk(emb, "vec_id", "embedding", IVF_CENTROIDS, queries, IVF_K)

@@ -172,3 +172,47 @@ def test_dedup_cluster_assignment_singletons(spark):
     assert rows[2].cluster_id == 2 and rows[5].cluster_id == 2
     assert rows[2].is_keep and not rows[5].is_keep
     assert all(rows[i].is_keep and rows[i].cluster_id == i for i in (1, 3, 4, 6))
+
+
+def test_quantize_roundtrip_error_bound(spark, sf_dir):
+    """|v - dequant(quant(v))| <= scale/2 elementwise (symmetric rounding)."""
+    from pyspark.sql import functions as F
+
+    from distributed_api_etl_spark.operators import similarity as S
+    from distributed_api_etl_spark.queries.registry import table
+
+    emb = table(spark, sf_dir, "embeddings").limit(200)
+    q = S.quantize_embeddings(emb, "vec_id", "embedding", levels=127)
+    joined = q.join(emb, "vec_id").select(
+        "vec_id", "scale",
+        F.array_max(
+            F.zip_with(
+                S.dequantize(),
+                F.transform("embedding", lambda x: x.cast("double")),
+                lambda a, b: F.abs(a - b),
+            )
+        ).alias("max_err"),
+    )
+    bad = joined.where(F.col("max_err") > F.col("scale") / 2 + 1e-12).count()
+    assert bad == 0
+
+
+def test_ivf_kmeans_recall_vs_bruteforce(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from distributed_api_etl_spark.operators import similarity as S
+    from distributed_api_etl_spark.queries.registry import table
+
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 20).select("vec_id")
+    exact = S.bruteforce_topk(
+        emb, emb.where(F.col("vec_id") < 20), "vec_id", "embedding", 3
+    )
+    approx = S.ivf_kmeans_topk(emb, "vec_id", "embedding", 8, queries, 3)
+    exact_set = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    approx_set = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    # nprobe=1 over 8 learned buckets on random-ish vectors: modest recall
+    # floor — the assertion is about wiring, not ANN quality at toy scale
+    assert recall >= 0.3, f"recall {recall}"
+    assert len(approx_set) == 60
