@@ -195,3 +195,50 @@ def events_salted_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_buckets=32,
     )
     return distinct.join(counts, "event_type")
+
+
+@register(
+    "events_asof_attribution",
+    oracle="""
+    WITH clicks AS (
+      SELECT user_id, ts, max(event_id) AS click_id
+      FROM events WHERE event_type = 'click'
+      GROUP BY user_id, ts
+    ),
+    purch AS (
+      SELECT user_id, ts, event_id AS purchase_id
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT p.user_id, p.purchase_id, c.click_id,
+           CASE WHEN c.click_id IS NULL THEN NULL
+                ELSE epoch_ms(p.ts) - epoch_ms(c.ts) END AS ms_since_click
+    FROM purch p
+    ASOF LEFT JOIN clicks c ON p.user_id = c.user_id AND c.ts <= p.ts
+    """,
+    tags=("events", "asof"),
+)
+def events_asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join (operators/asof.py): latest prior click for each
+    purchase, per user — oracle is DuckDB's native ASOF JOIN. Right side
+    deduped to unique (user, ts) so ties are well-defined on both engines."""
+    from distributed_api_etl_spark.operators.asof import asof_join
+
+    ev = table(spark, sf_dir, "events")
+    clicks = (
+        ev.where(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("click_id"))
+    )
+    purch = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("purchase_id")
+    )
+    joined = asof_join(purch, clicks, on="ts", by=["user_id"])
+    ms = F.unix_millis(F.col("ts").cast("timestamp")) - F.unix_millis(
+        F.col("r_ts").cast("timestamp")
+    )
+    return joined.select(
+        "user_id",
+        "purchase_id",
+        F.col("r_click_id").alias("click_id"),
+        F.when(F.col("r_click_id").isNotNull(), ms).alias("ms_since_click"),
+    )

@@ -68,11 +68,11 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         spark.conf.set("spark.sql.session.timeZone", "UTC")
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
+        # integer division: float `/ 1000` loses precision above 2^53
+        # (epoch-nanos are ~1.7e18) and rounds the microsecond
         return df.withColumn(
             "ts",
-            F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long")).cast(
-                "timestamp_ntz"
-            ),
+            F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz"),
         )
     return spark.read.parquet(path)
 

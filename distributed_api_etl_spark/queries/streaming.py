@@ -109,11 +109,9 @@ def streaming_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.types import TimestampType
 
     if not isinstance(stream.schema["ts"].dataType, TimestampType):
+        # integer division — float `/ 1000` rounds the microsecond (2^53)
         stream = stream.withColumn(
-            "ts",
-            F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long")).cast(
-                "timestamp"
-            ),
+            "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp")
         )
     out = tumbling_window_stream(stream, ts_col="ts")
     name = _drain_to_memory(out, mode="complete")

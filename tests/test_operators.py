@@ -216,3 +216,31 @@ def test_ivf_kmeans_recall_vs_bruteforce(spark, sf_dir):
     # floor — the assertion is about wiring, not ANN quality at toy scale
     assert recall >= 0.3, f"recall {recall}"
     assert len(approx_set) == 60
+
+
+def test_asof_join_semantics(spark):
+    """Backward inclusive match, no-match -> NULL, tolerance cutoff, and no
+    row tearing when a right value is legitimately NULL."""
+    from distributed_api_etl_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [("u1", 100, "p1"), ("u1", 205, "p2"), ("u2", 50, "p3")],
+        "user string, ts bigint, pid string",
+    )
+    right = spark.createDataFrame(
+        [("u1", 100, "c1", None), ("u1", 200, "c2", "x"), ("u1", 300, "c3", "y")],
+        "user string, ts bigint, cid string, extra string",
+    )
+    out = {r.pid: r for r in asof_join(left, right, on="ts", by=["user"]).collect()}
+    assert out["p1"].r_cid == "c1" and out["p1"].r_ts == 100  # inclusive tie
+    assert out["p1"].r_extra is None  # NULL value carried from the SAME row
+    assert out["p2"].r_cid == "c2" and out["p2"].r_extra == "x"
+    assert out["p3"].r_cid is None  # u2 has no clicks
+
+    tol = {
+        r.pid: r
+        for r in asof_join(
+            left, right, on="ts", by=["user"], tolerance_ms=None
+        ).collect()
+    }
+    assert tol["p2"].r_cid == "c2"
