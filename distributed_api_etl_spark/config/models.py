@@ -116,11 +116,25 @@ class ColumnMapping(BaseModel):
 
 
 class SourceTableConfig(BaseModel):
+    """Source: catalog table (``namespace.name``), file location, or a
+    caller-supplied DataFrame — exactly one. The reference supports only
+    catalog XOR DataFrame; ``location`` adds direct file reads (the
+    Spark-native case: parquet/csv/json paths without a metastore)."""
+
     namespace: str | None = None
     name: str | None = None
+    location: str | None = None
+    format: Literal["parquet", "csv", "json", "orc"] = "parquet"
+    options: dict[str, str] = Field(default_factory=dict)  # e.g. csv header
     id_column: str = "tracking_id"
     table_schema: TableSchema | None = Field(default=None, alias="schema")
     model_config = {"populate_by_name": True}
+
+    @model_validator(mode="after")
+    def _check_source(self) -> "SourceTableConfig":
+        if self.name is not None and self.location is not None:
+            raise ValueError("source: give namespace.name OR location, not both")
+        return self
 
     @property
     def full_name(self) -> str | None:

@@ -48,9 +48,20 @@ class PipelineOrchestrator:
     # -- source resolution ---------------------------------------------------
     def _resolve_source(self, source_df: DataFrame | None, source_id: str | None) -> DataFrame:
         src_cfg = self.config.tables.source
-        if (source_df is None) == (src_cfg.full_name is None):
-            raise ValueError("exactly one of tables.source.name or source_df required")
-        df = source_df if source_df is not None else self.spark.table(src_cfg.full_name)
+        configured = src_cfg.full_name is not None or src_cfg.location is not None
+        if (source_df is None) == (not configured):
+            raise ValueError(
+                "exactly one of tables.source.{name,location} or source_df required"
+            )
+        if source_df is not None:
+            df = source_df
+        elif src_cfg.location is not None:
+            reader = self.spark.read.format(src_cfg.format)
+            for k, v in src_cfg.options.items():
+                reader = reader.option(k, v)
+            df = reader.load(src_cfg.location)
+        else:
+            df = self.spark.table(src_cfg.full_name)
         id_col = source_id or src_cfg.id_column
         ok, errors = validate_dataframe(
             src_cfg.model_copy(update={"id_column": id_col}), df

@@ -242,3 +242,40 @@ def events_asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("r_click_id").alias("click_id"),
         F.when(F.col("r_click_id").isNotNull(), ms).alias("ms_since_click"),
     )
+
+
+@register(
+    "events_range_join_errors",
+    oracle="""
+    WITH p AS (SELECT user_id, event_id AS purchase_id, epoch_us(ts) AS p_us
+               FROM events WHERE event_type = 'purchase'),
+    e AS (SELECT user_id, event_id AS error_id, epoch_us(ts) AS e_us
+          FROM events WHERE event_type = 'error')
+    SELECT p.user_id, p.purchase_id, e.error_id,
+           (p.p_us - e.e_us) AS us_gap
+    FROM p JOIN e ON p.user_id = e.user_id
+    WHERE abs(p.p_us - e.e_us) <= 3600000000
+    """,
+    tags=("events", "rangejoin"),
+)
+def events_range_join_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded range join (operators/rangejoin.py): purchases with an error
+    event by the same user within 1h — equi join on (user, time cell)
+    instead of the quadratic inequality join the SQL oracle runs."""
+    from distributed_api_etl_spark.operators.rangejoin import range_join_within
+
+    ev = table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    p = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", us.alias("us"), F.col("event_id").alias("purchase_id")
+    )
+    e = ev.where(F.col("event_type") == "error").select(
+        "user_id", us.alias("us"), F.col("event_id").alias("error_id")
+    )
+    out = range_join_within(p, e, on="us", by=["user_id"], window=3_600_000_000)
+    return out.select(
+        "user_id",
+        "l_purchase_id",
+        "r_error_id",
+        (F.col("l_us") - F.col("r_us")).alias("us_gap"),
+    ).withColumnsRenamed({"l_purchase_id": "purchase_id", "r_error_id": "error_id"})

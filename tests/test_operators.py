@@ -244,3 +244,31 @@ def test_asof_join_semantics(spark):
         ).collect()
     }
     assert tol["p2"].r_cid == "c2"
+
+
+def test_range_join_within_matches_naive(spark):
+    """Banded equi-join plan == naive inequality join, including boundary
+    pairs at exactly |diff| == window and cross-cell neighbors."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from distributed_api_etl_spark.operators.rangejoin import range_join_within
+
+    rng = random.Random(11)
+    lrows = [("u%d" % rng.randint(0, 3), rng.randint(0, 1000), i) for i in range(80)]
+    rrows = [("u%d" % rng.randint(0, 3), rng.randint(0, 1000), i) for i in range(80)]
+    left = spark.createDataFrame(lrows, "k string, t bigint, lid int")
+    right = spark.createDataFrame(rrows, "k string, t bigint, rid int")
+    W = 50
+    got = {
+        (r.k, r.l_lid, r.r_rid)
+        for r in range_join_within(left, right, on="t", by=["k"], window=W).collect()
+    }
+    naive = {
+        (lk, lid, rid)
+        for (lk, lt, lid) in lrows
+        for (rk, rt, rid) in rrows
+        if lk == rk and abs(lt - rt) <= W
+    }
+    assert got == naive

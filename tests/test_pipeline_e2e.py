@@ -122,3 +122,39 @@ def test_pipeline_with_request_template_e2e(spark):
     # the whole pipeline (row -> middleware -> transport -> bronze)
     assert _json.loads(rows["t1"].body_text) == {"body_seg": "SEG_A", "static": "x"}
     assert _json.loads(rows["t2"].body_text) == {"body_seg": "SEG_B", "static": "x"}
+
+
+def test_pipeline_source_from_file_location(spark, tmp_path):
+    """tables.source.location: read the source directly from files (csv with
+    header here) — no metastore, no caller DataFrame."""
+    src_dir = str(tmp_path / "src_csv")
+    spark.createDataFrame(
+        [("a1",), ("a2",), ("a3",)], "tracking_id string"
+    ).coalesce(1).write.option("header", True).csv(src_dir)
+
+    from distributed_api_etl_spark.orchestration import run_pipeline
+
+    cfg = {
+        "endpoint": {
+            "method": "GET",
+            "url": "http://mock.local/api/x",
+            "param_mapping": [{"endpoint_param": "id", "source_column": "request_id"}],
+        },
+        "transport": {"engine": "mock"},
+        "execution": {"num_partitions": 2},
+        "tables": {
+            "source": {"location": src_dir, "format": "csv", "options": {"header": "true"}}
+        },
+    }
+    result = run_pipeline(spark, cfg, dry_run=True, fixed_time="2024-01-01T00:00:00")
+    rows = {r.request_id for r in result.bronze_df.collect()}
+    assert rows == {"a1", "a2", "a3"}
+
+
+def test_source_name_and_location_mutually_exclusive():
+    import pytest as _pytest
+
+    from distributed_api_etl_spark.config.models import SourceTableConfig
+
+    with _pytest.raises(ValueError, match="not both"):
+        SourceTableConfig(name="t", location="/tmp/x")
