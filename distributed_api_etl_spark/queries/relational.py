@@ -333,3 +333,115 @@ def q1_rollup_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("count_order"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Set operations + frame-based windows (SURVEY §2.4: absent in the
+# reference, delegated to Spark built-ins — graded here).
+# ---------------------------------------------------------------------------
+@register(
+    "set_ops_customer_segments",
+    oracle="""
+    WITH building AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'),
+    rich AS (SELECT c_custkey FROM customer WHERE c_acctbal > 5000.0)
+    SELECT 'intersect' AS op, CAST(count(*) AS BIGINT) AS n
+    FROM (SELECT * FROM building INTERSECT SELECT * FROM rich)
+    UNION ALL
+    SELECT 'except', CAST(count(*) AS BIGINT)
+    FROM (SELECT * FROM building EXCEPT SELECT * FROM rich)
+    UNION ALL
+    SELECT 'union', CAST(count(*) AS BIGINT)
+    FROM (SELECT * FROM building UNION SELECT * FROM rich)
+    """,
+    tags=("relational", "setops"),
+)
+def set_ops_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = table(spark, sf_dir, "customer")
+    building = cust.where(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    rich = cust.where(F.col("c_acctbal") > 5000.0).select("c_custkey")
+    spark_ = spark
+
+    def one(op: str, df: DataFrame) -> DataFrame:
+        return df.agg(F.count("*").cast("bigint").alias("n")).select(
+            F.lit(op).alias("op"), "n"
+        )
+
+    return (
+        one("intersect", building.intersect(rich))
+        .unionByName(one("except", building.exceptAll(rich).distinct()))
+        .unionByName(one("union", building.union(rich).distinct()))
+    )
+
+
+@register(
+    "window_running_order_totals",
+    oracle="""
+    SELECT o_custkey,
+           CAST(o_orderkey AS BIGINT) AS o_orderkey,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(14,2)))
+                OVER (PARTITION BY o_custkey
+                      ORDER BY CAST(o_orderdate AS DATE), o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS DOUBLE) AS running_total,
+           CAST(lag(o_orderkey) OVER (PARTITION BY o_custkey
+                ORDER BY CAST(o_orderdate AS DATE), o_orderkey) AS BIGINT)
+             AS prev_orderkey
+    FROM orders
+    WHERE o_custkey < 200
+    """,
+    tags=("relational", "window"),
+)
+def window_running_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-based running sum + lag per customer (exact DECIMAL
+    accumulation, cast to double only at the boundary)."""
+    from pyspark.sql import Window
+
+    orders = table(spark, sf_dir, "orders").where(F.col("o_custkey") < 200)
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").cast("date"), F.col("o_orderkey")
+    )
+    frame = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return orders.select(
+        "o_custkey",
+        F.col("o_orderkey").cast("bigint").alias("o_orderkey"),
+        F.sum(dec("o_totalprice", 14, 2)).over(frame).cast("double").alias("running_total"),
+        F.lag("o_orderkey").over(w).cast("bigint").alias("prev_orderkey"),
+    )
+
+
+@register(
+    "profile_customer_table",
+    oracle="""
+    SELECT 'c_custkey' AS column_name, count(*) AS n_rows,
+           count(*) - count(c_custkey) AS n_nulls,
+           count(DISTINCT c_custkey) AS n_distinct,
+           CAST(min(c_custkey) AS DOUBLE) AS min_num,
+           CAST(max(c_custkey) AS DOUBLE) AS max_num,
+           CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+    FROM customer
+    UNION ALL
+    SELECT 'c_name', count(*), count(*) - count(c_name), count(DISTINCT c_name),
+           NULL, NULL, min(c_name), max(c_name) FROM customer
+    UNION ALL
+    SELECT 'c_nationkey', count(*), count(*) - count(c_nationkey),
+           count(DISTINCT c_nationkey),
+           CAST(min(c_nationkey) AS DOUBLE), CAST(max(c_nationkey) AS DOUBLE),
+           NULL, NULL FROM customer
+    UNION ALL
+    SELECT 'c_acctbal', count(*), count(*) - count(c_acctbal),
+           count(DISTINCT c_acctbal),
+           CAST(min(c_acctbal) AS DOUBLE), CAST(max(c_acctbal) AS DOUBLE),
+           NULL, NULL FROM customer
+    UNION ALL
+    SELECT 'c_mktsegment', count(*), count(*) - count(c_mktsegment),
+           count(DISTINCT c_mktsegment),
+           NULL, NULL, min(c_mktsegment), max(c_mktsegment) FROM customer
+    """,
+    tags=("relational", "profiling"),
+)
+def profile_customer_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass per-column profiling (operators/profile.py): the oracle
+    needs 5 scans for what one Spark aggregation computes."""
+    from distributed_api_etl_spark.operators.profile import profile_table
+
+    return profile_table(table(spark, sf_dir, "customer"))

@@ -272,3 +272,22 @@ def test_range_join_within_matches_naive(spark):
         if lk == rk and abs(lt - rt) <= W
     }
     assert got == naive
+
+
+def test_profile_table_single_pass_and_nulls(spark):
+    from distributed_api_etl_spark.operators.profile import profile_table
+
+    df = spark.createDataFrame(
+        [(1, "a", 2.0), (2, None, 4.0), (3, "b", None), (3, "b", 8.0)],
+        "k bigint, s string, v double",
+    )
+    prof = {r.column_name: r for r in profile_table(df).collect()}
+    assert prof["k"].n_rows == 4 and prof["k"].n_nulls == 0
+    assert prof["k"].n_distinct == 3
+    assert prof["k"].min_num == 1.0 and prof["k"].max_num == 3.0
+    assert prof["s"].n_nulls == 1 and prof["s"].n_distinct == 2
+    assert prof["s"].min_str == "a" and prof["s"].max_str == "b"
+    assert prof["v"].n_nulls == 1 and prof["v"].max_num == 8.0
+    # approx mode runs and keeps the schema
+    approx = profile_table(df, approx=True)
+    assert {r.column_name for r in approx.collect()} == {"k", "s", "v"}
