@@ -170,6 +170,26 @@ class TablesConfig(BaseModel):
     sink: SinkConfig = Field(default_factory=SinkConfig)
 
 
+class PaginationConfig(BaseModel):
+    """Multi-page requests per source row (page-number or cursor mode);
+    pages are aggregated into one bronze record (JSON array body)."""
+
+    mode: Literal["page", "cursor"] = "page"
+    page_param: str = "page"
+    start_page: int = 1
+    max_pages: int = 10
+    cursor_param: str = "cursor"
+    cursor_json_path: str = "next"
+    stop_on_empty_json_path: str | None = None
+
+    @field_validator("max_pages")
+    @classmethod
+    def _positive(cls, v: int) -> int:
+        if v <= 0:
+            raise ValueError("max_pages must be positive")
+        return v
+
+
 class EndpointConfig(BaseModel):
     """Request shape. ``request_template`` and ``response_schema`` are
     declared-but-dead in the reference (endpoint.py:15-16); here both are
@@ -188,6 +208,8 @@ class EndpointConfig(BaseModel):
     #: Declared schema of the (JSON) response body — enables typed
     #: silver extraction from bronze ``body_text``.
     response_schema: TableSchema | None = None
+    #: Follow page numbers / cursors: one row -> N requests -> one record.
+    pagination: PaginationConfig | None = None
     timeout: float | None = None
     metadata: dict[str, str] = Field(default_factory=dict)
 

@@ -36,11 +36,16 @@ def connected_components(
         edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
     )
     sym = sym.distinct().persist()
+    # iterative lineage MUST be truncated every round: ``labels`` appears
+    # twice per iteration, so without a checkpoint the logical plan doubles
+    # each round (2^iters nodes -> driver OOM just *printing* the plan).
+    # localCheckpoint materializes to executor storage and cuts lineage; on
+    # a cluster prefer a reliable checkpoint dir for fault tolerance.
     labels = (
         sym.select(F.col("a").alias("node"))
         .distinct()
         .select("node", F.col("node").alias("label"))
-        .persist()
+        .localCheckpoint(eager=True)
     )
     for _ in range(max_iter):
         neighbor_min = (
@@ -57,7 +62,7 @@ def connected_components(
                     F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
                 ).alias("label"),
             )
-            .persist()
+            .localCheckpoint(eager=True)
         )
         changed = (
             new_labels.join(labels.withColumnRenamed("label", "old"), "node")
@@ -65,7 +70,6 @@ def connected_components(
             .limit(1)
             .count()
         )
-        labels.unpersist()
         labels = new_labels
         if changed == 0:
             break

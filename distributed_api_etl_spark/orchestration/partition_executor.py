@@ -94,6 +94,12 @@ def build_middlewares(compiled: dict) -> list:
     ]
     if body_mapping:
         chain.append(JsonBodyInjectorMiddleware(body_mapping))
+    if endpoint.get("pagination"):
+        from distributed_api_etl_spark.request_execution.middleware.interceptors import (
+            PaginationMiddleware,
+        )
+
+        chain.append(PaginationMiddleware(**endpoint["pagination"]))
 
     if auth["type"] == "basic":
         chain.append(BasicAuthMiddleware(auth["username"], auth["password"]))

@@ -160,3 +160,50 @@ def schema_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "issue_type string, column_name string, detail string"
     )
+
+
+@register(
+    "api_pipeline_paged",
+    oracle="""
+    SELECT CAST(c_custkey AS VARCHAR) AS request_id,
+           '[{"id": "' || CAST(c_custkey AS VARCHAR)
+             || '", "page": "1"}, {"id": "' || CAST(c_custkey AS VARCHAR)
+             || '", "page": "2"}]' AS body_text,
+           sha256('[{"id": "' || CAST(c_custkey AS VARCHAR)
+             || '", "page": "1"}, {"id": "' || CAST(c_custkey AS VARCHAR)
+             || '", "page": "2"}]') AS row_hash,
+           2 AS attempts,
+           TRUE AS success
+    FROM customer
+    """,
+    tags=("pipeline", "etl", "pagination"),
+)
+def api_pipeline_paged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pagination end-to-end: one row -> 2 paged requests -> one bronze
+    record with a JSON-array body (each page = the mock's param echo)."""
+    from distributed_api_etl_spark.orchestration import run_pipeline
+
+    cfg = {
+        "endpoint": {
+            "method": "GET",
+            "url": "http://mock.local/api/paged",
+            "param_mapping": [{"endpoint_param": "id", "source_column": "request_id"}],
+            "pagination": {"mode": "page", "max_pages": 2},
+        },
+        "transport": {"engine": "mock"},
+        "execution": {"batch_size": 100_000, "num_partitions": 32},
+    }
+    source = table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").cast("string").alias("tracking_id")
+    )
+    result = run_pipeline(
+        spark, cfg, source_df=source, source_id="tracking_id",
+        dry_run=True, fixed_time=FIXED_TIME,
+    )
+    return result.bronze_df.select(
+        "request_id",
+        "body_text",
+        "row_hash",
+        F.col("attempts").cast("int").alias("attempts"),
+        "success",
+    )

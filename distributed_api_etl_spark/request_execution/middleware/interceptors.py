@@ -84,3 +84,75 @@ class JsonResponseMiddleware:
         if result.status_code is not None:
             result.success = result.status_code < 400
         return result
+
+
+class PaginationMiddleware:
+    """Multi-page fan-in: one source row -> N paged requests -> one bronze
+    record whose ``body_text`` is the JSON array of page bodies.
+
+    Sits OUTSIDE retry in the chain, so every page request gets the full
+    retry/auth/telemetry treatment. Two modes:
+
+    * ``page``: increment ``page_param`` from ``start_page`` until
+      ``max_pages``, a non-success page, or (optionally) an empty list at
+      ``stop_on_empty_json_path``;
+    * ``cursor``: follow ``cursor_json_path`` from each page body into
+      ``cursor_param`` until the cursor is null/missing or ``max_pages``.
+
+    The reference has no pagination surface at all; any real API-ingestion
+    workload needs it (this is worker-side Python — no Spark implications
+    beyond response size, which ``max_pages`` bounds).
+    """
+
+    def __init__(
+        self,
+        mode: str = "page",
+        page_param: str = "page",
+        start_page: int = 1,
+        max_pages: int = 10,
+        cursor_param: str = "cursor",
+        cursor_json_path: str = "next",
+        stop_on_empty_json_path: str | None = None,
+    ) -> None:
+        self.mode = mode
+        self.page_param = page_param
+        self.start_page = start_page
+        self.max_pages = max_pages
+        self.cursor_param = cursor_param
+        self.cursor_json_path = cursor_json_path
+        self.stop_on_empty_json_path = stop_on_empty_json_path
+
+    async def __call__(self, exchange: RequestExchange, next_call: NextCall) -> RequestExchange:
+        pages: list = []
+        total_attempts = 0
+        result = exchange
+        cursor = None
+        for i in range(self.max_pages):
+            if self.mode == "page":
+                exchange.context.params[self.page_param] = str(self.start_page + i)
+            elif cursor is not None:
+                exchange.context.params[self.cursor_param] = str(cursor)
+            result = await next_call(exchange)
+            total_attempts += result.attempts
+            parsed = None
+            if result.body_text:
+                try:
+                    parsed = json.loads(result.body_text)
+                except ValueError:
+                    parsed = result.body_text  # non-JSON page kept verbatim
+            pages.append(parsed)
+            if not result.success:
+                break
+            if self.mode == "page":
+                if self.stop_on_empty_json_path is not None and isinstance(parsed, dict):
+                    if not parsed.get(self.stop_on_empty_json_path):
+                        break
+            else:
+                cursor = parsed.get(self.cursor_json_path) if isinstance(parsed, dict) else None
+                if cursor is None:
+                    break
+        result.body_text = json.dumps(pages, sort_keys=True)
+        result.body = result.body_text.encode()
+        result.attempts = total_attempts
+        result.metadata.setdefault("pagination", {})["pages"] = len(pages)
+        return result

@@ -222,3 +222,75 @@ def test_template_columns_pruning_set():
         request_template={"a": "{col1}", "b": {"c": ["{col2}", "{col1}"]}, "d": 5},
     )
     assert ep.template_columns() == {"col1", "col2"}
+
+
+def test_pagination_page_mode_stop_on_empty():
+    import json as _json
+
+    from distributed_api_etl_spark.request_execution.middleware.interceptors import (
+        PaginationMiddleware,
+    )
+
+    mw = PaginationMiddleware(
+        mode="page", page_param="p", max_pages=10, stop_on_empty_json_path="items"
+    )
+    served = {"1": ["a", "b"], "2": ["c"], "3": []}
+
+    async def next_call(ex):
+        page = ex.context.params["p"]
+        ex.body_text = _json.dumps({"items": served.get(page, [])})
+        ex.success = True
+        ex.status_code = 200
+        ex.attempts = 1
+        return ex
+
+    ex = make_exchange()
+    out = run(mw(ex, next_call))
+    pages = _json.loads(out.body_text)
+    assert [p["items"] for p in pages] == [["a", "b"], ["c"], []]
+    assert out.metadata["pagination"]["pages"] == 3
+    assert out.attempts == 3
+
+
+def test_pagination_cursor_mode():
+    import json as _json
+
+    from distributed_api_etl_spark.request_execution.middleware.interceptors import (
+        PaginationMiddleware,
+    )
+
+    mw = PaginationMiddleware(mode="cursor", cursor_param="c", cursor_json_path="next")
+    chain = {None: {"v": 1, "next": "t2"}, "t2": {"v": 2, "next": "t3"}, "t3": {"v": 3}}
+
+    async def next_call(ex):
+        cur = ex.context.params.get("c")
+        ex.body_text = _json.dumps(chain[cur])
+        ex.success = True
+        ex.status_code = 200
+        ex.attempts = 1
+        return ex
+
+    out = run(mw(make_exchange(), next_call))
+    pages = _json.loads(out.body_text)
+    assert [p["v"] for p in pages] == [1, 2, 3]
+
+
+def test_pagination_stops_on_failed_page():
+    from distributed_api_etl_spark.request_execution.middleware.interceptors import (
+        PaginationMiddleware,
+    )
+
+    mw = PaginationMiddleware(mode="page", max_pages=5)
+    calls = []
+
+    async def next_call(ex):
+        calls.append(ex.context.params["page"])
+        ex.success = len(calls) < 2
+        ex.status_code = 200 if ex.success else 503
+        ex.body_text = '{"x": 1}'
+        ex.attempts = 1
+        return ex
+
+    out = run(mw(make_exchange(), next_call))
+    assert calls == ["1", "2"]
+    assert out.success is False  # final state reflects the failed page
