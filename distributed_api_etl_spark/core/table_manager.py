@@ -178,3 +178,52 @@ class TableManager:
     def validate_table(self, table_name: str, expected: T.StructType) -> SchemaDriftReport:
         actual = self.spark.table(table_name).schema
         return validate_schema(actual, expected)
+
+
+def compact_files(
+    spark: SparkSession,
+    location: str,
+    fmt: str = "parquet",
+    target_file_mb: int = 128,
+) -> dict:
+    """Compact a fragmented append sink into ~target-sized files.
+
+    Per-batch appends (the HTTP pipeline's write pattern) fragment the sink:
+    at 200 partitions x many batches the file count grows unbounded and
+    scan planning slows. Rewrite with a size-derived partition count
+    (parquet has no OPTIMIZE; Delta users should prefer OPTIMIZE/Z-ORDER).
+
+    The rewrite goes through a temp dir + atomic-ish swap so a crash leaves
+    either the old or the new layout, never a mix. Returns
+    {files_before, files_after, bytes}.
+    """
+    import math
+    import shutil
+
+    sc = spark.sparkContext
+    jvm_path = sc._jvm.org.apache.hadoop.fs.Path  # noqa: SLF001
+    fs = jvm_path(location).getFileSystem(sc._jsc.hadoopConfiguration())  # noqa: SLF001
+    df = spark.read.format(fmt).load(location)
+    summary = fs.getContentSummary(jvm_path(location))
+    total_bytes = summary.getLength()
+    files_before = sum(
+        1 for _ in df.inputFiles()
+    )
+    n_out = max(1, math.ceil(total_bytes / (target_file_mb * 1024 * 1024)))
+    tmp = location.rstrip("/") + "__compact_tmp"
+    old = location.rstrip("/") + "__compact_old"
+    (
+        df.repartition(n_out)
+        .write.format(fmt)
+        .mode("overwrite")
+        .save(tmp)
+    )
+    shutil.move(location, old)
+    shutil.move(tmp, location)
+    shutil.rmtree(old)
+    files_after = sum(1 for _ in spark.read.format(fmt).load(location).inputFiles())
+    return {
+        "files_before": files_before,
+        "files_after": files_after,
+        "bytes": int(total_bytes),
+    }

@@ -129,3 +129,24 @@ def test_silver_extract_types_and_parse_flag(spark):
     assert rows["r1"].uid == "u1" and rows["r1"].score == 4.5 and rows["r1"]._parse_ok
     assert rows["r2"].uid is None and not rows["r2"]._parse_ok
     assert dict(out.dtypes)["score"] == "double"
+
+
+def test_compact_files_preserves_rows(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from distributed_api_etl_spark.core.table_manager import compact_files
+
+    loc = str(tmp_path / "fragmented")
+    # simulate per-batch appends: 6 appends x 8 partitions = ~48 small files
+    for i in range(6):
+        spark.range(i * 100, (i + 1) * 100).select(
+            F.col("id"), F.sha2(F.col("id").cast("string"), 256).alias("h")
+        ).repartition(8).write.mode("append").parquet(loc)
+
+    before = spark.read.parquet(loc)
+    rows_before = {(r.id, r.h) for r in before.collect()}
+    stats = compact_files(spark, loc, target_file_mb=128)
+    after = spark.read.parquet(loc)
+    assert {(r.id, r.h) for r in after.collect()} == rows_before
+    assert stats["files_after"] < stats["files_before"]
+    assert stats["files_after"] >= 1
