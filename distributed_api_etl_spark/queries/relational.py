@@ -445,3 +445,94 @@ def profile_customer_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     from distributed_api_etl_spark.operators.profile import profile_table
 
     return profile_table(table(spark, sf_dir, "customer"))
+
+
+# ---------------------------------------------------------------------------
+# Grouping sets (CUBE) — absent from the reference (SURVEY §2.4 "no grouping
+# sets"); the Spark-native form computes every grouping-set level in ONE
+# shuffle with map-side partial aggregation (the naive alternative is 4
+# scans + a union). GROUPING() flags disambiguate subtotal NULLs from data
+# NULLs, which matters once grouping columns are nullable at scale.
+# ---------------------------------------------------------------------------
+@register(
+    "q1_cube_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(GROUPING(l_returnflag) AS INTEGER) AS g_returnflag,
+           CAST(GROUPING(l_linestatus) AS INTEGER) AS g_linestatus,
+           CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+           count(*) AS count_order
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    tags=("analytics",),
+)
+def q1_cube_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.grouping("l_returnflag").cast("int").alias("g_returnflag"),
+        F.grouping("l_linestatus").cast("int").alias("g_linestatus"),
+        F.sum(dec("l_quantity", 12, 2)).cast("double").alias("sum_qty"),
+        F.count("*").alias("count_order"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Correlated-aggregate join (TPC-H q17 shape): "lineitems whose quantity is
+# below 20% of the per-part average". The correlated subquery is decorrelated
+# by hand into a per-part aggregate + equi-join — the form Catalyst's
+# decorrelation produces, but stated explicitly so the plan is stable.
+# The 0.2*avg threshold is evaluated EXACTLY via cross-multiplication
+# (5·cnt·qty < sum_qty): no float division, so the filter decision is
+# bit-identical across engines and at any scale.
+# Scale: filtered `part` is tiny -> broadcast to the lineitem scan; the
+# per-part aggregate and the probe join both hash-partition on l_partkey,
+# so AQE reuses one exchange; nothing is ever corpus².
+# ---------------------------------------------------------------------------
+@register(
+    "q17_small_quantity_revenue",
+    oracle="""
+    WITH sel AS (
+      SELECT p_partkey AS l_partkey, p_brand FROM part
+      WHERE p_brand IN ('Brand#12','Brand#13','Brand#14') AND p_size <= 15
+    ),
+    per_part AS (
+      SELECT l_partkey,
+             sum(CAST(l_quantity AS DECIMAL(12,2))) AS sum_qty,
+             count(*) AS cnt
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT p_brand,
+           count(*) AS n_small,
+           CAST(sum(CAST(li.l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+             AS sum_price
+    FROM lineitem li
+    JOIN sel USING (l_partkey)
+    JOIN per_part pp USING (l_partkey)
+    WHERE CAST(li.l_quantity AS DECIMAL(12,2)) * 5 * pp.cnt < pp.sum_qty
+    GROUP BY p_brand
+    """,
+    tags=("analytics",),
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    part = table(spark, sf_dir, "part")
+    sel = part.where(
+        F.col("p_brand").isin("Brand#12", "Brand#13", "Brand#14")
+        & (F.col("p_size") <= 15)
+    ).select(F.col("p_partkey").alias("l_partkey"), "p_brand")
+    per_part = li.groupBy("l_partkey").agg(
+        F.sum(dec("l_quantity", 12, 2)).alias("sum_qty"),
+        F.count("*").alias("cnt"),
+    )
+    qty = dec("l_quantity", 12, 2)
+    return (
+        li.join(F.broadcast(sel), "l_partkey")
+        .join(per_part, "l_partkey")
+        .where(qty * F.lit(5) * F.col("cnt").cast(DecimalType(10, 0)) < F.col("sum_qty"))
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").alias("n_small"),
+            F.sum(dec("l_extendedprice", 12, 2)).cast("double").alias("sum_price"),
+        )
+    )
