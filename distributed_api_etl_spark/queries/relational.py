@@ -536,3 +536,33 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(dec("l_extendedprice", 12, 2)).cast("double").alias("sum_price"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Semi-join (EXISTS) — the dual of the reference's one join (the left-anti
+# idempotency diff, batch_processor.py:36-40): "customers with at least one
+# urgent order". LEFT SEMI never duplicates or widens the probe side, so the
+# output stays one row per customer with zero extra columns shuffled.
+# Scale: Catalyst broadcasts whichever side stats allow; at 100 TB both
+# sides are large -> AQE picks shuffled semi on o_custkey, and the
+# o_orderpriority filter is pushed into the orders scan first.
+# ---------------------------------------------------------------------------
+@register(
+    "semi_join_urgent_customers",
+    oracle="""
+    SELECT c_custkey, c_name, c_mktsegment
+    FROM customer c
+    WHERE EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT'
+    )
+    """,
+    tags=("relational",),
+)
+def semi_join_urgent_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders")
+    urgent = orders.where(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    return cust.join(
+        urgent, cust.c_custkey == urgent.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name", "c_mktsegment")
