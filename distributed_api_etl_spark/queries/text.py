@@ -138,9 +138,48 @@ def multimodal_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _hist_bucket_sql(k: int) -> str:
+    """DuckDB: count of bytes with ``byte >> 5 == k`` via the hex string.
+
+    ``hex(blob)`` yields two chars per byte; the first nibble ``h1``
+    satisfies ``byte >> 5 == h1 // 2``, so bucket k counts first-nibble
+    chars in {2k, 2k+1} at odd positions 1, 3, 5, ...
+    """
+    digits = "0123456789ABCDEF"
+    return (
+        f"len(list_filter(range(1, length(h) + 1, 2), "
+        f"i -> h[i] IN ('{digits[2 * k]}', '{digits[2 * k + 1]}')))"
+    )
+
+
+_FEATURES_SQL = ",\n           ".join(
+    f"CASE WHEN n > 0 THEN {_hist_bucket_sql(k)} / CAST(n AS DOUBLE) "
+    f"ELSE 0.0 END AS f{k}"
+    for k in range(8)
+)
+
+
 @register(
     "multimodal_feature_extract",
-    oracle=None,  # Arrow/pandas decode stage: not SQL-expressible (rows-only check)
+    # The fake decoder is deterministic over raw bytes, so the Arrow
+    # mapInPandas stage is fully oracle-able: geometry from byte length,
+    # 8-bucket byte histogram reconstructed from hex(blob) in DuckDB.
+    # Features are exploded to scalar doubles (f0..f7) — integer/int
+    # division on both sides, so the doubles are bit-identical.
+    oracle=f"""
+    WITH b AS (
+      SELECT doc_id, hex(encode(text)) AS h, octet_length(encode(text)) AS n
+      FROM documents
+    )
+    SELECT doc_id,
+           'text/plain' AS media_type,
+           CAST(n AS BIGINT) AS byte_len,
+           CAST((n % 64) + 1 AS INTEGER) AS width,
+           CAST((n // 64) + 1 AS INTEGER) AS height,
+           CAST(1 AS INTEGER) AS n_frames,
+           {_FEATURES_SQL}
+    FROM b
+    """,
     tags=("multimodal",),
 )
 def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -150,4 +189,16 @@ def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = fan_out(table(spark, sf_dir, "documents"))
-    return extract_features(attach_binary_content(docs, "doc_id", "text"))
+    feats = extract_features(attach_binary_content(docs, "doc_id", "text"))
+    # Graded projection: the driver's canonicalizer cannot hash an
+    # array<double> column, so the 8 histogram features are exploded to
+    # scalar doubles here (the operator itself keeps the array contract).
+    return feats.select(
+        "doc_id",
+        "media_type",
+        "byte_len",
+        "width",
+        "height",
+        "n_frames",
+        *[F.col("features")[k].alias(f"f{k}") for k in range(8)],
+    )
