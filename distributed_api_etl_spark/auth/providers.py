@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import asyncio
 import json
+import threading
 import time
 import urllib.parse
 import urllib.request
@@ -33,8 +34,11 @@ def _post_form(url: str, fields: dict[str, str], timeout: float = 10.0) -> dict:
         return json.loads(resp.read().decode())
 
 
-def _get_json(url: str, timeout: float = 10.0) -> dict:
-    with urllib.request.urlopen(url, timeout=timeout) as resp:
+def _get_json(
+    url: str, timeout: float = 10.0, headers: dict[str, str] | None = None
+) -> dict:
+    req = urllib.request.Request(url, headers=headers or {})
+    with urllib.request.urlopen(req, timeout=timeout) as resp:
         return json.loads(resp.read().decode())
 
 
@@ -67,8 +71,15 @@ class WorkerTokenProvider:
         self._auth = auth
         self._margin = float(auth.get("refresh_margin", 60.0))
         self._rpc_url = auth.get("rpc_url")  # injected by the driver at compile time
+        self._rpc_secret = auth.get("rpc_secret", "")
         self._token: Token | None = None
-        self._lock: asyncio.Lock | None = None
+        # threading.Lock, NOT asyncio.Lock: the provider is process-cached and
+        # outlives any single event loop (run_rows starts a fresh asyncio.run
+        # per chunk), while an asyncio.Lock binds to the loop that first awaits
+        # it and raises "bound to a different event loop" on the next chunk.
+        # The lock is only ever taken inside asyncio.to_thread, so holding it
+        # across the blocking fetch never stalls an event loop.
+        self._lock = threading.Lock()
 
     def _fetch(self) -> Token:
         attempts = 5
@@ -78,7 +89,13 @@ class WorkerTokenProvider:
             try:
                 if self._rpc_url:
                     try:
-                        return Token.from_json(_get_json(self._rpc_url, timeout=10.0))
+                        return Token.from_json(
+                            _get_json(
+                                self._rpc_url,
+                                timeout=10.0,
+                                headers={"X-Rpc-Auth": self._rpc_secret},
+                            )
+                        )
                     except Exception:
                         # RPC unreachable -> direct grant fallback
                         return fetch_token_direct(self._auth)
@@ -88,19 +105,21 @@ class WorkerTokenProvider:
                 time.sleep(delay * (2**i))
         raise RuntimeError(f"token fetch failed after {attempts} attempts: {last_err}")
 
-    async def get_token(self) -> str:
-        if self._lock is None:
-            self._lock = asyncio.Lock()
-        async with self._lock:
+    def _get_token_blocking(self) -> str:
+        with self._lock:
             if self._token is None or self._token.is_expired(self._margin):
-                self._token = await asyncio.to_thread(self._fetch)
+                self._token = self._fetch()
             return self._token.token_value
+
+    async def get_token(self) -> str:
+        return await asyncio.to_thread(self._get_token_blocking)
 
 
 def build_worker_token_provider(auth: dict[str, Any]) -> WorkerTokenProvider:
     """Keyed per-process cache (NOT a global singleton): one provider per
     distinct auth config, shared across tasks in the same worker."""
     key = "token-provider:" + json.dumps(
-        {k: v for k, v in auth.items() if k != "client_secret"}, sort_keys=True
+        {k: v for k, v in auth.items() if k not in ("client_secret", "rpc_secret")},
+        sort_keys=True,
     )
     return ProcessScope.get(key, lambda: WorkerTokenProvider(auth))

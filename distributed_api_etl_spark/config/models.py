@@ -300,7 +300,8 @@ class OAuth2Config(BaseModel):
     scope: str | None = None
     refresh_margin: float = 60.0
     rpc_enabled: bool = True  # driver token RPC; workers fall back to direct grant
-    rpc_port: int = 0  # 0 => pick a free safe port
+    rpc_port: int = 0  # 0 => pick a free safe port (explicit values are screened)
+    rpc_bind_host: str | None = None  # default: spark.driver.host / autodetect
 
     @model_validator(mode="after")
     def _check(self) -> "OAuth2Config":

@@ -72,11 +72,17 @@ class BatchProcessor:
     ) -> BatchRunStats:
         stats = BatchRunStats()
         stats.total_rows = source_df.count()
+        initial_remaining: int | None = None
         for attempt in range(1, self.max_attempts + 1):
             stats.attempts = attempt
             todo = self.remaining(source_df, sink_reader())
             total = todo.count()
+            if initial_remaining is None:
+                initial_remaining = total
             if total == 0:
+                # processed = what this run actually drained, not attempts ×
+                # batch_size (the final partial batch would inflate that).
+                stats.processed_rows = initial_remaining
                 return stats
             todo, num_batches = self.assign_batches(todo, total)
             parts = self.num_partitions or num_batches
@@ -89,7 +95,6 @@ class BatchProcessor:
                 try:
                     handler(batch_df)
                     stats.batches_ok += 1
-                    stats.processed_rows += self.batch_size
                 except Exception as exc:  # noqa: BLE001 - retried next attempt
                     stats.batches_failed += 1
                     stats.errors.append(f"attempt {attempt} batch {batch_id}: {exc}")
@@ -98,6 +103,7 @@ class BatchProcessor:
                             f"batch {batch_id} failed on final attempt: {exc}"
                         ) from exc
         leftover = self.remaining(source_df, sink_reader()).count()
+        stats.processed_rows = max(0, (initial_remaining or 0) - leftover)
         if leftover > 0:
             raise PipelineExecutionError(
                 f"{leftover} rows unprocessed after {self.max_attempts} attempts: "

@@ -68,8 +68,6 @@ class PipelineOrchestrator:
         )
         if not ok:
             raise ValueError(f"source validation failed: {errors}")
-        if id_col != "request_id":
-            df = df.withColumnRenamed(id_col, "request_id")
         # column pruning: request_id + every column a mapping binds. At scale
         # this reaches the parquet scan as ReadSchema pruning.
         ep = self.config.endpoint
@@ -78,7 +76,15 @@ class PipelineOrchestrator:
             | {m.source_column for m in ep.param_mapping + ep.json_body_mapping}
             | ep.template_columns()
         )
-        needed.discard(id_col)
+        if id_col != "request_id":
+            if id_col in needed:
+                # A mapping/template binds the id column by its source name.
+                # Keep it as a real column (request_id becomes a copy) so the
+                # injector sees the value — renaming would silently send the
+                # request without the parameter.
+                df = df.withColumn("request_id", F.col(id_col))
+            else:
+                df = df.withColumnRenamed(id_col, "request_id")
         needed = [c for c in df.columns if c in needed | {"request_id"}]
         df = df.select(*needed).withColumn(
             "request_id", F.col("request_id").cast("string")
@@ -100,6 +106,7 @@ class PipelineOrchestrator:
             compiled["fixed_time"] = fixed_time
         if self._auth_runtime is not None:
             compiled["auth"]["rpc_url"] = self._auth_runtime.rpc_url
+            compiled["auth"]["rpc_secret"] = self._auth_runtime.rpc_secret
         return compiled
 
     # -- auth runtime (driver-side) -------------------------------------------
@@ -107,7 +114,15 @@ class PipelineOrchestrator:
         if self.config.auth.type in ("oauth2_client_credentials", "oauth2_password"):
             from distributed_api_etl_spark.auth.rpc import RpcBootstrapper
 
-            self._auth_runtime = RpcBootstrapper(self.config.auth.model_dump())
+            auth = self.config.auth.model_dump()
+            if not auth.get("rpc_bind_host"):
+                # Bind where executors connect (reference parity: the token
+                # service binds to spark.driver.host, never 0.0.0.0).
+                try:
+                    auth["rpc_bind_host"] = self.spark.conf.get("spark.driver.host")
+                except Exception:  # noqa: BLE001 - conf key absent -> autodetect
+                    pass
+            self._auth_runtime = RpcBootstrapper(auth)
             self._auth_runtime.start()
 
     def _stop_auth_runtime(self) -> None:

@@ -57,16 +57,51 @@ def test_sink_write_and_idempotent_rerun(spark, source, tmp_path):
     sink = spark.read.parquet(loc)
     assert sink.count() == 100
     assert sink.select("request_id").distinct().count() == 100
+    # exact, not attempts*batch_size (100 rows / batch_size 40 -> 3 batches,
+    # the old per-batch += batch_size would have reported 120)
+    assert r1.stats.processed_rows == 100
 
     # re-run: anti-join finds nothing to do; sink unchanged
     r2 = run_pipeline(spark, cfg, source_df=source, source_id="tracking_id")
     assert spark.read.parquet(loc).count() == 100
     assert r2.stats.attempts == 1
+    assert r2.stats.processed_rows == 0
 
     # new rows only are processed on an incremental run
     bigger = spark.range(120).select(F.col("id").cast("string").alias("tracking_id"))
-    run_pipeline(spark, cfg, source_df=bigger, source_id="tracking_id")
+    r3 = run_pipeline(spark, cfg, source_df=bigger, source_id="tracking_id")
     assert spark.read.parquet(loc).count() == 120
+    assert r3.stats.processed_rows == 20
+
+
+def test_param_mapping_on_id_column_is_injected(spark):
+    """A mapping whose source_column IS the configured id column must still
+    bind: the rename to request_id may not strand it (regression — the
+    pruning step used to drop the column, so the request went out without
+    the parameter and still landed as success=true bronze)."""
+    import json as _json
+
+    src = spark.createDataFrame([("t1",), ("t2",)], "tracking_id string")
+    cfg = {
+        "endpoint": {
+            "method": "GET",
+            "url": "http://mock.local/api/items",
+            "param_mapping": [
+                {"endpoint_param": "id", "source_column": "tracking_id"}
+            ],
+        },
+        "transport": {"engine": "mock"},
+        "execution": {"num_partitions": 2},
+    }
+    result = run_pipeline(
+        spark, cfg, source_df=src, source_id="tracking_id", dry_run=True,
+        fixed_time="2024-01-01T00:00:00",
+    )
+    rows = {r.request_id: r for r in result.bronze_df.collect()}
+    assert set(rows) == {"t1", "t2"}
+    # mock echoes params: the id parameter must actually have been sent
+    assert _json.loads(rows["t1"].body_text) == {"id": "t1"}
+    assert _json.loads(rows["t2"].body_text) == {"id": "t2"}
 
 
 def test_source_validation_rejects_missing_id(spark):

@@ -100,8 +100,7 @@ def test_oauth2_rpc_end_to_end(server):
     try:
         assert boot.rpc_url and boot.rpc_url.endswith("/token")
         grants_before = server.token_grants
-        worker_auth = dict(auth, rpc_url=boot.rpc_url.replace(
-            boot.rpc_url.split("//")[1].split(":")[0], "127.0.0.1"))
+        worker_auth = dict(auth, rpc_url=boot.rpc_url, rpc_secret=boot.rpc_secret)
         cfg = compiled(server, path="/secured", auth=worker_auth)
         out = list(run_rows(rows(5), cfg))
         assert all(r["status_code"] == 200 for r in out)
@@ -110,6 +109,111 @@ def test_oauth2_rpc_end_to_end(server):
         assert any(h.startswith("Bearer tok-") for h in server.auth_headers)
     finally:
         boot.stop()
+
+
+def test_rpc_requires_shared_secret(server):
+    """/token serves a live bearer token: reachability alone must not grant
+    access — requests without the per-run X-Rpc-Auth header get 403."""
+    import urllib.error
+    import urllib.request
+
+    auth = {
+        "type": "oauth2_client_credentials",
+        "token_url": f"{server.base_url}/oauth/token",
+        "client_id": "cid",
+        "client_secret": "s3cret",
+    }
+    boot = RpcBootstrapper(auth)
+    boot.start()
+    try:
+        with pytest.raises(urllib.error.HTTPError) as exc_info:
+            urllib.request.urlopen(boot.rpc_url, timeout=5.0)
+        assert exc_info.value.code == 403
+        # wrong secret is also rejected
+        req = urllib.request.Request(boot.rpc_url, headers={"X-Rpc-Auth": "nope"})
+        with pytest.raises(urllib.error.HTTPError) as exc_info:
+            urllib.request.urlopen(req, timeout=5.0)
+        assert exc_info.value.code == 403
+        # the real secret works
+        req = urllib.request.Request(
+            boot.rpc_url, headers={"X-Rpc-Auth": boot.rpc_secret}
+        )
+        with urllib.request.urlopen(req, timeout=5.0) as resp:
+            assert resp.status == 200
+    finally:
+        boot.stop()
+
+
+def test_rpc_port_screening():
+    from distributed_api_etl_spark.auth.rpc import screen_rpc_port
+
+    assert screen_rpc_port(0) == 0
+    assert screen_rpc_port(18080) == 18080
+    for bad in (22, 80, 443, 5432, 123, 70000, -1):
+        with pytest.raises(ValueError):
+            screen_rpc_port(bad)
+
+
+def test_rpc_restricted_port_rejected_at_start(server):
+    auth = {
+        "type": "oauth2_client_credentials",
+        "token_url": f"{server.base_url}/oauth/token",
+        "client_id": "cid",
+        "client_secret": "s3cret",
+        "rpc_port": 5432,
+    }
+    boot = RpcBootstrapper(auth)
+    try:
+        with pytest.raises(ValueError, match="restricted"):
+            boot.start()
+    finally:
+        boot.stop()
+
+
+def test_rpc_readiness_timeout_raises(server, monkeypatch):
+    """A server that never becomes reachable must raise, not silently return
+    with a dead rpc_url compiled into every worker."""
+    from distributed_api_etl_spark.auth import rpc as rpc_mod
+
+    def never_connect(*args, **kwargs):
+        raise OSError("probe blocked")
+
+    monkeypatch.setattr(rpc_mod, "_probe", never_connect)
+    auth = {
+        "type": "oauth2_client_credentials",
+        "token_url": f"{server.base_url}/oauth/token",
+        "client_id": "cid",
+        "client_secret": "s3cret",
+    }
+    boot = RpcBootstrapper(auth)
+    try:
+        with pytest.raises(RuntimeError, match="readiness"):
+            boot.start(ready_timeout=0.3)
+    finally:
+        boot.stop()
+
+
+def test_token_provider_survives_event_loop_changes(server):
+    """run_rows starts a fresh asyncio.run per chunk while the provider is
+    process-cached: contended token fetches in one loop must not poison the
+    provider for the next loop (regression: loop-bound asyncio.Lock)."""
+    import asyncio
+
+    auth = {
+        "type": "oauth2_client_credentials",
+        "token_url": f"{server.base_url}/oauth/token",
+        "client_id": "cid",
+        "client_secret": "s3cret",
+        "refresh_margin": 1.0,
+    }
+    provider = WorkerTokenProvider(auth)
+
+    async def contend():
+        return await asyncio.gather(*[provider.get_token() for _ in range(8)])
+
+    first = asyncio.run(contend())   # lock contended in loop #1
+    second = asyncio.run(contend())  # fresh loop — must not raise
+    assert len(set(first) | set(second)) == 1  # single cached token throughout
 
 
 def test_oauth2_fallback_direct_grant_when_rpc_down(server):
