@@ -15,8 +15,8 @@ Scale design (100 TB):
     quadratic candidate space into hash-bucket joins; only candidates are
     verified with true Jaccard. This is the linear-ish scale path.
   * SimHash: one 32-bit signature per doc; near-dup = small Hamming
-    distance. Signature build is one aggregation; the pair join can be
-    blocked on signature prefixes at scale.
+    distance. Signature build is one aggregation; the pair join is blocked
+    with (max_hamming+1)-block pigeonhole buckets — exact, no recall loss.
 """
 
 from __future__ import annotations
@@ -252,44 +252,69 @@ def simhash_signatures(df: DataFrame, id_col: str, text_col: str, bits: int = 32
     return per_doc.select(F.col(id_col), sig.cast("bigint").alias("simhash"))
 
 
-def simhash_pairs(
-    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 6
-) -> DataFrame:
-    """Near-dup pairs by SimHash Hamming distance.
+def simhash_blocks(max_hamming: int, bits: int = 32) -> list[tuple[int, int]]:
+    """(offset, width) of the ``max_hamming + 1`` pigeonhole blocks.
 
-    The pair join is blocked on the top-16-bit prefix: docs within Hamming
-    distance d of each other on 32 bits share the exact prefix unless a
-    differing bit lands in it — we OR in the rotated variant (prefix of the
-    *low* 16 bits) so any pair with all diffs confined to one half is found;
-    with max_hamming <= 6 and random bit positions this is the standard
-    two-block pigeonhole: any pair with <=6 diffs has <=3 in one of the two
-    16-bit halves... to stay *exact* we block on both halves and union.
+    With d+1 disjoint blocks covering all ``bits`` positions, a pair within
+    Hamming distance d has at most d differing bits, which cannot touch all
+    d+1 blocks — so the pair agrees EXACTLY on at least one block. Widths
+    are as even as possible (bits mod (d+1) blocks get one extra bit).
     """
-    sigs = simhash_signatures(df, id_col, text_col)
-    hi = (F.col("simhash") / F.lit(65536)).cast("bigint")
-    lo = F.col("simhash") % F.lit(65536)
-    blocked = sigs.select(
-        F.col(id_col), "simhash", hi.alias("blk_hi"), lo.alias("blk_lo")
+    n_blocks = min(max_hamming + 1, bits)
+    base, extra = divmod(bits, n_blocks)
+    offsets, off = [], 0
+    for i in range(n_blocks):
+        width = base + (1 if i < extra else 0)
+        offsets.append((off, width))
+        off += width
+    return offsets
+
+
+def simhash_pairs(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 6, bits: int = 32
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance — blocked AND exact.
+
+    Pigeonhole blocking with ``max_hamming + 1`` disjoint bit-blocks: any
+    pair within distance d agrees exactly on >=1 block (d differing bits
+    cannot land in all d+1 blocks), so block-bucket equi-joins have recall
+    1.0 by construction; the Hamming verify on the candidate union gives
+    precision. Property-tested equal to :func:`simhash_pairs_exhaustive`
+    (tests/test_properties.py).
+
+    Scale: candidates per block are sum-of-squared bucket sizes at
+    ``bits/(d+1)`` block bits. For 100 TB corpora raise ``bits`` (e.g. a
+    64-bit signature -> 9-bit blocks at d=6) so buckets stay small; the
+    plan shape — stack to (block_idx, block_val), equi-join, verify — is
+    unchanged.
+    """
+    # persisted: feeds the blocking stack AND both sides of the verify join
+    sigs = simhash_signatures(df, id_col, text_col, bits).persist()
+    blocks = simhash_blocks(max_hamming, bits)
+    blk_exprs = [
+        F.shiftrightunsigned(F.col("simhash"), off)
+        .bitwiseAND(F.lit((1 << width) - 1))
+        .alias(f"blk{i}")
+        for i, (off, width) in enumerate(blocks)
+    ]
+    banded = sigs.select(F.col(id_col), *blk_exprs)
+    stack = ", ".join(f"{i}, blk{i}" for i in range(len(blocks)))
+    long = banded.selectExpr(
+        id_col, f"stack({len(blocks)}, {stack}) as (blk_idx, blk_val)"
     )
-    pairs = None
-    for blk in ["blk_hi", "blk_lo"]:
-        a = blocked.select(
-            F.col(id_col).alias("d1"), F.col("simhash").alias("sig1"), F.col(blk).alias("blk")
-        )
-        b = blocked.select(
-            F.col(id_col).alias("d2"), F.col("simhash").alias("sig2"), F.col(blk).alias("blk")
-        )
-        p = a.join(b, "blk").where(F.col("d1") < F.col("d2")).select("d1", "d2", "sig1", "sig2")
-        pairs = p if pairs is None else pairs.unionByName(p)
-    # pigeonhole: any pair with Hamming <= max_hamming (<2 halves' worth of
-    # room each) must agree exactly on at least one 16-bit half only when
-    # max_hamming == 0 per half; for exactness with small max_hamming we
-    # verify on the distinct union (candidates may miss pairs differing in
-    # both halves — acceptable recall trade documented for the operator; the
-    # graded query uses the exhaustive variant below).
+    left = long.select(F.col(id_col).alias("d1"), "blk_idx", "blk_val")
+    right = long.select(F.col(id_col).alias("d2"), "blk_idx", "blk_val")
+    cands = (
+        left.join(right, ["blk_idx", "blk_val"])
+        .where(F.col("d1") < F.col("d2"))
+        .select("d1", "d2")
+        .distinct()
+    )
+    sig_only = sigs.select(F.col(id_col), "simhash")
     ham = F.bit_count(F.col("sig1").bitwiseXOR(F.col("sig2")))
     return (
-        pairs.distinct()
+        cands.join(sig_only.select(F.col(id_col).alias("d1"), F.col("simhash").alias("sig1")), "d1")
+        .join(sig_only.select(F.col(id_col).alias("d2"), F.col("simhash").alias("sig2")), "d2")
         .where(ham <= max_hamming)
         .select("d1", "d2", ham.alias("hamming"))
     )

@@ -56,18 +56,21 @@ def test_minhash_lsh_agrees_with_bruteforce_jaccard(spark, sf_dir):
     assert high <= lsh
 
 
-def test_simhash_blocked_vs_exhaustive_at_zero(spark, sf_dir):
+def test_simhash_blocked_vs_exhaustive(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    # at max_hamming=0 the two-half blocking is exactly complete
-    blocked = {
-        (r.d1, r.d2)
-        for r in D.simhash_pairs(docs, "doc_id", "text", max_hamming=0).collect()
-    }
-    exact = {
-        (r.d1, r.d2)
-        for r in D.simhash_pairs_exhaustive(docs, "doc_id", "text", max_hamming=0).collect()
-    }
-    assert blocked == exact
+    # pigeonhole blocking (max_hamming+1 blocks) is exact at any distance
+    for d in (0, 6):
+        blocked = {
+            (r.d1, r.d2, r.hamming)
+            for r in D.simhash_pairs(docs, "doc_id", "text", max_hamming=d).collect()
+        }
+        exact = {
+            (r.d1, r.d2, r.hamming)
+            for r in D.simhash_pairs_exhaustive(
+                docs, "doc_id", "text", max_hamming=d
+            ).collect()
+        }
+        assert blocked == exact
 
 
 def test_ivf_assignment_covers_all_vectors(spark, sf_dir):

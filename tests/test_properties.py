@@ -155,6 +155,54 @@ def test_connected_components_matches_union_find(spark_global, edges):
     assert got == expected
 
 
+# ---------------------------------------------------------------------------
+# SimHash pigeonhole blocking is EXACT: blocked pairs == exhaustive pairs
+# ---------------------------------------------------------------------------
+_POOL = [f"tok{i}" for i in range(12)]
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    st.lists(
+        st.lists(st.sampled_from(_POOL), min_size=2, max_size=8),
+        min_size=2,
+        max_size=10,
+    ),
+    st.sampled_from([0, 2, 6, 10]),
+)
+def test_simhash_blocked_equals_exhaustive(spark_global, token_docs, max_hamming):
+    from distributed_api_etl_spark.operators import dedup as D
+
+    # docs drawn from a tiny token pool => many signature near-collisions,
+    # exercising both qualifying and non-qualifying pairs at every distance
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(token_docs)]
+    df = spark_global.createDataFrame(rows, "doc_id bigint, text string")
+    blocked = {
+        (r.d1, r.d2, r.hamming)
+        for r in D.simhash_pairs(df, "doc_id", "text", max_hamming=max_hamming).collect()
+    }
+    exact = {
+        (r.d1, r.d2, r.hamming)
+        for r in D.simhash_pairs_exhaustive(
+            df, "doc_id", "text", max_hamming=max_hamming
+        ).collect()
+    }
+    assert blocked == exact
+
+
+def test_simhash_blocks_partition_all_bits():
+    from distributed_api_etl_spark.operators.dedup import simhash_blocks
+
+    for d in range(0, 33):
+        blocks = simhash_blocks(d, 32)
+        assert len(blocks) == min(d + 1, 32)
+        covered = []
+        for off, width in blocks:
+            assert width >= 1
+            covered.extend(range(off, off + width))
+        assert covered == list(range(32))
+
+
 @pytest.fixture(scope="session")
 def spark_global(spark):
     return spark
