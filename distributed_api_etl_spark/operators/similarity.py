@@ -89,20 +89,13 @@ def ivf_assign(
     )
 
 
-def ivf_topk(
-    emb: DataFrame,
-    id_col: str,
-    vec_col: str,
-    n_centroids: int,
-    queries: DataFrame,
-    k: int,
+def ivf_bucket_topk(
+    assigned: DataFrame, queries: DataFrame, id_col: str, vec_col: str, k: int
 ) -> DataFrame:
-    """IVF search: probe only the query's own bucket (nprobe=1).
-
-    Deterministic centroid set = the n_centroids lowest-id vectors.
-    """
-    centroids = emb.orderBy(F.col(id_col)).limit(n_centroids)
-    assigned = ivf_assign(emb, centroids, id_col, vec_col)
+    """Shared IVF search stage: per-query top-k inside the query's own
+    centroid bucket (nprobe=1). ``assigned`` is the output of
+    :func:`ivf_assign`; the (small) query side is broadcast so the corpus
+    never shuffles."""
     q = queries.select(F.col(id_col).alias("query_id")).join(
         assigned.select(
             F.col(id_col).alias("query_id"),
@@ -127,6 +120,23 @@ def ivf_topk(
         .where(F.col("rnk") <= k)
         .select("query_id", "neighbor_id", "rnk", F.round("cosine", 6).alias("cosine"))
     )
+
+
+def ivf_topk(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_centroids: int,
+    queries: DataFrame,
+    k: int,
+) -> DataFrame:
+    """IVF search: probe only the query's own bucket (nprobe=1).
+
+    Deterministic centroid set = the n_centroids lowest-id vectors.
+    """
+    centroids = emb.orderBy(F.col(id_col)).limit(n_centroids)
+    assigned = ivf_assign(emb, centroids, id_col, vec_col)
+    return ivf_bucket_topk(assigned, queries, id_col, vec_col, k)
 
 
 def quantize_embeddings(
@@ -156,7 +166,81 @@ def dequantize(qvec_col: str = "qvec", scale_col: str = "scale"):
     )
 
 
+def kmeans_centroids(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    iters: int = 2,
+    round_decimals: int = 6,
+) -> DataFrame:
+    """Deterministic Lloyd's k-means, reproducible on any engine.
+
+    Init = the k lowest-id vectors (the :func:`ivf_topk` convention, labels
+    keep their seed ids). Each iteration: max-cosine assignment (ties ->
+    lowest centroid id), then the element-wise cluster mean ROUNDED to
+    ``round_decimals`` — the rounding pins the centroid floats so an
+    independent engine (the DuckDB oracle) reproduces them exactly and the
+    next argmax assignment agrees; without it, summation-order differences
+    in the mean would diverge run-to-run and engine-to-engine.
+
+    Scale: per iteration, one corpus scan with broadcast centroids (the
+    assignment) plus one shuffle of exploded components keyed by
+    (centroid_id, pos) — a k x dim aggregate; nothing is collected to the
+    driver. A cluster that loses all members drops out (both engines).
+    """
+    cents = emb.orderBy(F.col(id_col)).limit(k).select(
+        F.col(id_col),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias(vec_col),
+    )
+    for _ in range(iters):
+        assigned = ivf_assign(emb, cents, id_col, vec_col)
+        comps = assigned.select(
+            "centroid_id",
+            F.posexplode(
+                F.transform(F.col(vec_col), lambda x: x.cast("double"))
+            ).alias("pos", "x"),
+        )
+        means = comps.groupBy("centroid_id", "pos").agg(
+            F.round(F.avg("x"), round_decimals).alias("m")
+        )
+        cents = (
+            means.groupBy("centroid_id")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                    lambda s: s["m"],
+                ).alias(vec_col)
+            )
+            .select(F.col("centroid_id").alias(id_col), vec_col)
+        )
+    return cents
+
+
 def ivf_kmeans_topk(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_centroids: int,
+    queries: DataFrame,
+    k: int,
+    iters: int = 2,
+) -> DataFrame:
+    """IVF with learned (k-means) centroids — the production variant of
+    :func:`ivf_topk`. Centroids come from :func:`kmeans_centroids`
+    (deterministic Lloyd's), so the whole query is oracle-verifiable; the
+    search plan is the shared broadcast-assign + bucket equi-join.
+
+    At 100 TB fit the centroids on a sample (a ``.sample``/``limit`` over
+    the corpus feeds the same iteration loop) — the assignment cost, one
+    corpus scan, is unchanged.
+    """
+    cents = kmeans_centroids(emb, id_col, vec_col, n_centroids, iters)
+    assigned = ivf_assign(emb, cents, id_col, vec_col)
+    return ivf_bucket_topk(assigned, queries, id_col, vec_col, k)
+
+
+def ivf_kmeans_topk_ml(
     emb: DataFrame,
     id_col: str,
     vec_col: str,
@@ -166,16 +250,10 @@ def ivf_kmeans_topk(
     max_iter: int = 5,
     seed: int = 7,
 ) -> DataFrame:
-    """IVF with learned (k-means) centroids — the production variant of
-    :func:`ivf_topk` (which uses a deterministic centroid subset so it can
-    be oracle-verified). Plan shape is identical: fit on a sample, broadcast
-    centroids, argmax assignment, bucket equi-join.
-
-    Uses pyspark.ml KMeans (Lloyd's); at 100 TB fit on a sample
-    (``sampleBy``/limit) — assignment cost, one corpus scan, is unchanged.
-    """
+    """pyspark.ml KMeans variant (k-means|| init, not cross-engine
+    reproducible — use where oracle parity is not required)."""
     from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector, vector_to_array
+    from pyspark.ml.functions import array_to_vector
 
     train = emb.select(
         array_to_vector(
@@ -189,27 +267,4 @@ def ivf_kmeans_topk(
         [(i, c) for i, c in enumerate(centers)], f"{id_col} bigint, {vec_col} array<double>"
     )
     assigned = ivf_assign(emb, cdf, id_col, vec_col)
-    q = queries.select(F.col(id_col).alias("query_id")).join(
-        assigned.select(
-            F.col(id_col).alias("query_id"),
-            F.col(vec_col).alias("qv"),
-            F.col("centroid_id"),
-        ),
-        "query_id",
-    )
-    cand = assigned.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("nv"),
-        F.col("centroid_id"),
-    )
-    scored = (
-        cand.join(F.broadcast(q), "centroid_id")
-        .where(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("cosine", cosine_similarity("qv", "nv"))
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rnk", F.row_number().over(w))
-        .where(F.col("rnk") <= k)
-        .select("query_id", "neighbor_id", "rnk", F.round("cosine", 6).alias("cosine"))
-    )
+    return ivf_bucket_topk(assigned, queries, id_col, vec_col, k)

@@ -128,16 +128,81 @@ def ann_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.bruteforce_topk(quant, queries, "vec_id", "qvec", TOP_K)
 
 
+KMEANS_ITERS = 2
+
+
+def _kmeans_oracle_sql() -> str:
+    """Unrolled deterministic Lloyd's (KMEANS_ITERS iterations) in DuckDB.
+
+    Mirrors operators/similarity.py:kmeans_centroids exactly: max-cosine
+    assignment with lowest-centroid-id tie-break, element-wise cluster mean
+    rounded to 6 decimals each iteration (the rounding is what makes the
+    learned centroids engine-portable), then the nprobe=1 bucket top-k.
+    """
+    parts = [
+        "vecs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)",
+        f"c0 AS (SELECT vec_id AS centroid_id, v AS cv FROM vecs WHERE vec_id < {IVF_CENTROIDS})",
+    ]
+    for t in range(KMEANS_ITERS):
+        parts.append(
+            f"""a{t} AS (
+      SELECT vec_id, v, centroid_id FROM (
+        SELECT vecs.vec_id, vecs.v, c.centroid_id,
+               row_number() OVER (PARTITION BY vecs.vec_id
+                 ORDER BY list_cosine_similarity(vecs.v, c.cv) DESC, c.centroid_id) AS arnk
+        FROM vecs CROSS JOIN c{t} c)
+      WHERE arnk = 1)"""
+        )
+        parts.append(
+            f"""m{t} AS (
+      SELECT centroid_id, pos, round(avg(x), 6) AS m FROM (
+        SELECT centroid_id, unnest(v) AS x, unnest(range(1, len(v) + 1)) AS pos
+        FROM a{t})
+      GROUP BY centroid_id, pos)"""
+        )
+        parts.append(
+            f"c{t + 1} AS (SELECT centroid_id, list(m ORDER BY pos) AS cv FROM m{t} GROUP BY centroid_id)"
+        )
+    final = KMEANS_ITERS
+    return f"""
+    WITH {', '.join(parts)},
+    fass AS (
+      SELECT vec_id, v, centroid_id FROM (
+        SELECT vecs.vec_id, vecs.v, c.centroid_id,
+               row_number() OVER (PARTITION BY vecs.vec_id
+                 ORDER BY list_cosine_similarity(vecs.v, c.cv) DESC, c.centroid_id) AS arnk
+        FROM vecs CROSS JOIN c{final} c)
+      WHERE arnk = 1),
+    q AS (SELECT vec_id AS query_id, v AS qv, centroid_id
+          FROM fass WHERE vec_id >= {IVF_QUERY_LO} AND vec_id < {IVF_QUERY_HI}),
+    scored AS (
+      SELECT q.query_id, a.vec_id AS neighbor_id,
+             list_cosine_similarity(q.qv, a.v) AS cosine
+      FROM fass a JOIN q ON a.centroid_id = q.centroid_id
+                        AND a.vec_id <> q.query_id
+    )
+    SELECT query_id, neighbor_id, CAST(rnk AS INTEGER) AS rnk,
+           round(cosine, 6) AS cosine
+    FROM (SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
+          FROM scored)
+    WHERE rnk <= {IVF_K}
+    """
+
+
 @register(
     "ann_ivf_kmeans_topk",
-    oracle=None,  # learned k-means centroids: not SQL-expressible (rows-only)
+    oracle=_kmeans_oracle_sql(),
     tags=("similarity", "ml"),
 )
 def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF over learned centroids (pyspark.ml KMeans) — production variant;
-    recall vs brute force asserted in tests/test_operators.py."""
+    """IVF over learned centroids (deterministic Lloyd's — fully
+    oracle-verified); recall vs brute force asserted in
+    tests/test_operators.py."""
     emb = fan_out(table(spark, sf_dir, "embeddings"))
     queries = emb.where(
         (F.col("vec_id") >= IVF_QUERY_LO) & (F.col("vec_id") < IVF_QUERY_HI)
     ).select("vec_id")
-    return S.ivf_kmeans_topk(emb, "vec_id", "embedding", IVF_CENTROIDS, queries, IVF_K)
+    return S.ivf_kmeans_topk(
+        emb, "vec_id", "embedding", IVF_CENTROIDS, queries, IVF_K, iters=KMEANS_ITERS
+    )
