@@ -18,6 +18,8 @@ embedding-based dedup operator.
 
 from __future__ import annotations
 
+import random
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -27,7 +29,11 @@ from distributed_api_etl_spark.functions.vectors import cosine_similarity
 def cosine_pairs(
     emb: DataFrame, id_col: str, vec_col: str, threshold: float
 ) -> DataFrame:
-    """All pairs with cosine >= threshold (embedding near-dup)."""
+    """All pairs with cosine >= threshold (embedding near-dup).
+
+    All-pairs crossJoin: O(N^2) dot products — the EXACT tier, used as the
+    verifier/oracle for :func:`embedding_lsh_pairs` (the scale path) and
+    only run directly at verification cardinalities."""
     a = emb.select(F.col(id_col).alias("d1"), F.col(vec_col).alias("v1"))
     b = emb.select(F.col(id_col).alias("d2"), F.col(vec_col).alias("v2"))
     cos = cosine_similarity("v1", "v2")
@@ -35,6 +41,101 @@ def cosine_pairs(
         a.crossJoin(b)
         .where(F.col("d1") < F.col("d2"))
         .withColumn("cosine", cos)
+        .where(F.col("cosine") >= threshold)
+        .select("d1", "d2", F.round("cosine", 6).alias("cosine"))
+    )
+
+
+# Random-hyperplane LSH: fixed seed => identical hyperplanes everywhere, so
+# signatures (and therefore candidates) are reproducible on any engine.
+HYPERPLANE_SEED = 1234567
+
+
+def hyperplanes(n_planes: int, dim: int, seed: int = HYPERPLANE_SEED) -> list[list[float]]:
+    """Deterministic Gaussian hyperplanes, components rounded to 6 decimals
+    (clean literals for both Spark SQL and the DuckDB oracle)."""
+    rng = random.Random(seed)
+    return [
+        [round(rng.gauss(0.0, 1.0), 6) for _ in range(dim)] for _ in range(n_planes)
+    ]
+
+
+def _plane_dot_sql(vec_col: str, plane: list[float]) -> str:
+    """Spark-SQL left-to-right fold of dot(vec_col, plane-literal)."""
+    arr = ",".join(f"{x}D" for x in plane)
+    return (
+        f"aggregate(zip_with({vec_col}, array({arr}), "
+        f"(x, y) -> CAST(x AS DOUBLE) * y), "
+        f"CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+    )
+
+
+def embedding_lsh_pairs(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+    dim: int,
+    n_planes: int = 32,
+    band_bits: int = 4,
+    seed: int = HYPERPLANE_SEED,
+) -> DataFrame:
+    """Bucketed embedding near-dup: random-hyperplane LSH candidates +
+    exact cosine verify — the 100 TB replacement for the all-pairs
+    :func:`cosine_pairs` crossJoin.
+
+    sign(dot(v, plane_j)) gives an ``n_planes``-bit signature whose per-bit
+    collision probability is 1 - angle/pi; banding ``band_bits`` bits per
+    band turns that into bucket equi-joins (the MinHash+LSH plan shape:
+    stack to (band_idx, band_val), equi-join, distinct, verify). Only
+    candidates pay a real dot product, and the verify keeps precision
+    exact, so output is always a subset of cosine_pairs with identical
+    cosine values.
+
+    Recall/cost is governed by the threshold: at near-dup thresholds
+    (>=0.9, angle <= 26deg) bands are highly selective and recall -> 1
+    (tests/test_operators.py plants such pairs and asserts recall == 1.0
+    with strong pruning); at low thresholds (0.3) the angle gap between
+    matching and random pairs is small and NO sub-quadratic method prunes
+    well — measured tradeoffs in SCALE.md. Raise n_planes/band_bits for
+    more selectivity, add bands for recall.
+
+    ``dim`` must match the embedding width (hyperplane literals are fixed
+    vectors).
+    """
+    planes = hyperplanes(n_planes, dim, seed)
+    bit_exprs = [
+        F.when(F.expr(_plane_dot_sql(vec_col, p)) > 0, 1).otherwise(0).alias(f"bit{j}")
+        for j, p in enumerate(planes)
+    ]
+    sig = emb.select(F.col(id_col), *bit_exprs)
+    n_bands = n_planes // band_bits
+    band_exprs = []
+    for b in range(n_bands):
+        val = None
+        for r in range(band_bits):
+            term = F.col(f"bit{b * band_bits + r}") * (1 << (band_bits - 1 - r))
+            val = term if val is None else val + term
+        band_exprs.append(val.alias(f"band{b}"))
+    banded = sig.select(F.col(id_col), *band_exprs)
+    stack = ", ".join(f"{b}, band{b}" for b in range(n_bands))
+    long = banded.selectExpr(
+        id_col, f"stack({n_bands}, {stack}) as (band_idx, band_val)"
+    )
+    left = long.select(F.col(id_col).alias("d1"), "band_idx", "band_val")
+    right = long.select(F.col(id_col).alias("d2"), "band_idx", "band_val")
+    cands = (
+        left.join(right, ["band_idx", "band_val"])
+        .where(F.col("d1") < F.col("d2"))
+        .select("d1", "d2")
+        .distinct()
+    )
+    v1 = emb.select(F.col(id_col).alias("d1"), F.col(vec_col).alias("v1"))
+    v2 = emb.select(F.col(id_col).alias("d2"), F.col(vec_col).alias("v2"))
+    return (
+        cands.join(v1, "d1")
+        .join(v2, "d2")
+        .withColumn("cosine", cosine_similarity("v1", "v2"))
         .where(F.col("cosine") >= threshold)
         .select("d1", "d2", F.round("cosine", 6).alias("cosine"))
     )

@@ -181,6 +181,78 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_pairs(emb, "vec_id", "embedding", threshold=0.3)
 
 
+# --- embedding LSH near-dup (the bucketed scale path) -----------------------
+EMB_DIM = 64
+LSH_PLANES = 32
+LSH_BAND_BITS = 4
+
+
+def _emb_lsh_oracle(threshold: float) -> str:
+    """DuckDB mirror of operators/similarity.py:embedding_lsh_pairs — same
+    fixed hyperplanes, same bands, same exact-cosine verify (the MinHash
+    oracle pattern: the LSH semantics themselves are cross-engine checked).
+    """
+    from distributed_api_etl_spark.operators.similarity import hyperplanes
+
+    planes = hyperplanes(LSH_PLANES, EMB_DIM)
+    bits = ",\n      ".join(
+        f"CASE WHEN list_dot_product(v, [{','.join(str(x) for x in p)}]) > 0 "
+        f"THEN 1 ELSE 0 END AS bit{j}"
+        for j, p in enumerate(planes)
+    )
+    n_bands = LSH_PLANES // LSH_BAND_BITS
+    band_cols = []
+    for b in range(n_bands):
+        terms = " + ".join(
+            f"bit{b * LSH_BAND_BITS + r} * {1 << (LSH_BAND_BITS - 1 - r)}"
+            for r in range(LSH_BAND_BITS)
+        )
+        band_cols.append(f"{terms} AS band{b}")
+    band_joins = " UNION ALL ".join(
+        f"SELECT a.vec_id AS d1, b.vec_id AS d2 FROM bands a "
+        f"JOIN bands b ON a.vec_id < b.vec_id AND a.band{b} = b.band{b}"
+        for b in range(n_bands)
+    )
+    return f"""
+    WITH vecs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    sig AS (SELECT vec_id,
+      {bits}
+      FROM vecs),
+    bands AS (SELECT vec_id, {', '.join(band_cols)} FROM sig),
+    cands AS (SELECT DISTINCT d1, d2 FROM ({band_joins}))
+    SELECT c.d1, c.d2,
+           round(list_cosine_similarity(x.v, y.v), 6) AS cosine
+    FROM cands c
+    JOIN vecs x ON x.vec_id = c.d1
+    JOIN vecs y ON y.vec_id = c.d2
+    WHERE list_cosine_similarity(x.v, y.v) >= {threshold}
+    """
+
+
+@register(
+    "dedup_embedding_lsh",
+    oracle=_emb_lsh_oracle(0.3),
+    bench=True,
+    tags=("dedup", "similarity"),
+)
+def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH bucketed near-dup over embeddings — the scale path
+    (candidates from band equi-joins, exact cosine verify); output is a
+    verified subset of dedup_embedding_cosine with identical cosines."""
+    from distributed_api_etl_spark.operators.similarity import embedding_lsh_pairs
+
+    emb = fan_out(table(spark, sf_dir, "embeddings"))
+    return embedding_lsh_pairs(
+        emb,
+        "vec_id",
+        "embedding",
+        threshold=0.3,
+        dim=EMB_DIM,
+        n_planes=LSH_PLANES,
+        band_bits=LSH_BAND_BITS,
+    )
+
+
 # --- near-dup clustering (connected components over MinHash pairs) ----------
 @register(
     "dedup_clusters",

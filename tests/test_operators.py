@@ -73,6 +73,54 @@ def test_simhash_blocked_vs_exhaustive(spark, sf_dir):
         assert blocked == exact
 
 
+def test_embedding_lsh_recall_on_planted_neardups(spark):
+    """At near-dup thresholds (>=0.9) hyperplane-LSH banding must find every
+    planted pair (recall 1.0) and stay an exact-valued subset of brute
+    force."""
+    import random
+
+    rng = random.Random(99)
+    dim = 16
+    rows = []
+    vid = 0
+    for i in range(60):
+        base = [rng.gauss(0, 1) for _ in range(dim)]
+        rows.append((vid, base))
+        vid += 1
+        if i < 20:  # plant a near-dup: tiny perturbation => cosine ~0.99
+            rows.append((vid, [x + rng.gauss(0, 0.05) for x in base]))
+            vid += 1
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    brute = {
+        (r.d1, r.d2): r.cosine
+        for r in S.cosine_pairs(emb, "vec_id", "embedding", 0.9).collect()
+    }
+    lsh = {
+        (r.d1, r.d2): r.cosine
+        for r in S.embedding_lsh_pairs(
+            emb, "vec_id", "embedding", 0.9, dim=dim, n_planes=16, band_bits=2
+        ).collect()
+    }
+    assert len(brute) >= 20  # the planted pairs are all above threshold
+    assert lsh == brute  # recall 1.0 AND identical verified cosines
+
+
+def test_embedding_lsh_subset_of_bruteforce(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    brute = {
+        (r.d1, r.d2): r.cosine
+        for r in S.cosine_pairs(emb, "vec_id", "embedding", 0.3).collect()
+    }
+    lsh = {
+        (r.d1, r.d2): r.cosine
+        for r in S.embedding_lsh_pairs(
+            emb, "vec_id", "embedding", 0.3, dim=64
+        ).collect()
+    }
+    assert set(lsh) <= set(brute)
+    assert all(brute[p] == c for p, c in lsh.items())
+
+
 def test_ivf_assignment_covers_all_vectors(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     cents = emb.orderBy("vec_id").limit(8)
