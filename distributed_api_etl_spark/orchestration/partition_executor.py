@@ -42,6 +42,7 @@ from distributed_api_etl_spark.request_execution.middleware.injectors import (
     ParamInjectorMiddleware,
     RequestTemplateMiddleware,
     TimingMiddleware,
+    TransportDiagnosticsMiddleware,
     WorkerIdentityMiddleware,
 )
 from distributed_api_etl_spark.request_execution.middleware.pipeline import (
@@ -70,10 +71,14 @@ def build_request_context(row: dict[str, Any], endpoint: dict) -> RequestContext
     )
 
 
-def build_middlewares(compiled: dict) -> list:
+def build_middlewares(compiled: dict, transport_diag: dict | None = None) -> list:
     """Config -> ordered middleware chain (request-side first, then
     response-side; retry innermost so every attempt re-crosses transport
-    only, and the JSON middleware sees the final attempt)."""
+    only, and the JSON middleware sees the final attempt).
+
+    ``transport_diag`` (built per chunk when ``transport.diagnostics`` is
+    on) appends the TransportDiagnosticsMiddleware with the live engine
+    info + warmup probe result."""
     endpoint = compiled["endpoint"]
     retry = compiled.get("retry") or {}
     auth = compiled.get("auth") or {"type": "none"}
@@ -117,6 +122,8 @@ def build_middlewares(compiled: dict) -> list:
         chain.append(TimingMiddleware())
     if "worker_identity" in names:
         chain.append(WorkerIdentityMiddleware())
+    if transport_diag is not None:
+        chain.append(TransportDiagnosticsMiddleware(**transport_diag))
     chain.append(JsonResponseMiddleware())
     chain.append(
         RetryMiddleware(
@@ -145,18 +152,28 @@ async def _run_chunk(rows: list[dict[str, Any]], compiled: dict) -> list[dict[st
         )
 
     executor = RequestExecutor(engine)
-    pipeline = MiddlewarePipeline(build_middlewares(compiled), executor.send)
     limiter = RateLimiter(rps) if rps else None
     fixed_time = compiled.get("fixed_time")
     request_time = datetime.fromisoformat(fixed_time) if fixed_time else None
 
     if transport_cfg.get("warmup"):
-        diag = await engine.warmup(
+        warm_meta = await engine.warmup(
             compiled["endpoint"]["url"], transport_cfg.get("warmup_timeout", 10.0)
         )
-        warm_meta = diag
     else:
         warm_meta = None
+    transport_diag = None
+    if transport_cfg.get("diagnostics", True):
+        transport_diag = {
+            "engine_info": {
+                "engine": type(engine).__name__,
+                "pool_limit": transport_cfg.get("pool_limit", 100),
+            },
+            "warmup_meta": warm_meta,
+        }
+    pipeline = MiddlewarePipeline(
+        build_middlewares(compiled, transport_diag), executor.send
+    )
 
     queue: asyncio.Queue = asyncio.Queue(maxsize=queue_max)
     results: list[dict[str, Any]] = []
@@ -177,8 +194,6 @@ async def _run_chunk(rows: list[dict[str, Any]], compiled: dict) -> list[dict[st
             exchange = RequestExchange(
                 context=build_request_context(item, compiled["endpoint"])
             )
-            if warm_meta is not None:
-                exchange.metadata["connection_warmup"] = warm_meta
             exchange = await pipeline.execute(exchange)
             results.append(exchange.build_record(request_time))
 

@@ -163,6 +163,30 @@ class TimingMiddleware:
         return result
 
 
+class TransportDiagnosticsMiddleware:
+    """Transport-level diagnostics into response metadata: engine class,
+    pool limit, and (when a warmup probe ran) its DNS/TCP/TLS timings.
+
+    A discrete middleware toggled by ``transport.diagnostics`` — reference
+    parity: src/request_execution/middleware/injectors.py:172-199
+    (``TransportDiagnosticMiddleware``); previously this metadata was
+    inlined unconditionally in the partition executor.
+    """
+
+    def __init__(
+        self, engine_info: dict[str, Any], warmup_meta: dict[str, Any] | None = None
+    ) -> None:
+        self._engine_info = engine_info
+        self._warmup = warmup_meta
+
+    async def __call__(self, exchange: RequestExchange, next_call: NextCall) -> RequestExchange:
+        diag = exchange.metadata.setdefault("transport", {})
+        diag.update(self._engine_info)
+        if self._warmup is not None:
+            diag["connection_warmup"] = self._warmup
+        return await next_call(exchange)
+
+
 class WorkerIdentityMiddleware:
     """Hostname/pid/thread/executor-id diagnostics into response metadata."""
 

@@ -294,3 +294,94 @@ def test_pagination_stops_on_failed_page():
     out = run(mw(make_exchange(), next_call))
     assert calls == ["1", "2"]
     assert out.success is False  # final state reflects the failed page
+
+
+def test_transport_diagnostics_middleware_attaches_metadata():
+    from distributed_api_etl_spark.request_execution.middleware.injectors import (
+        TransportDiagnosticsMiddleware,
+    )
+
+    mw = TransportDiagnosticsMiddleware(
+        engine_info={"engine": "MockEngine", "pool_limit": 7},
+        warmup_meta={"dns_ms": 1.2},
+    )
+
+    async def next_call(ex):
+        return ex
+
+    out = run(mw(make_exchange(), next_call))
+    diag = out.metadata["transport"]
+    assert diag["engine"] == "MockEngine"
+    assert diag["pool_limit"] == 7
+    assert diag["connection_warmup"] == {"dns_ms": 1.2}
+
+    # without a warmup probe the key is absent (not None)
+    out2 = run(
+        TransportDiagnosticsMiddleware(engine_info={"engine": "E"})(
+            make_exchange(), next_call
+        )
+    )
+    assert "connection_warmup" not in out2.metadata["transport"]
+
+
+def test_build_middlewares_diagnostics_toggle():
+    from distributed_api_etl_spark.orchestration.partition_executor import (
+        build_middlewares,
+    )
+    from distributed_api_etl_spark.request_execution.middleware.injectors import (
+        TransportDiagnosticsMiddleware,
+    )
+
+    compiled = {
+        "endpoint": {"method": "GET", "url": "http://x"},
+        "transport": {"engine": "mock"},
+        "execution": {},
+    }
+    with_diag = build_middlewares(
+        compiled, {"engine_info": {"engine": "MockEngine"}, "warmup_meta": None}
+    )
+    without = build_middlewares(compiled, None)
+    assert any(isinstance(m, TransportDiagnosticsMiddleware) for m in with_diag)
+    assert not any(isinstance(m, TransportDiagnosticsMiddleware) for m in without)
+
+
+def test_transport_diagnostics_config_roundtrip():
+    """transport.diagnostics survives validation + compile and lands in the
+    bronze response_metadata when on (mock engine, single row)."""
+    import json as _json
+
+    from distributed_api_etl_spark.config.models import PipelineConfig
+    from distributed_api_etl_spark.orchestration.partition_executor import run_rows
+
+    cfg = PipelineConfig.model_validate(
+        {
+            "endpoint": {"method": "GET", "url": "http://mock.local/api"},
+            "transport": {"engine": "mock", "diagnostics": True},
+        }
+    )
+    assert cfg.transport.diagnostics is True
+    off = PipelineConfig.model_validate(
+        {
+            "endpoint": {"method": "GET", "url": "http://mock.local/api"},
+            "transport": {"engine": "mock", "diagnostics": False},
+        }
+    )
+    assert off.transport.diagnostics is False
+
+    def compiled_for(c):
+        return {
+            "endpoint": c.endpoint.model_dump(),
+            "transport": c.transport.model_dump(),
+            "retry": c.retry.model_dump(),
+            "auth": {"type": "none"},
+            "middleware": [],
+            "execution": c.execution.model_dump(),
+        }
+
+    rec_on = next(iter(run_rows([{"request_id": "1"}], compiled_for(cfg))))
+    meta_on = _json.loads(rec_on["response_metadata"])
+    assert meta_on["transport"]["engine"] == "MockEngine"
+
+    rec_off = next(iter(run_rows([{"request_id": "1"}], compiled_for(off))))
+    meta_off = _json.loads(rec_off["response_metadata"])
+    assert "transport" not in meta_off
