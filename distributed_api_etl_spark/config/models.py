@@ -148,14 +148,16 @@ class SinkConfig(BaseModel):
     name: str | None = None
     format: Literal["delta", "parquet"] = "parquet"
     location: str | None = None
-    mode: Literal["append", "merge"] = "append"  # merge => exactly-once upsert (Delta)
+    # merge => exactly-once upsert on request_id: Delta MERGE when format is
+    # delta, insert-only anti-join append for parquet
+    mode: Literal["append", "merge"] = "append"
     partition_by: list[str] = Field(default_factory=list)
     properties: dict[str, str] = Field(default_factory=dict)
 
     @model_validator(mode="after")
     def _check(self) -> "SinkConfig":
-        if self.mode == "merge" and self.format != "delta":
-            raise ValueError("mode='merge' requires format='delta'")
+        if self.mode == "merge" and self.format == "parquet" and not self.location:
+            raise ValueError("parquet merge mode requires an explicit location")
         if self.partition_by:
             from distributed_api_etl_spark.core.bronze import BRONZE_COLUMNS
 

@@ -59,8 +59,11 @@ class BronzeBatchHandler:
         fmt = sink.get("format", "parquet")
         location = sink.get("location")
         partition_by = sink.get("partition_by") or []
-        if fmt == "delta" and sink.get("mode") == "merge":
-            self._merge_delta(result, sink)
+        if sink.get("mode") == "merge":
+            if fmt == "delta":
+                self._merge_delta(result, sink)
+            else:
+                self._merge_parquet(result, sink)
             return
         writer = result.write.format(fmt).mode("append")
         if partition_by:
@@ -88,6 +91,34 @@ class BronzeBatchHandler:
             .whenNotMatchedInsertAll()
             .execute()
         )
+
+    def _merge_parquet(self, result: DataFrame, sink: dict) -> None:
+        """Insert-only merge on request_id for parquet sinks — the
+        exactly-once equivalent of Delta's ``whenNotMatchedInsertAll``
+        (reference: src/orchestration/batch_handler.py:47 writes Delta;
+        delta-spark is not installable in this runtime, so the semantics
+        are proven on parquet).
+
+        A half-written batch that re-runs after a crash appends only the
+        rows whose request_id is not already in the sink, so duplicates
+        cannot accumulate (tests/test_pipeline_e2e.py). Parquet has no
+        transaction log: concurrent writers must be externally serialized
+        (the driver's batch loop is). At scale the anti-join's sink scan
+        prunes to the request_id column only; partition the sink (e.g. by
+        ingest date) to bound it further, or use Delta where available.
+        """
+        location = sink["location"]
+        spark = self._spark
+        try:
+            existing = spark.read.format("parquet").load(location).select("request_id")
+        except Exception:
+            existing = None  # first write: nothing to merge against
+        if existing is not None:
+            result = result.join(existing, "request_id", "left_anti")
+        writer = result.write.format("parquet").mode("append")
+        if sink.get("partition_by"):
+            writer = writer.partitionBy(*sink["partition_by"])
+        writer.save(location)
 
     def result_df(self) -> DataFrame | None:
         if not self.collected:

@@ -74,6 +74,51 @@ def test_sink_write_and_idempotent_rerun(spark, source, tmp_path):
     assert r3.stats.processed_rows == 20
 
 
+def test_parquet_merge_exactly_once_on_partial_batch(spark, source, tmp_path):
+    """The merge sink's exactly-once proof: a batch that crashed half-way
+    leaves 50 rows in the sink; the driver retry re-runs the FULL batch and
+    the sink must end with zero duplicates (insert-only anti-join merge —
+    the parquet equivalent of Delta whenNotMatchedInsertAll)."""
+    from distributed_api_etl_spark.orchestration.batch_handler import (
+        BronzeBatchHandler,
+    )
+
+    loc = str(tmp_path / "bronze_merge")
+    bronze = run_pipeline(
+        spark,
+        base_config(),
+        source_df=source,
+        source_id="tracking_id",
+        dry_run=True,
+        fixed_time="2024-01-01T00:00:00",
+    ).bronze_df
+    sink = {"format": "parquet", "location": loc, "mode": "merge"}
+    handler = BronzeBatchHandler(spark, compiled={}, sink=sink)
+
+    half = bronze.where(F.col("request_id").cast("int") < 50)
+    handler._merge_parquet(half, sink)  # the half-written crash state
+    handler._merge_parquet(bronze, sink)  # retry re-writes the full batch
+    out = spark.read.parquet(loc)
+    assert out.count() == 100
+    assert out.select("request_id").distinct().count() == 100
+
+    handler._merge_parquet(bronze, sink)  # a full duplicate re-run: no-op
+    assert spark.read.parquet(loc).count() == 100
+
+
+def test_merge_mode_pipeline_e2e(spark, source, tmp_path):
+    loc = str(tmp_path / "bronze_merge_e2e")
+    cfg = base_config(sink_location=loc)
+    cfg["tables"]["sink"]["mode"] = "merge"
+    run_pipeline(spark, cfg, source_df=source, source_id="tracking_id")
+    assert spark.read.parquet(loc).count() == 100
+    # re-run through the full pipeline: still exactly one row per request
+    run_pipeline(spark, cfg, source_df=source, source_id="tracking_id")
+    sink_df = spark.read.parquet(loc)
+    assert sink_df.count() == 100
+    assert sink_df.select("request_id").distinct().count() == 100
+
+
 def test_param_mapping_on_id_column_is_injected(spark):
     """A mapping whose source_column IS the configured id column must still
     bind: the rename to request_id may not strand it (regression — the
