@@ -193,12 +193,17 @@ def compact_files(
     scan planning slows. Rewrite with a size-derived partition count
     (parquet has no OPTIMIZE; Delta users should prefer OPTIMIZE/Z-ORDER).
 
-    The rewrite goes through a temp dir + atomic-ish swap so a crash leaves
-    either the old or the new layout, never a mix. Returns
-    {files_before, files_after, bytes}.
+    The rewrite goes through a temp dir, then two Hadoop FileSystem
+    ``rename`` calls (location -> old, tmp -> location) and a recursive
+    ``delete`` of the old layout — the same FileSystem that resolved the
+    location, so the swap works on any scheme (file:, hdfs:, s3a:), not
+    just local POSIX paths. A crash leaves either the old or the new
+    layout, never a mix, but there IS a brief no-sink window between the
+    two renames: serialize against concurrent readers (on object stores
+    rename is copy+delete and the window is longer — prefer Delta
+    OPTIMIZE there). Returns {files_before, files_after, bytes}.
     """
     import math
-    import shutil
 
     sc = spark.sparkContext
     jvm_path = sc._jvm.org.apache.hadoop.fs.Path  # noqa: SLF001
@@ -218,9 +223,13 @@ def compact_files(
         .mode("overwrite")
         .save(tmp)
     )
-    shutil.move(location, old)
-    shutil.move(tmp, location)
-    shutil.rmtree(old)
+    if not fs.rename(jvm_path(location), jvm_path(old)):
+        raise OSError(f"compact_files: rename {location} -> {old} failed")
+    if not fs.rename(jvm_path(tmp), jvm_path(location)):
+        # restore the original layout before failing
+        fs.rename(jvm_path(old), jvm_path(location))
+        raise OSError(f"compact_files: rename {tmp} -> {location} failed")
+    fs.delete(jvm_path(old), True)
     files_after = sum(1 for _ in spark.read.format(fmt).load(location).inputFiles())
     return {
         "files_before": files_before,
