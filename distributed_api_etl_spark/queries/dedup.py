@@ -279,6 +279,7 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
            (COALESCE(c.cluster_id, d.doc_id) = d.doc_id) AS is_keep
     FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
     """,
+    bench=True,
     tags=("dedup", "graph"),
 )
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -77,6 +77,7 @@ def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM sessions
     GROUP BY user_id, session_seq
     """,
+    bench=True,
     tags=("events", "streaming-batch"),
 )
 def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
