@@ -175,18 +175,40 @@ def ivf_assign(
     emb: DataFrame, centroids: DataFrame, id_col: str, vec_col: str
 ) -> DataFrame:
     """Assign each vector to its max-cosine centroid (ties -> lowest
-    centroid id). Centroids are broadcast; assignment is one scan."""
-    c = centroids.select(
-        F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("cv")
+    centroid id) — MAP-SIDE, zero corpus shuffle.
+
+    The centroid set collapses into ONE broadcast row holding a
+    cid-sorted array<struct{cid, cv}>; the argmax is a HOF fold over that
+    array inside the scan (strictly-greater keeps the lowest cid on exact
+    ties because the array is cid-ascending). The previous implementation
+    ranked with a window over an N x k crossJoin — a full shuffle of N x k
+    scored rows per assignment, which at 100 TB with k=1000 centroids is a
+    1000x-inflated shuffle; this form is one projection.
+    """
+    cid_type = centroids.schema[id_col].dataType.simpleString()
+    cents = centroids.agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"))
+            )
+        ).alias("_cents")
     )
-    scored = emb.crossJoin(F.broadcast(c)).withColumn(
-        "ccos", cosine_similarity(vec_col, "cv")
+    init = F.struct(
+        F.lit(-2.0).cast("double").alias("cos"),
+        F.lit(None).cast(cid_type).alias("cid"),
     )
-    w = Window.partitionBy(id_col).orderBy(F.desc("ccos"), F.asc("centroid_id"))
-    return (
-        scored.withColumn("arnk", F.row_number().over(w))
-        .where(F.col("arnk") == 1)
-        .select(F.col(id_col), F.col(vec_col), F.col("centroid_id"))
+
+    def chooser(acc, c):
+        cand = F.struct(
+            cosine_similarity(F.col(vec_col), c["cv"]).alias("cos"),
+            c["cid"].alias("cid"),
+        )
+        return F.when(cand["cos"] > acc["cos"], cand).otherwise(acc)
+
+    return emb.crossJoin(F.broadcast(cents)).select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.aggregate("_cents", init, chooser)["cid"].alias("centroid_id"),
     )
 
 
