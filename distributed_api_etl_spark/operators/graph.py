@@ -35,7 +35,10 @@ def connected_components(
     sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).unionByName(
         edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
     )
-    sym = sym.distinct().persist()
+    # distinct + repartition on the join key: the persisted frame is already
+    # hash-partitioned on ``a``, so every round's propagation join shuffles
+    # only the (smaller) label side, never the edges again
+    sym = sym.distinct().repartition("a").persist()
     # iterative lineage MUST be truncated every round: ``labels`` appears
     # twice per iteration, so without a checkpoint the logical plan doubles
     # each round (2^iters nodes -> driver OOM just *printing* the plan).
@@ -54,23 +57,22 @@ def connected_components(
             .groupBy("node")
             .agg(F.min("label").alias("nbr_label"))
         )
+        # carry the old label through the update so convergence detection is
+        # a scan of the just-checkpointed frame, not another join
         new_labels = (
-            labels.join(neighbor_min, "node", "left")
+            labels.select("node", F.col("label").alias("old"))
+            .join(neighbor_min, "node", "left")
             .select(
                 "node",
                 F.least(
-                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                    F.col("old"), F.coalesce(F.col("nbr_label"), F.col("old"))
                 ).alias("label"),
+                "old",
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.join(labels.withColumnRenamed("label", "old"), "node")
-            .where(F.col("label") != F.col("old"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.where(F.col("label") != F.col("old")).limit(1).count()
+        labels = new_labels.select("node", "label")
         if changed == 0:
             break
     sym.unpersist()
