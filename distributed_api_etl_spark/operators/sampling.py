@@ -1,0 +1,46 @@
+"""Deterministic sampling operators for training-data mixing.
+
+``df.sample()`` draws from a seeded RNG whose output depends on partition
+layout — re-running after a repartition samples DIFFERENT rows, which is
+poison for reproducible 100 TB data recipes. Hash-based sampling keys the
+keep/drop decision on the ROW (stratum + id), so it is reproducible across
+runs, engines, and partitionings, and needs no shuffle: one hash + one
+comparison per row, all inside whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from distributed_api_etl_spark.functions.portable import portable_hash32
+
+
+def hash_stratified_sample(
+    df: DataFrame,
+    id_col: str,
+    stratum_col: str,
+    rates_per_mille: dict[str, int],
+    default_per_mille: int = 0,
+) -> DataFrame:
+    """Keep a row iff hash(stratum:id) mod 1000 < its stratum's rate.
+
+    ``rates_per_mille`` maps stratum value -> keep-rate in 1/1000ths
+    (1000 = keep all); unlisted strata use ``default_per_mille``. The
+    stratum participates in the hash so identical id sets in different
+    strata draw independent samples. Map-side only; the rate lookup
+    compiles to a CASE expression.
+    """
+    bucket = portable_hash32(
+        F.concat(F.col(stratum_col), F.lit(":"), F.col(id_col).cast("string"))
+    ) % 1000
+    rate = None
+    for value, per_mille in rates_per_mille.items():
+        cond = F.col(stratum_col) == F.lit(value)
+        rate = (
+            F.when(cond, per_mille)
+            if rate is None
+            else rate.when(cond, per_mille)
+        )
+    rate = rate.otherwise(default_per_mille) if rate is not None else F.lit(default_per_mille)
+    return df.where(bucket < rate)

@@ -106,3 +106,37 @@ def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
     w = Window.partitionBy("fingerprint")
     return out.withColumn("group_size", F.count("*").over(w))
+
+
+def decontaminate(
+    df: DataFrame,
+    eval_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+) -> DataFrame:
+    """Benchmark decontamination: drop every doc of ``df`` that shares at
+    least one n-token shingle with ``eval_df`` (the held-out benchmark
+    set) — the standard pre-training hygiene step.
+
+    Scale plan: the eval shingle set is tiny relative to a 100 TB corpus,
+    so it is distinct-ed and BROADCAST; the corpus side is one explode +
+    semi-join + distinct-of-ids + anti-join — no pair materialization and
+    no corpus-wide groupBy. Returns the surviving rows of ``df`` unchanged
+    (same schema).
+
+    Production note: real decontamination uses longer shingles (8-13
+    tokens) so only verbatim leakage matches; n is a parameter because the
+    right value depends on tokenizer granularity.
+    """
+    from distributed_api_etl_spark.functions.textfns import token_shingles
+
+    ev = (
+        eval_df.select(F.explode(token_shingles(F.col(text_col), n)).alias("s"))
+        .distinct()
+    )
+    corpus = df.select(
+        F.col(id_col), F.explode(token_shingles(F.col(text_col), n)).alias("s")
+    )
+    contaminated = corpus.join(F.broadcast(ev), "s").select(id_col).distinct()
+    return df.join(contaminated, id_col, "left_anti")

@@ -202,3 +202,70 @@ def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_frames",
         *[F.col("features")[k].alias(f"f{k}") for k in range(8)],
     )
+
+
+EVAL_SET_MAX_ID = 25  # docs below this id act as the held-out benchmark
+
+
+@register(
+    "text_decontaminate",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    sh AS (SELECT DISTINCT doc_id, s FROM toks,
+           UNNEST(list_transform(generate_series(1, greatest(len(t) - 2, 0)),
+                  i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) u(s)),
+    ev AS (SELECT DISTINCT s FROM sh WHERE doc_id < {EVAL_SET_MAX_ID}),
+    cont AS (SELECT DISTINCT sh.doc_id FROM sh JOIN ev USING (s)
+             WHERE sh.doc_id >= {EVAL_SET_MAX_ID})
+    SELECT d.doc_id, d.source, d.n_chars
+    FROM documents d
+    LEFT JOIN cont c ON c.doc_id = d.doc_id
+    WHERE d.doc_id >= {EVAL_SET_MAX_ID} AND c.doc_id IS NULL
+    """,
+    tags=("text", "dedup"),
+)
+def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: training docs sharing any 3-token shingle
+    with the eval set (low-id docs as the benchmark proxy) are dropped;
+    eval shingles broadcast, corpus anti-joined."""
+    docs = fan_out(table(spark, sf_dir, "documents"))
+    ev = docs.where(F.col("doc_id") < EVAL_SET_MAX_ID)
+    train = docs.where(F.col("doc_id") >= EVAL_SET_MAX_ID)
+    return TX.decontaminate(train, ev, "doc_id", "text", n=3).select(
+        "doc_id", "source", "n_chars"
+    )
+
+
+SAMPLE_RATES = {"src0": 1000, "src1": 500, "src2": 250, "src3": 125}
+SAMPLE_DEFAULT = 100
+
+
+def _sample_oracle() -> str:
+    from distributed_api_etl_spark.functions.portable import portable_hash32_sql
+
+    case = " ".join(
+        f"WHEN '{k}' THEN {v}" for k, v in SAMPLE_RATES.items()
+    )
+    h = portable_hash32_sql("source || ':' || CAST(doc_id AS VARCHAR)")
+    return f"""
+    SELECT doc_id, source, lang
+    FROM documents
+    WHERE {h} % 1000 < CASE source {case} ELSE {SAMPLE_DEFAULT} END
+    """
+
+
+@register(
+    "documents_stratified_sample",
+    oracle=_sample_oracle(),
+    tags=("sampling",),
+)
+def documents_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-based stratified sampling by source (training-data
+    mixing): reproducible across runs/engines/partitionings, unlike
+    RNG-seeded df.sample whose draw depends on partition layout."""
+    from distributed_api_etl_spark.operators.sampling import hash_stratified_sample
+
+    docs = fan_out(table(spark, sf_dir, "documents"))
+    return hash_stratified_sample(
+        docs, "doc_id", "source", SAMPLE_RATES, SAMPLE_DEFAULT
+    ).select("doc_id", "source", "lang")

@@ -342,3 +342,53 @@ def test_profile_table_single_pass_and_nulls(spark):
     # approx mode runs and keeps the schema
     approx = profile_table(df, approx=True)
     assert {r.column_name for r in approx.collect()} == {"k", "s", "v"}
+
+
+def test_decontaminate_drops_exactly_overlapping_docs(spark):
+    ev = docs_df(spark, [(100, "a b c d"), (101, "x y z w")])
+    train = docs_df(
+        spark,
+        [
+            (1, "a b c q r s"),      # shares shingle "a b c" -> dropped
+            (2, "q r s t u v"),      # clean -> survives
+            (3, "w x y z"),          # shares "x y z" -> dropped
+            (4, "b c d"),            # shares "b c d" -> dropped
+            (5, "c b a d e f"),      # reordered: no shared 3-gram -> survives
+        ],
+    )
+    from distributed_api_etl_spark.operators.text import decontaminate
+
+    out = {r.doc_id for r in decontaminate(train, ev, "doc_id", "text", 3).collect()}
+    assert out == {2, 5}
+
+
+def test_hash_stratified_sample_deterministic_and_rated(spark, sf_dir):
+    from distributed_api_etl_spark.operators.sampling import hash_stratified_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    rates = {"src0": 1000, "src1": 0}
+    a = {
+        r.doc_id
+        for r in hash_stratified_sample(docs, "doc_id", "source", rates, 500).collect()
+    }
+    # partition layout must not change the sample (the df.sample failure mode)
+    b = {
+        r.doc_id
+        for r in hash_stratified_sample(
+            docs.repartition(13), "doc_id", "source", rates, 500
+        ).collect()
+    }
+    assert a == b
+    by_src = {
+        r.source: r.cnt
+        for r in hash_stratified_sample(docs, "doc_id", "source", rates, 500)
+        .groupBy("source")
+        .agg(F.count("*").alias("cnt"))
+        .collect()
+    }
+    total = {
+        r.source: r.cnt
+        for r in docs.groupBy("source").agg(F.count("*").alias("cnt")).collect()
+    }
+    assert by_src.get("src0") == total["src0"]  # rate 1000 keeps all
+    assert "src1" not in by_src  # rate 0 keeps none
