@@ -140,3 +140,35 @@ def decontaminate(
     )
     contaminated = corpus.join(F.broadcast(ev), "s").select(id_col).distinct()
     return df.join(contaminated, id_col, "left_anti")
+
+
+def repetition_ratio(df: DataFrame, id_col: str, text_col: str, n: int = 2) -> DataFrame:
+    """Within-doc duplicate n-gram fraction — the classic repetition-based
+    quality filter for training corpora (boilerplate/spam detector).
+
+    rep_ppm = floor(1e6 * (total - distinct) / total) over the doc's token
+    n-grams; integer ppm so the threshold boundary is bit-exact on every
+    engine. Docs shorter than n tokens score 0. Pure codegen (no explode:
+    the shingle array, its distinct form, and the sizes are all HOFs).
+    """
+    from distributed_api_etl_spark.functions.textfns import token_shingles
+
+    sh = token_shingles(F.col(text_col), n)
+    return (
+        df.select(
+            F.col(id_col),
+            F.size(sh).alias("_total"),
+            F.size(F.array_distinct(sh)).alias("_distinct"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("_total").alias("n_ngrams"),
+            F.when(
+                F.col("_total") > 0,
+                F.expr("div(1000000 * (_total - _distinct), _total)"),
+            )
+            .otherwise(F.lit(0))
+            .cast("bigint")
+            .alias("rep_ppm"),
+        )
+    )

@@ -269,3 +269,30 @@ def documents_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hash_stratified_sample(
         docs, "doc_id", "source", SAMPLE_RATES, SAMPLE_DEFAULT
     ).select("doc_id", "source", "lang")
+
+
+@register(
+    "text_repetition_ratio",
+    oracle="""
+    WITH g AS (
+      SELECT doc_id,
+             list_transform(generate_series(1, greatest(len(t) - 1, 0)),
+                            i -> t[i] || ' ' || t[i+1]) AS sh
+      FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+    )
+    SELECT doc_id,
+           CAST(len(sh) AS INTEGER) AS n_ngrams,
+           CAST(CASE WHEN len(sh) > 0
+                     THEN (1000000 * (len(sh) - len(list_distinct(sh)))) // len(sh)
+                     ELSE 0 END AS BIGINT) AS rep_ppm
+    FROM g
+    """,
+    tags=("text", "quality"),
+)
+def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-bigram fraction per doc (Gopher-style repetition filter),
+    integer ppm for bit-exact thresholds."""
+    docs = fan_out(table(spark, sf_dir, "documents"))
+    return TX.repetition_ratio(docs, "doc_id", "text", n=2).select(
+        "doc_id", F.col("n_ngrams").cast("int").alias("n_ngrams"), "rep_ppm"
+    )
