@@ -391,3 +391,81 @@ def ivf_kmeans_topk_ml(
     )
     assigned = ivf_assign(emb, cdf, id_col, vec_col)
     return ivf_bucket_topk(assigned, queries, id_col, vec_col, k)
+
+
+def ivf_probe_assign(
+    qvecs: DataFrame,
+    centroids: DataFrame,
+    id_col: str,
+    vec_col: str,
+    nprobe: int,
+) -> DataFrame:
+    """Top-``nprobe`` centroids per query — the multi-probe half of IVF.
+
+    Same map-side shape as :func:`ivf_assign` (one broadcast centroid-array
+    row, HOF scoring inside the scan, zero shuffle): score every centroid,
+    sort by (-cos, cid) — descending cosine, ties to the lowest centroid
+    id — and keep the first ``nprobe``, exploded to one row per probe.
+    """
+    cents = centroids.agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"))
+            )
+        ).alias("_cents")
+    )
+    scored = F.transform(
+        F.col("_cents"),
+        lambda c: F.struct(
+            (-cosine_similarity(F.col(vec_col), c["cv"])).alias("negcos"),
+            c["cid"].alias("cid"),
+        ),
+    )
+    probes = F.slice(F.array_sort(scored), 1, nprobe)
+    return qvecs.crossJoin(F.broadcast(cents)).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        F.explode(F.transform(probes, lambda p: p["cid"])).alias("centroid_id"),
+    )
+
+
+def ivf_multiprobe_topk(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_centroids: int,
+    queries: DataFrame,
+    k: int,
+    nprobe: int = 2,
+) -> DataFrame:
+    """IVF search probing the query's ``nprobe`` nearest buckets — the
+    production recall knob (nprobe=1 misses neighbors that straddle a
+    Voronoi boundary; nprobe of 2-8 recovers most of them for a linear,
+    bounded cost increase: search cost is ~nprobe/n_centroids of the
+    corpus per query, still no corpus shuffle).
+
+    Each corpus vector lives in exactly one bucket, so probed buckets are
+    disjoint and no candidate dedup is needed before the final top-k.
+    """
+    centroids = emb.orderBy(F.col(id_col)).limit(n_centroids)
+    assigned = ivf_assign(emb, centroids, id_col, vec_col)
+    qvecs = queries.select(id_col).join(
+        emb.select(id_col, vec_col), id_col
+    )
+    probes = ivf_probe_assign(qvecs, centroids, id_col, vec_col, nprobe)
+    cand = assigned.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("nv"),
+        "centroid_id",
+    )
+    scored = (
+        cand.join(F.broadcast(probes), "centroid_id")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cosine", cosine_similarity("qv", "nv"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "rnk", F.round("cosine", 6).alias("cosine"))
+    )

@@ -206,3 +206,55 @@ def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ivf_kmeans_topk(
         emb, "vec_id", "embedding", IVF_CENTROIDS, queries, IVF_K, iters=KMEANS_ITERS
     )
+
+
+NPROBE = 2
+
+
+@register(
+    "ann_ivf_multiprobe_topk",
+    oracle=f"""
+    WITH vecs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    cents AS (SELECT vec_id AS centroid_id, v AS cv FROM vecs
+              WHERE vec_id < {IVF_CENTROIDS}),
+    assign0 AS (
+      SELECT vecs.vec_id, vecs.v, c.centroid_id,
+             row_number() OVER (PARTITION BY vecs.vec_id
+               ORDER BY list_cosine_similarity(vecs.v, c.cv) DESC, c.centroid_id)
+               AS arnk
+      FROM vecs CROSS JOIN cents c
+    ),
+    corpus AS (SELECT vec_id, v, centroid_id FROM assign0 WHERE arnk = 1),
+    probes AS (
+      SELECT vec_id AS query_id, v AS qv, centroid_id
+      FROM assign0
+      WHERE vec_id >= {IVF_QUERY_LO} AND vec_id < {IVF_QUERY_HI}
+        AND arnk <= {NPROBE}
+    ),
+    scored AS (
+      SELECT p.query_id, c.vec_id AS neighbor_id,
+             list_cosine_similarity(p.qv, c.v) AS cosine
+      FROM corpus c JOIN probes p ON c.centroid_id = p.centroid_id
+                                 AND c.vec_id <> p.query_id
+    )
+    SELECT query_id, neighbor_id, CAST(rnk AS INTEGER) AS rnk,
+           round(cosine, 6) AS cosine
+    FROM (SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
+          FROM scored)
+    WHERE rnk <= {IVF_K}
+    """,
+    tags=("similarity",),
+)
+def ann_ivf_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe IVF (nprobe=2): the recall knob over ann_ivf_topk —
+    probes are the query's 2 nearest buckets, searched with the same
+    broadcast bucket equi-join; buckets are disjoint so no candidate
+    dedup precedes the top-k."""
+    emb = fan_out(table(spark, sf_dir, "embeddings"))
+    queries = emb.where(
+        (F.col("vec_id") >= IVF_QUERY_LO) & (F.col("vec_id") < IVF_QUERY_HI)
+    ).select("vec_id")
+    return S.ivf_multiprobe_topk(
+        emb, "vec_id", "embedding", IVF_CENTROIDS, queries, IVF_K, nprobe=NPROBE
+    )

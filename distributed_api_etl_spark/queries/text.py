@@ -296,3 +296,47 @@ def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.repetition_ratio(docs, "doc_id", "text", n=2).select(
         "doc_id", F.col("n_ngrams").cast("int").alias("n_ngrams"), "rep_ppm"
     )
+
+
+PACK_BUDGET = 512
+
+
+@register(
+    "documents_pack_sequences",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, source,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, source, n_tokens,
+             CAST(COALESCE(sum(n_tokens) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cb
+      FROM toks
+    )
+    SELECT doc_id, source, n_tokens,
+           cb // {PACK_BUDGET} AS pack_id,
+           cb % {PACK_BUDGET} AS pack_offset
+    FROM c
+    """,
+    tags=("text", "packing"),
+)
+def documents_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing per source stream: one window per
+    stream computes token start offsets; pack id/offset are integer
+    arithmetic. Single shuffle, no UDF, deterministic under any
+    partitioning."""
+    from distributed_api_etl_spark.operators.packing import pack_sequences
+
+    docs = fan_out(table(spark, sf_dir, "documents"))
+    toks = docs.select(
+        "doc_id",
+        "source",
+        F.size(F.split(F.col("text"), " ")).cast("bigint").alias("n_tokens"),
+    )
+    return pack_sequences(
+        toks, order_col="doc_id", token_count_col="n_tokens",
+        budget=PACK_BUDGET, stream_col="source",
+    )

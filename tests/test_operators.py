@@ -392,3 +392,53 @@ def test_hash_stratified_sample_deterministic_and_rated(spark, sf_dir):
     }
     assert by_src.get("src0") == total["src0"]  # rate 1000 keeps all
     assert "src1" not in by_src  # rate 0 keeps none
+
+
+def test_pack_sequences_concat_and_chunk(spark):
+    from distributed_api_etl_spark.operators.packing import pack_sequences
+
+    rows = [
+        # stream a: tokens 300, 300, 100 -> starts 0, 300, 600
+        (1, "a", 300), (2, "a", 300), (3, "a", 100),
+        # stream b: single doc longer than the budget still gets pack 0
+        (1, "b", 900),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, src string, n bigint")
+    out = {
+        (r.src, r.doc_id): (r.pack_id, r.pack_offset)
+        for r in pack_sequences(df, "doc_id", "n", 512, "src").collect()
+    }
+    assert out[("a", 1)] == (0, 0)
+    assert out[("a", 2)] == (0, 300)   # straddles the 512 cut: pack of 1st token
+    assert out[("a", 3)] == (1, 88)    # 600 div 512 = 1, 600 % 512 = 88
+    assert out[("b", 1)] == (0, 0)
+
+    # deterministic under any partition layout (window is key-ordered)
+    out2 = {
+        (r.src, r.doc_id): (r.pack_id, r.pack_offset)
+        for r in pack_sequences(df.repartition(7), "doc_id", "n", 512, "src").collect()
+    }
+    assert out == out2
+
+
+def test_ivf_multiprobe_improves_on_single_probe(spark, sf_dir):
+    from distributed_api_etl_spark.operators.similarity import (
+        bruteforce_topk,
+        ivf_multiprobe_topk,
+        ivf_topk,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 10).select("vec_id")
+
+    def hits(df):
+        return {(r.query_id, r.neighbor_id) for r in df.collect()}
+
+    exact = hits(bruteforce_topk(emb, emb.where(F.col("vec_id") < 10), "vec_id", "embedding", 3))
+    p1 = hits(ivf_topk(emb, "vec_id", "embedding", 8, queries, 3))
+    p2 = hits(ivf_multiprobe_topk(emb, "vec_id", "embedding", 8, queries, 3, nprobe=2))
+    # more probes can only improve (or equal) recall vs the exact answer
+    assert len(p2 & exact) >= len(p1 & exact)
+    # and nprobe = n_centroids degenerates to exact brute force
+    pall = hits(ivf_multiprobe_topk(emb, "vec_id", "embedding", 8, queries, 3, nprobe=8))
+    assert pall == exact
