@@ -189,3 +189,46 @@ def streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_millis(F.col("session_end")).alias("session_end_ms"),
         "n_events",
     )
+
+
+@register(
+    "streaming_click_purchase_join",
+    oracle="""
+    SELECT a.user_id,
+           a.event_id AS left_id,
+           b.event_id AS right_id,
+           CAST(epoch_ms(b.ts) - epoch_ms(a.ts) AS BIGINT) AS delay_ms
+    FROM events a
+    JOIN events b
+      ON a.user_id = b.user_id
+     AND a.event_type = 'click' AND b.event_type = 'purchase'
+     AND b.ts >= a.ts
+     AND b.ts <= a.ts + INTERVAL '1 hour'
+    """,
+    tags=("streaming", "join"),
+)
+def streaming_click_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join (click -> purchase attribution within
+    1 h) as a real append-mode streaming query. Inner interval joins emit
+    on match, so one availableNow drain equals the batch interval join —
+    the SQL oracle; watermark-driven state eviction across micro-batches
+    is covered in tests/test_streaming.py."""
+    from pyspark.sql.types import TimestampType
+
+    from distributed_api_etl_spark.streaming import interval_join_stream
+
+    table(spark, sf_dir, "events")  # pins session TZ + nanosAsLong confs
+    stream = _stream_source(spark, sf_dir, "events")
+    if not isinstance(stream.schema["ts"].dataType, TimestampType):
+        stream = stream.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp")
+        )
+    out = interval_join_stream(
+        stream.where(F.col("event_type") == "click"),
+        stream.where(F.col("event_type") == "purchase"),
+        key_col="user_id",
+        ts_col="ts",
+        max_delay="1 hour",
+    )
+    name = _drain_to_memory(out, mode="append")
+    return spark.table(name)

@@ -2,6 +2,7 @@ from distributed_api_etl_spark.streaming.pipeline import (  # noqa: F401
     run_streaming_pipeline,
 )
 from distributed_api_etl_spark.streaming.windows import (  # noqa: F401
+    interval_join_stream,
     sessionized_stream,
     tumbling_window_stream,
 )

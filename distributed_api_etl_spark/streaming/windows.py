@@ -62,3 +62,47 @@ def sessionized_stream(
             "n_events",
         )
     )
+
+
+def interval_join_stream(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    max_delay: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream event-time interval join: each left event matches right
+    events on the same key within ``[left.ts, left.ts + max_delay]``.
+
+    Both sides carry watermarks plus a time-range join condition — that pair
+    is what lets Spark bound the join state: a buffered left row is evictable
+    once the right watermark passes ``left.ts + max_delay`` (and vice versa),
+    so state is O(key-rate x (watermark + max_delay)), never the full stream.
+    Without the range condition the state grows unboundedly; without
+    watermarks Spark rejects append-mode stream-stream joins outright.
+
+    At scale the join shuffles both sides by ``key_col`` — same key strategy
+    as the batch as-of/range joins: skewed hot keys get salted upstream.
+    """
+    l = left.withWatermark(ts_col, watermark).select(
+        F.col(key_col).alias("k"),
+        F.col("event_id").alias("left_id"),
+        F.col(ts_col).alias("left_ts"),
+    )
+    r = right.withWatermark(ts_col, watermark).select(
+        F.col(key_col).alias("rk"),
+        F.col("event_id").alias("right_id"),
+        F.col(ts_col).alias("right_ts"),
+    )
+    return l.join(
+        r,
+        (F.col("k") == F.col("rk"))
+        & (F.col("right_ts") >= F.col("left_ts"))
+        & (F.col("right_ts") <= F.col("left_ts") + F.expr(f"INTERVAL {max_delay}")),
+    ).select(
+        F.col("k").alias(key_col),
+        "left_id",
+        "right_id",
+        (F.unix_millis("right_ts") - F.unix_millis("left_ts")).alias("delay_ms"),
+    )

@@ -184,3 +184,50 @@ def test_stateful_user_totals_accumulate(spark, tmp_path):
         final[r.user_id] = (r.n_events, r.sum_value)
     assert final["u1"] == (3, 7.0)
     assert final["u2"] == (1, 5.0)
+
+
+def test_interval_join_across_micro_batches(spark, tmp_path):
+    """Matches that straddle a micro-batch boundary are still emitted:
+    the left row is buffered in join state until the right side's
+    watermark passes left_ts + max_delay."""
+    from datetime import datetime
+
+    from distributed_api_etl_spark.streaming import interval_join_stream
+
+    src = str(tmp_path / "iv_src")
+    t0 = datetime(2024, 1, 1, 12, 0, 0)
+    rows1 = [
+        (1, t0, 10, "click"),
+        (2, datetime(2024, 1, 1, 12, 10, 0), 10, "purchase"),  # same batch
+    ]
+    rows2 = [
+        (3, datetime(2024, 1, 1, 12, 40, 0), 10, "purchase"),  # later batch
+        (4, datetime(2024, 1, 1, 14, 30, 0), 10, "purchase"),  # > 1h: no match
+    ]
+    schema = "event_id bigint, ts timestamp, user_id bigint, event_type string"
+    spark.createDataFrame(rows1, schema).coalesce(1).write.parquet(src)
+    spark.createDataFrame(rows2, schema).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    out = interval_join_stream(
+        stream.where("event_type = 'click'"),
+        stream.where("event_type = 'purchase'"),
+        key_col="user_id",
+        ts_col="ts",
+        max_delay="1 hour",
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("ivjoin_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.left_id, r.right_id, r.delay_ms)
+        for r in spark.sql("SELECT * FROM ivjoin_out").collect()
+    }
+    assert got == {(1, 2, 600_000), (1, 3, 2_400_000)}
