@@ -340,3 +340,63 @@ def documents_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         toks, order_col="doc_id", token_count_col="n_tokens",
         budget=PACK_BUDGET, stream_col="source",
     )
+
+
+def _pii_sql() -> str:
+    from distributed_api_etl_spark.operators.text import PII_PATTERNS
+
+    counts = ",\n           ".join(
+        f"CAST(len(regexp_extract_all(text, '{PII_PATTERNS[k]}')) AS INTEGER) AS n_{k}"
+        for k in sorted(PII_PATTERNS)
+    )
+    red = "text"
+    for k in sorted(PII_PATTERNS):
+        red = f"regexp_replace({red}, '{PII_PATTERNS[k]}', '[{k.upper()}]', 'g')"
+    return f"""
+    WITH enriched AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 7 = 0
+                  THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+                       || '@example.com from 10.0.0.' || CAST(doc_id % 256 AS VARCHAR)
+                       || ' tel +1-555-123-4567'
+                  ELSE text END AS text
+      FROM documents
+    )
+    SELECT doc_id,
+           {counts},
+           {red} AS redacted_text
+    FROM enriched
+    """
+
+
+@register(
+    "text_pii_redact",
+    oracle=_pii_sql(),
+    tags=("text", "quality"),
+)
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing (email / ipv4 / phone -> mask tokens + counts). The
+    synthetic corpus carries no PII, so deterministic test vectors are
+    injected into every 7th doc inside the query (mirrored in the oracle)
+    to make the redaction observable end-to-end. Pure regexp column
+    expressions: one scan, zero shuffle."""
+    from distributed_api_etl_spark.operators.text import pii_redact
+
+    docs = fan_out(table(spark, sf_dir, "documents"))
+    enriched = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com from 10.0.0."),
+                (F.col("doc_id") % 256).cast("string"),
+                F.lit(" tel +1-555-123-4567"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return pii_redact(enriched, "doc_id", "text")

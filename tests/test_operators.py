@@ -442,3 +442,23 @@ def test_ivf_multiprobe_improves_on_single_probe(spark, sf_dir):
     # and nprobe = n_centroids degenerates to exact brute force
     pall = hits(ivf_multiprobe_topk(emb, "vec_id", "embedding", 8, queries, 3, nprobe=8))
     assert pall == exact
+
+
+def test_pii_redact_masks_and_counts(spark):
+    from distributed_api_etl_spark.operators.text import pii_redact
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail a.b-c@ex-ample.co.uk and 192.168.1.1 and +44-123-456-7890"),
+            (2, "clean text, no pii; almost@an@email 999.999.999.999 is matched"),
+            (3, "trailing dot never joins: end. 1.2.3.4."),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {r.doc_id: r for r in pii_redact(df, "doc_id", "text").collect()}
+    assert out[1].redacted_text == "mail [EMAIL] and [IPV4] and [PHONE]"
+    assert (out[1].n_email, out[1].n_ipv4, out[1].n_phone) == (1, 1, 1)
+    # "almost@an@email": the local-part regex matches "an@email"? no TLD dot
+    # => no email match; 999.* still matches the (syntactic) ipv4 pattern
+    assert out[2].n_email == 0 and out[2].n_ipv4 == 1
+    assert out[3].n_ipv4 == 1 and out[3].redacted_text.endswith("[IPV4].")
