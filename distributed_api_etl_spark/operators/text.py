@@ -210,3 +210,60 @@ def pii_redact(
         )
         redacted = F.regexp_replace(redacted, pat, f"[{kind.upper()}]")
     return df.select(F.col(id_col), *counts, redacted.alias("redacted_text"))
+
+
+def corpus_vocab(
+    df: DataFrame, id_col: str, text_col: str, top_k: int | None = None
+) -> DataFrame:
+    """Corpus-wide vocabulary: per-token occurrence and document frequency
+    (the tokenizer-vocab / IDF-feature builder).
+
+    One explode + one groupBy: ``n_occurrences`` is a plain count with
+    map-side partial aggregation; ``n_docs`` dedups (doc, token) inside the
+    same shuffle via count(DISTINCT id). At 100 TB token keys are Zipf-skewed
+    — the map-side combine already collapses the head tokens per partition,
+    which is exactly the salting outcome without a salt column. Optional
+    ``top_k`` orders by (count desc, token) for a deterministic cut.
+    """
+    tok = df.select(
+        F.col(id_col).alias("_doc"), F.explode(tokens(F.col(text_col))).alias("token")
+    )
+    agg = tok.groupBy("token").agg(
+        F.count("*").alias("n_occurrences"),
+        F.count_distinct(F.col("_doc")).alias("n_docs"),
+    )
+    if top_k is not None:
+        agg = agg.orderBy(F.desc("n_occurrences"), F.asc("token")).limit(top_k)
+    return agg
+
+
+def quality_quantile_filter(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    stratum_col: str,
+    keep_top_fraction: float = 0.5,
+) -> DataFrame:
+    """Keep the top quality fraction WITHIN each stratum (per-source quality
+    gating — a global threshold would let a high-quality-skewed source crowd
+    out every other stratum of the training mix).
+
+    percent_rank over (stratum, quality, id) — the id tie-break makes the
+    cut deterministic. One window shuffle keyed by stratum; at scale the
+    stratum count should be >= parallelism or the window key extended with a
+    hash bucket (same guidance as pack_sequences).
+    """
+    from pyspark.sql import Window
+
+    scored = quality_score(df, id_col, text_col).select(
+        F.col(id_col), F.col("quality")
+    )
+    joined = df.select(F.col(id_col), F.col(stratum_col)).join(scored, id_col)
+    w = Window.partitionBy(stratum_col).orderBy(
+        F.desc("quality"), F.asc(id_col)
+    )
+    return (
+        joined.withColumn("pr", F.percent_rank().over(w))
+        .where(F.col("pr") < keep_top_fraction)
+        .select(id_col, stratum_col, "quality", F.round("pr", 6).alias("pr"))
+    )

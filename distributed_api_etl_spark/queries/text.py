@@ -400,3 +400,76 @@ def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("text"),
     )
     return pii_redact(enriched, "doc_id", "text")
+
+
+VOCAB_TOP_K = 100
+
+
+@register(
+    "corpus_vocab_topk",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+    )
+    SELECT token, count(*) AS n_occurrences, count(DISTINCT doc_id) AS n_docs
+    FROM tok
+    GROUP BY token
+    ORDER BY n_occurrences DESC, token
+    LIMIT {VOCAB_TOP_K}
+    """,
+    tags=("text", "vocab"),
+)
+def corpus_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-vocabulary builder: corpus-wide token occurrence + document
+    frequency in one explode + one groupBy (map-side combine soaks up the
+    Zipf head); deterministic (count desc, token) top-k cut."""
+    docs = fan_out(table(spark, sf_dir, "documents"))
+    return TX.corpus_vocab(docs, "doc_id", "text", top_k=VOCAB_TOP_K)
+
+
+KEEP_TOP_FRACTION = 0.5
+
+
+@register(
+    "documents_quality_filter",
+    oracle=f"""
+    WITH stats AS (
+      SELECT doc_id,
+             len(string_split(text, ' ')) AS n_tokens,
+             len(list_distinct(string_split(text, ' '))) AS n_distinct,
+             length(text) AS n_chars,
+             length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS n_alpha
+      FROM documents
+    ),
+    scored AS (
+      SELECT doc_id,
+             round(0.25 * least(n_tokens / 50.0, 1.0)
+                 + 0.25 * (n_distinct / n_tokens)
+                 + 0.25 * (n_alpha / n_chars)
+                 + 0.25 * least(((n_chars - (n_tokens - 1)) / n_tokens) / 8.0, 1.0),
+               6) AS quality
+      FROM stats
+    ),
+    j AS (
+      SELECT d.doc_id, d.source, s.quality
+      FROM documents d JOIN scored s USING (doc_id)
+    ),
+    r AS (
+      SELECT doc_id, source, quality,
+             percent_rank() OVER (PARTITION BY source
+                                  ORDER BY quality DESC, doc_id) AS pr
+      FROM j
+    )
+    SELECT doc_id, source, quality, round(pr, 6) AS pr
+    FROM r WHERE pr < {KEEP_TOP_FRACTION}
+    """,
+    tags=("text", "quality", "sampling"),
+)
+def documents_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum quality gating: keep the top half of each source by
+    quality score (a global threshold would let one high-quality source
+    crowd out the rest of the mix). Deterministic percent_rank cut."""
+    docs = fan_out(table(spark, sf_dir, "documents"))
+    return TX.quality_quantile_filter(
+        docs, "doc_id", "text", "source", keep_top_fraction=KEEP_TOP_FRACTION
+    )
