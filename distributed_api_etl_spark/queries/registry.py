@@ -48,32 +48,58 @@ def register(
     return deco
 
 
+def pin_events_confs(spark: SparkSession) -> None:
+    """Session confs every events read depends on.
+
+    UTC session tz makes LTZ<->NTZ casts the identity (so all three on-disk
+    ts encodings normalize to the same naive instants the DuckDB oracle
+    sees); ``nanosAsLong`` lets the vectorized reader accept TIMESTAMP(NANOS)
+    files (it surfaces them as LongType) and is a no-op for micros files.
+    Must be set BEFORE the parquet scan is planned.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+
+def normalize_events_ts(df: DataFrame, target: str = "timestamp_ntz") -> DataFrame:
+    """Normalize ``ts`` to ``target`` whatever the on-disk encoding was.
+
+    The driver's testdata has shipped ``events.ts`` as TIMESTAMP(NANOS)
+    (round 1) and TIMESTAMP(MICROS, isAdjustedToUTC=false) (round 2+), so
+    branch on the LOADED dtype instead of assuming an encoding:
+
+    - LongType   -> raw epoch-nanos via ``nanosAsLong``; rebuild with integer
+      division (float ``/ 1000`` loses sub-ms precision above 2^53).
+    - TimestampType / TimestampNTZType -> already a timestamp; with the
+      session tz pinned UTC the cast to ``target`` is value-preserving.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, TimestampNTZType, TimestampType
+
+    dt = df.schema["ts"].dataType
+    if isinstance(dt, LongType):
+        ts = F.timestamp_micros(F.expr("ts div 1000"))
+    elif isinstance(dt, (TimestampType, TimestampNTZType)):
+        ts = F.col("ts")
+    else:
+        raise TypeError(f"unsupported events.ts dtype: {dt}")
+    return df.withColumn("ts", ts.cast(target))
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Parquet scan for one of the star-schema tables.
 
     A plain ``spark.read.parquet`` so Catalyst gets filter pushdown, column
     pruning and partition pruning for free on every query built on top.
-
-    ``events.ts`` is parquet TIMESTAMP(NANOS) which the Spark vectorized
-    reader rejects; it is read as raw nanos (``nanosAsLong``) and rebuilt as
-    a TIMESTAMP_NTZ (session tz pinned to UTC so LTZ->NTZ is the identity,
-    matching the oracle's naive timestamps).
+    ``events.ts`` is normalized to TIMESTAMP_NTZ from whichever encoding is
+    on disk (see :func:`normalize_events_ts`).
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     path = f"{sf_dir}/{name}.parquet"
     if name == "events":
-        from pyspark.sql import functions as F
-
-        spark.conf.set("spark.sql.session.timeZone", "UTC")
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(path)
-        # integer division: float `/ 1000` loses precision above 2^53
-        # (epoch-nanos are ~1.7e18) and rounds the microsecond
-        return df.withColumn(
-            "ts",
-            F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz"),
-        )
+        pin_events_confs(spark)
+        return normalize_events_ts(spark.read.parquet(path))
     return spark.read.parquet(path)
 
 
@@ -110,6 +136,7 @@ def load_all() -> dict[str, QuerySpec]:
         similarity,
         streaming,
         text,
+        tpch_more,
     )
 
     return REGISTRY

@@ -8,9 +8,12 @@ Spark (SURVEY §3.3) as TPC-H-style aggregation/join queries (the bench
 headliners).
 
 Scale notes: every query is a declarative DataFrame plan — Catalyst pushes
-filters into the parquet scan, prunes columns, and picks broadcast joins for
-the small dimensions (we also hint ``broadcast`` explicitly so the plan is
-stable without AQE statistics at 100 TB).
+filters into the parquet scan, prunes columns, and AQE's runtime size stats
+pick broadcast vs sort-merge per join. Explicit ``broadcast`` hints appear
+ONLY on sides whose size is bounded by construction at every sf (fixed-size
+nation/region dims, one-row scalar aggregates, q18's tiny >300-qty key set,
+q17's 1%-selective part slice) — never on tables that scale with the data,
+where a hint would override AQE and OOM at 100 TB.
 """
 
 from __future__ import annotations
@@ -241,11 +244,15 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     revenue = dec("l_extendedprice", 12, 2) * _one_minus(F.col("l_discount"), -1)
     return (
+        # no broadcast hints: orders/customer scale with sf, so an explicit
+        # hint would override AQE's size stats and OOM at 100 TB — AQE picks
+        # broadcast at small sf (under autoBroadcastJoinThreshold) and
+        # sort-merge + skew-split at scale
         li.join(
-            F.broadcast(orders.select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")),
+            orders.select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"),
             li.l_orderkey == orders.o_orderkey,
         )
-        .join(F.broadcast(cust.select("c_custkey")), F.col("o_custkey") == F.col("c_custkey"))
+        .join(cust.select("c_custkey"), F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(F.sum(revenue).cast("double").alias("revenue"))
         .select(
@@ -292,10 +299,13 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     region = table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
     revenue = dec("l_extendedprice", 12, 2) * _one_minus(F.col("l_discount"), -1)
     return (
+        # customer/supplier scale with sf: no hints, AQE decides (broadcast
+        # at small sf, sort-merge at 100 TB). nation/region are fixed-size
+        # (25/5 rows at every sf) so their hints are scale-safe.
         li.join(orders.select("o_orderkey", "o_custkey"), li.l_orderkey == F.col("o_orderkey"))
-        .join(F.broadcast(cust.select("c_custkey", "c_nationkey")), F.col("o_custkey") == F.col("c_custkey"))
+        .join(cust.select("c_custkey", "c_nationkey"), F.col("o_custkey") == F.col("c_custkey"))
         .join(
-            F.broadcast(supp.select("s_suppkey", "s_nationkey")),
+            supp.select("s_suppkey", "s_nationkey"),
             (li.l_suppkey == F.col("s_suppkey")) & (F.col("c_nationkey") == F.col("s_nationkey")),
         )
         .join(F.broadcast(nation.select("n_nationkey", "n_name", "n_regionkey")), F.col("s_nationkey") == F.col("n_nationkey"))
@@ -633,9 +643,10 @@ def q4_order_priority_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q10_returned_item_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q10: top returned-item customers for a quarter. Fact side
-    (lineitem) filtered at the scan; orders/customer/nation broadcast; the
-    single shuffle is the groupBy on the pruned key set, and the global
-    top-20 is a TakeOrdered on the driver, not a full sort."""
+    (lineitem) filtered at the scan; orders/customer joins are unhinted so
+    AQE's size stats pick broadcast at small sf and sort-merge at 100 TB
+    (orders/customer scale with sf; only fixed-size nation keeps a hint).
+    The global top-20 is a TakeOrdered on the driver, not a full sort."""
     cust = table(spark, sf_dir, "customer")
     orders = table(spark, sf_dir, "orders").where(
         (F.col("o_orderdate").cast("date") >= F.lit("1997-01-01").cast("date"))
@@ -646,11 +657,11 @@ def q10_returned_item_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue = dec("l_extendedprice", 12, 2) * _one_minus(F.col("l_discount"), -1)
     return (
         li.join(
-            F.broadcast(orders.select("o_orderkey", "o_custkey")),
+            orders.select("o_orderkey", "o_custkey"),
             li.l_orderkey == F.col("o_orderkey"),
         )
         .join(
-            F.broadcast(cust.select("c_custkey", "c_name", "c_acctbal", "c_nationkey")),
+            cust.select("c_custkey", "c_name", "c_acctbal", "c_nationkey"),
             F.col("o_custkey") == F.col("c_custkey"),
         )
         .join(
@@ -682,9 +693,10 @@ def q10_returned_item_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("analytics",),
 )
 def q14_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q14: conditional aggregation over a broadcast dim join. Both
-    sums accumulate in exact DECIMAL and only the final ratio is double, so
-    the percentage is bit-identical cross-engine."""
+    """TPC-H Q14: conditional aggregation over the part-dim join — unhinted,
+    because part scales with sf (AQE broadcasts under the threshold, shuffles
+    above it). Both sums accumulate in exact DECIMAL and only the final
+    ratio is double, so the percentage is bit-identical cross-engine."""
     li = table(spark, sf_dir, "lineitem").where(
         (F.col("l_shipdate").cast("date") >= F.lit("1997-09-01").cast("date"))
         & (F.col("l_shipdate").cast("date") < F.lit("1997-10-01").cast("date"))
@@ -695,7 +707,7 @@ def q14_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).cast(DecimalType(15, 5))
     )
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .agg(
             F.round(
                 F.lit(100.0)
@@ -784,8 +796,9 @@ def q22_dormant_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q22 shape: scalar-aggregate subquery (global average balance)
     + NOT EXISTS anti-join (customers with no urgent orders — every synthetic
     customer has orders, so 'dormant' is priority-scoped). The scalar is a
-    one-row broadcast cross join, the NOT EXISTS a broadcast anti-join on the
-    pre-distincted key set: no repeated subquery evaluation anywhere."""
+    one-row broadcast cross join (always safe: exactly 1 row). The NOT EXISTS
+    anti-join is unhinted — the distinct urgent-customer key set scales with
+    customer count, so AQE's stats choose broadcast vs shuffled anti-join."""
     cust = table(spark, sf_dir, "customer")
     orders = table(spark, sf_dir, "orders")
     avg_bal = (
@@ -800,7 +813,7 @@ def q22_dormant_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         cust.crossJoin(F.broadcast(avg_bal))
         .where(F.col("c_acctbal") > F.col("a"))
-        .join(F.broadcast(urgent), cust.c_custkey == F.col("o_custkey"), "left_anti")
+        .join(urgent, cust.c_custkey == F.col("o_custkey"), "left_anti")
         .groupBy("c_mktsegment")
         .agg(
             F.count("*").alias("numcust"),

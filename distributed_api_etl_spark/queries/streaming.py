@@ -17,7 +17,11 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from distributed_api_etl_spark.queries.registry import register, table
+from distributed_api_etl_spark.queries.registry import (
+    normalize_events_ts,
+    pin_events_confs,
+    register,
+)
 
 _SINK_IDS = itertools.count()
 
@@ -30,6 +34,15 @@ def _stream_source(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     os.symlink(src_file, os.path.join(d, f"{name}.parquet"))
     schema = spark.read.parquet(src_file).schema
     return spark.readStream.schema(schema).parquet(d)
+
+
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events file-stream with ``ts`` normalized to TIMESTAMP (LTZ; session
+    tz pinned UTC so it equals the batch NTZ values) — dtype-driven, so the
+    same code handles nanos-long, micros-LTZ, and micros-NTZ testdata."""
+    pin_events_confs(spark)
+    stream = _stream_source(spark, sf_dir, "events")
+    return normalize_events_ts(stream, target="timestamp")
 
 
 def _drain_to_memory(out: DataFrame, mode: str = "update") -> str:
@@ -79,8 +92,7 @@ def streaming_user_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     graded projection (double sums are fold-order-dependent across engines)."""
     from distributed_api_etl_spark.streaming import stateful_user_totals
 
-    table(spark, sf_dir, "events")  # pins session TZ + nanosAsLong confs
-    stream = _stream_source(spark, sf_dir, "events")
+    stream = _events_stream(spark, sf_dir)
     out = stateful_user_totals(stream)
     name = _drain_to_memory(out)
     return spark.table(name).select("user_id", "n_events")
@@ -102,17 +114,7 @@ def streaming_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     (complete mode over one drain == the batch window aggregation)."""
     from distributed_api_etl_spark.streaming import tumbling_window_stream
 
-    table(spark, sf_dir, "events")  # pins session TZ + nanosAsLong confs
-    # the streaming source reads the raw parquet (ts as raw nanos), then
-    # re-applies the same ts normalization table() does for batch reads
-    stream = _stream_source(spark, sf_dir, "events")
-    from pyspark.sql.types import TimestampType
-
-    if not isinstance(stream.schema["ts"].dataType, TimestampType):
-        # integer division — float `/ 1000` rounds the microsecond (2^53)
-        stream = stream.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp")
-        )
+    stream = _events_stream(spark, sf_dir)
     out = tumbling_window_stream(stream, ts_col="ts")
     name = _drain_to_memory(out, mode="complete")
     return (
@@ -173,14 +175,7 @@ def streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_streaming.py."""
     from distributed_api_etl_spark.streaming import sessionized_stream
 
-    table(spark, sf_dir, "events")  # pins session TZ + nanosAsLong confs
-    stream = _stream_source(spark, sf_dir, "events")
-    from pyspark.sql.types import TimestampType
-
-    if not isinstance(stream.schema["ts"].dataType, TimestampType):
-        stream = stream.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp")
-        )
+    stream = _events_stream(spark, sf_dir)
     out = sessionized_stream(stream, gap="30 minutes", watermark="0 seconds", ts_col="ts")
     name = _drain_to_memory(out, mode="append")
     return spark.table(name).select(
@@ -213,16 +208,9 @@ def streaming_click_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame
     on match, so one availableNow drain equals the batch interval join —
     the SQL oracle; watermark-driven state eviction across micro-batches
     is covered in tests/test_streaming.py."""
-    from pyspark.sql.types import TimestampType
-
     from distributed_api_etl_spark.streaming import interval_join_stream
 
-    table(spark, sf_dir, "events")  # pins session TZ + nanosAsLong confs
-    stream = _stream_source(spark, sf_dir, "events")
-    if not isinstance(stream.schema["ts"].dataType, TimestampType):
-        stream = stream.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp")
-        )
+    stream = _events_stream(spark, sf_dir)
     out = interval_join_stream(
         stream.where(F.col("event_type") == "click"),
         stream.where(F.col("event_type") == "purchase"),

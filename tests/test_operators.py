@@ -462,3 +462,38 @@ def test_pii_redact_masks_and_counts(spark):
     # => no email match; 999.* still matches the (syntactic) ipv4 pattern
     assert out[2].n_email == 0 and out[2].n_ipv4 == 1
     assert out[3].n_ipv4 == 1 and out[3].redacted_text.endswith("[IPV4].")
+
+
+def test_events_ts_normalizes_all_three_encodings(spark, tmp_path):
+    """The driver's testdata has already switched events.ts encoding once
+    between rounds (TIMESTAMP(NANOS) in r1 -> TIMESTAMP(MICROS) NTZ in r2).
+    table()/normalize_events_ts must yield identical TIMESTAMP_NTZ values for
+    nanos-long, micros-LTZ, and micros-NTZ files alike."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from distributed_api_etl_spark.queries.registry import table
+
+    micros = [1_700_000_000_000_000, 1_700_000_123_456_789, 1_700_086_400_000_001]
+    ids = list(range(len(micros)))
+    cases = {
+        "nanos_ntz": pa.array([m * 1000 for m in micros], pa.timestamp("ns")),
+        "micros_ntz": pa.array(micros, pa.timestamp("us")),
+        "micros_ltz": pa.array(micros, pa.timestamp("us", tz="UTC")),
+    }
+    results = {}
+    for label, arr in cases.items():
+        d = tmp_path / label
+        d.mkdir()
+        pq.write_table(
+            pa.table({"event_id": pa.array(ids, pa.int64()), "ts": arr}),
+            str(d / "events.parquet"),
+        )
+        df = table(spark, str(d), "events")
+        assert df.schema["ts"].dataType.typeName() == "timestamp_ntz", label
+        results[label] = {
+            (r.event_id, r.ts.isoformat()) for r in df.select("event_id", "ts").collect()
+        }
+    assert results["nanos_ntz"] == results["micros_ntz"] == results["micros_ltz"]
+    # and the values are the exact micros written, not rounded
+    assert any(t.endswith("456789") for _, t in results["micros_ntz"])
