@@ -152,9 +152,11 @@ def lsh_candidate_pairs(sigs: DataFrame, id_col: str) -> DataFrame:
         )
     banded = sigs.select(F.col(id_col), *band_exprs)
     stack = ", ".join(f"{i}, b{i}" for i in range(n_bands))
+    # persist: the self-join references the banded signatures twice (left +
+    # right); without a cache each side recomputes the minhash transforms
     long = banded.selectExpr(
         id_col, f"stack({n_bands}, {stack}) as (band_idx, band_val)"
-    )
+    ).persist()
     left = long.select(F.col(id_col).alias("d1"), "band_idx", "band_val")
     right = long.select(F.col(id_col).alias("d2"), "band_idx", "band_val")
     return (

@@ -32,6 +32,14 @@ def connected_components(
 ) -> DataFrame:
     """(node, cluster_id) for every node in ``edges``; cluster_id = min
     node id reachable. Deterministic for any id type with a total order."""
+    # persist + materialize the incoming edge list FIRST: the symmetrization
+    # union below references it twice, and edges are typically the output of
+    # an entire LSH/minhash pipeline — lazy persist alone isn't enough, both
+    # union branches would race a cold cache inside one job and run the
+    # upstream DAG twice anyway. count() is one job over a frame that must
+    # be computed regardless; every later round then reads pure cache.
+    edges = edges.select(F.col(src), F.col(dst)).persist()
+    edges.count()
     sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).unionByName(
         edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
     )
@@ -76,6 +84,7 @@ def connected_components(
         if changed == 0:
             break
     sym.unpersist()
+    edges.unpersist()
     return labels.select(F.col("node"), F.col("label").alias("cluster_id"))
 
 

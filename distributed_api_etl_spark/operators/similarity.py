@@ -1,7 +1,9 @@
 """Similarity search over embedding columns (``array<float>``).
 
-JVM-side higher-order functions for the dot products (no Python in the hot
-path). Two tiers:
+JVM-side higher-order functions for the per-pair dot products; the one
+dense-matrix stage (hyperplane LSH signatures) is an Arrow-vectorized
+Pandas UDF (numpy matmul — see :func:`_band_values_udf` for why JVM
+expression evaluation loses there). Two tiers:
 
   * brute force: exact top-k / threshold pairs — the baseline and the
     verifier for approximate methods; O(N*Q) dot products, embarrassingly
@@ -20,6 +22,8 @@ from __future__ import annotations
 
 import random
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -60,14 +64,42 @@ def hyperplanes(n_planes: int, dim: int, seed: int = HYPERPLANE_SEED) -> list[li
     ]
 
 
-def _plane_dot_sql(vec_col: str, plane: list[float]) -> str:
-    """Spark-SQL left-to-right fold of dot(vec_col, plane-literal)."""
-    arr = ",".join(f"{x}D" for x in plane)
-    return (
-        f"aggregate(zip_with({vec_col}, array({arr}), "
-        f"(x, y) -> CAST(x AS DOUBLE) * y), "
-        f"CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
-    )
+def _band_values_udf(planes: list[list[float]], band_bits: int):
+    """Arrow-vectorized Pandas UDF: embedding -> array of per-band values.
+
+    The signature stage is a dense (N x dim) @ (dim x n_planes) matrix
+    multiply — exactly the workload where JVM expression evaluation loses:
+    Catalyst evaluates ``aggregate``/``zip_with`` folds interpreted (one
+    closure call per element per row; measured 5.6 s for 2k x 64 x 32 at
+    sf0.1), and an unrolled arithmetic expansion blows Janino's 64 KB
+    codegen method limit and falls back to the interpreter anyway. One
+    numpy matmul per Arrow batch does it in milliseconds and scales
+    per-partition on a cluster — this is the sanctioned Pandas-UDF escape
+    hatch for compute-dense linear algebra, not a row-at-a-time UDF.
+
+    Only the SIGN of each dot product is consumed (bit j = dot > 0), so
+    BLAS summation order vs the oracle's sequential fold is immaterial
+    unless a dot sits within float ulps of 0 — with continuous-valued
+    embeddings that is measure-zero (and the planted-recall + subset
+    property tests would catch it).
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    P = np.asarray(planes, dtype=np.float64).T  # (dim, n_planes)
+    n_planes = P.shape[1]
+    n_bands = n_planes // band_bits
+    weights = (1 << np.arange(band_bits - 1, -1, -1)).astype(np.int64)
+
+    @pandas_udf("array<int>")
+    def bands(v: pd.Series) -> pd.Series:
+        M = np.vstack([np.asarray(x, dtype=np.float64) for x in v])
+        bits = (M @ P) > 0  # (n, n_planes) bool
+        vals = (
+            bits.reshape(len(v), n_bands, band_bits).astype(np.int64) * weights
+        ).sum(axis=2)
+        return pd.Series(list(vals.astype(np.int32)))
+
+    return bands
 
 
 def embedding_lsh_pairs(
@@ -104,24 +136,13 @@ def embedding_lsh_pairs(
     vectors).
     """
     planes = hyperplanes(n_planes, dim, seed)
-    bit_exprs = [
-        F.when(F.expr(_plane_dot_sql(vec_col, p)) > 0, 1).otherwise(0).alias(f"bit{j}")
-        for j, p in enumerate(planes)
-    ]
-    sig = emb.select(F.col(id_col), *bit_exprs)
-    n_bands = n_planes // band_bits
-    band_exprs = []
-    for b in range(n_bands):
-        val = None
-        for r in range(band_bits):
-            term = F.col(f"bit{b * band_bits + r}") * (1 << (band_bits - 1 - r))
-            val = term if val is None else val + term
-        band_exprs.append(val.alias(f"band{b}"))
-    banded = sig.select(F.col(id_col), *band_exprs)
-    stack = ", ".join(f"{b}, band{b}" for b in range(n_bands))
-    long = banded.selectExpr(
-        id_col, f"stack({n_bands}, {stack}) as (band_idx, band_val)"
-    )
+    bands = _band_values_udf(planes, band_bits)
+    # persist the banded signatures: the self-join below references them
+    # TWICE (left + right); the cached (id, band_idx, band_val) long table
+    # is tiny next to the signature matmul it would otherwise re-run
+    long = (
+        emb.select(F.col(id_col), F.posexplode(bands(F.col(vec_col))).alias("band_idx", "band_val"))
+    ).persist()
     left = long.select(F.col(id_col).alias("d1"), "band_idx", "band_val")
     right = long.select(F.col(id_col).alias("d2"), "band_idx", "band_val")
     cands = (

@@ -282,6 +282,27 @@ def events_range_join_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumnsRenamed({"l_purchase_id": "purchase_id", "r_error_id": "error_id"})
 
 
+def value_percentiles(
+    ev: DataFrame, key_col: str = "event_type", value_col: str = "value", approx: bool = False
+) -> DataFrame:
+    """Per-key p50/p90/p99 + count.
+
+    ``approx=False``: exact linear-interpolated ``percentile`` — buffers each
+    group's values; right for verification scales and the graded oracle
+    (Spark ``percentile`` and DuckDB ``quantile_cont`` agree bit-for-bit,
+    verified). ``approx=True``: ``approx_percentile`` — bounded-memory
+    single-pass sketch, the 100 TB path (no per-group value buffering);
+    same plan shape, so the switch is a flag, not a rewrite.
+    """
+    fn = "approx_percentile" if approx else "percentile"
+    return ev.groupBy(key_col).agg(
+        F.expr(f"{fn}({value_col}, 0.5)").cast("double").alias("p50"),
+        F.expr(f"{fn}({value_col}, 0.9)").cast("double").alias("p90"),
+        F.expr(f"{fn}({value_col}, 0.99)").cast("double").alias("p99"),
+        F.count("*").alias("n"),
+    )
+
+
 @register(
     "events_value_percentiles",
     oracle="""
@@ -296,14 +317,8 @@ def events_range_join_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("events", "stats"),
 )
 def events_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact linear-interpolated percentiles per key — Spark ``percentile``
-    and DuckDB ``quantile_cont`` agree bit-for-bit (verified). At 100 TB
-    switch to ``approx_percentile`` (t-digest, single pass, no full sort
-    of each group)."""
+    """Graded on the exact tier (cross-engine deterministic); the approx
+    tier is the same operator with ``approx=True`` (smoke-tested in
+    tests/test_operators.py — sketches are not cross-engine comparable)."""
     ev = table(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
-        F.expr("percentile(value, 0.5)").alias("p50"),
-        F.expr("percentile(value, 0.9)").alias("p90"),
-        F.expr("percentile(value, 0.99)").alias("p99"),
-        F.count("*").alias("n"),
-    )
+    return value_percentiles(ev, approx=False)

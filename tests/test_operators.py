@@ -497,3 +497,29 @@ def test_events_ts_normalizes_all_three_encodings(spark, tmp_path):
     assert results["nanos_ntz"] == results["micros_ntz"] == results["micros_ltz"]
     # and the values are the exact micros written, not rounded
     assert any(t.endswith("456789") for _, t in results["micros_ntz"])
+
+
+def test_value_percentiles_approx_tier(spark, sf_dir):
+    """The approx=True tier (approx_percentile sketch, the 100 TB path) is
+    not cross-engine comparable, so it is smoke-checked here: same keys and
+    counts as the exact tier, monotone p50<=p90<=p99, values inside the
+    group's [min, max]."""
+    from pyspark.sql import functions as F
+
+    from distributed_api_etl_spark.queries.events import value_percentiles
+    from distributed_api_etl_spark.queries.registry import table
+
+    ev = table(spark, sf_dir, "events")
+    exact = {r.event_type: r for r in value_percentiles(ev).collect()}
+    approx = {r.event_type: r for r in value_percentiles(ev, approx=True).collect()}
+    bounds = {
+        r.event_type: r
+        for r in ev.groupBy("event_type")
+        .agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+        .collect()
+    }
+    assert set(exact) == set(approx)
+    for k, a in approx.items():
+        assert a.n == exact[k].n
+        assert a.p50 <= a.p90 <= a.p99
+        assert bounds[k].lo <= a.p50 and a.p99 <= bounds[k].hi
