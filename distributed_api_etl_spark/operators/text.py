@@ -267,3 +267,88 @@ def quality_quantile_filter(
         .where(F.col("pr") < keep_top_fraction)
         .select(id_col, stratum_col, "quality", F.round("pr", 6).alias("pr"))
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    chunk_size: int = 64,
+    stride: int = 48,
+) -> DataFrame:
+    """Fixed-size token windows with overlap (stride < chunk_size overlaps
+    by chunk_size - stride) — the context-window chunking stage of a
+    training pipeline. drop_remainder semantics: only starts with a FULL
+    window emit (tail tokens shorter than chunk_size are dropped, matching
+    fixed-length sequence training where ragged tails are either dropped or
+    packed — packing is operators/packing.py's job).
+
+    All codegen: window starts from ``sequence`` (1, 1+stride, ...), one
+    explode to (doc, start), ``slice`` + ``concat_ws`` for the chunk text.
+    No shuffle at all — chunking is embarrassingly row-parallel; downstream
+    repartitioning is the caller's choice.
+    """
+    t = tokens(F.col(text_col))
+    last_full_start = F.size(t) - F.lit(chunk_size) + 1
+    starts = F.when(
+        last_full_start >= 1,
+        F.sequence(F.lit(1), last_full_start, F.lit(stride)),
+    ).otherwise(F.array().cast("array<int>"))
+    return (
+        df.select(F.col(id_col), t.alias("_toks"), F.posexplode(starts).alias("chunk_idx", "start"))
+        .select(
+            F.col(id_col),
+            F.col("chunk_idx").cast("int").alias("chunk_idx"),
+            F.col("start").cast("int").alias("start_token"),
+            F.concat_ws(" ", F.slice(F.col("_toks"), F.col("start"), chunk_size)).alias(
+                "chunk_text"
+            ),
+        )
+    )
+
+
+def tfidf_top_terms(
+    df: DataFrame, id_col: str, text_col: str, k: int = 3
+) -> DataFrame:
+    """Top-k characteristic terms per document by smoothed TF-IDF
+    (tf * (ln((N+1)/(df+1)) + 1), the scikit-learn smoothing) — the
+    keyword-extraction / doc-characterization stage.
+
+    Plan: one explode -> (doc, term, tf) aggregation; document frequency is
+    a second aggregation OVER THE TF TABLE (already one row per (doc,term),
+    so no second pass over raw text); N is a one-row broadcast cross join.
+    Ranking is a per-doc window on the tf table, k rows kept per doc.
+    Zipf skew lands on the term-keyed df aggregation, where map-side
+    combine collapses the head terms per partition (same argument as
+    corpus_vocab). Ties rank by term ascending — deterministic everywhere.
+    """
+    tf = (
+        df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count("*").alias("tf"))
+    ).persist()  # referenced twice: document-frequency agg + ranking
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = df.agg(F.count("*").alias("n_docs"))
+    from pyspark.sql import Window
+
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf")
+                * (
+                    F.log((F.col("n_docs") + F.lit(1.0)) / (F.col("df") + F.lit(1.0)))
+                    + F.lit(1.0)
+                ),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select(id_col, "term", "tf", "tfidf", F.col("rnk").cast("int").alias("rnk"))
+    )

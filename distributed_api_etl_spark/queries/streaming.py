@@ -220,3 +220,25 @@ def streaming_click_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     name = _drain_to_memory(out, mode="append")
     return spark.table(name)
+
+
+@register(
+    "streaming_dedup_within_watermark",
+    oracle="""
+    SELECT DISTINCT user_id, event_type FROM events
+    """,
+    tags=("streaming", "dedup"),
+)
+def streaming_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native ``dropDuplicatesWithinWatermark`` on (user_id, event_type):
+    bounded-state streaming dedup (state evicted once the watermark passes a
+    key's last event). Only the key columns are projected, so the emitted
+    set equals SELECT DISTINCT regardless of which physical row arrived
+    first; cross-batch eviction behavior is exercised in
+    tests/test_streaming.py."""
+    from distributed_api_etl_spark.streaming import watermark_dedup_stream
+
+    stream = _events_stream(spark, sf_dir)
+    out = watermark_dedup_stream(stream, ["user_id", "event_type"], ts_col="ts")
+    name = _drain_to_memory(out, mode="append")
+    return spark.table(name)

@@ -473,3 +473,69 @@ def documents_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.quality_quantile_filter(
         docs, "doc_id", "text", "source", keep_top_fraction=KEEP_TOP_FRACTION
     )
+
+
+CHUNK_SIZE = 16
+CHUNK_STRIDE = 12
+
+
+@register(
+    "documents_chunk_overlap",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    starts AS (
+      SELECT doc_id, t,
+             CAST(u.s AS INT) AS start_token,
+             CAST((u.s - 1) / {CHUNK_STRIDE} AS INT) AS chunk_idx
+      FROM toks, UNNEST(generate_series(1, len(t) - {CHUNK_SIZE} + 1, {CHUNK_STRIDE})) AS u(s)
+    )
+    SELECT doc_id, chunk_idx, start_token,
+           array_to_string(t[start_token:start_token + {CHUNK_SIZE} - 1], ' ') AS chunk_text
+    FROM starts
+    """,
+    tags=("text", "chunking"),
+)
+def documents_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping fixed-size token windows (16-token chunks, stride 12 =>
+    4-token overlap), drop_remainder tails — the context-window chunking
+    stage feeding sequence training. Pure codegen, zero shuffle."""
+    docs = fan_out(table(spark, sf_dir, "documents"))
+    return TX.chunk_documents(
+        docs, "doc_id", "text", chunk_size=CHUNK_SIZE, stride=CHUNK_STRIDE
+    )
+
+
+TFIDF_K = 3
+
+
+@register(
+    "text_tfidf_topk",
+    oracle=f"""
+    WITH tf AS (
+      SELECT doc_id, term, count(*) AS tf
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+      GROUP BY doc_id, term
+    ),
+    dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term, tf.tf,
+             round(tf.tf * (ln((n.n_docs + 1.0) / (dfreq.df + 1.0)) + 1.0), 6) AS tfidf
+      FROM tf JOIN dfreq USING (term) CROSS JOIN n
+    )
+    SELECT doc_id, term, tf, tfidf, CAST(rnk AS INT) AS rnk
+    FROM (SELECT *, row_number() OVER (
+            PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rnk
+          FROM scored)
+    WHERE rnk <= {TFIDF_K}
+    """,
+    tags=("text", "features"),
+)
+def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 characteristic terms per document by smoothed TF-IDF — the
+    keyword-extraction stage; ranking on 6-decimal-rounded scores with a
+    term-ascending tie-break is deterministic cross-engine."""
+    docs = fan_out(table(spark, sf_dir, "documents"))
+    return TX.tfidf_top_terms(docs, "doc_id", "text", k=TFIDF_K)

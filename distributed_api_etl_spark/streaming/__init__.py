@@ -5,6 +5,7 @@ from distributed_api_etl_spark.streaming.windows import (  # noqa: F401
     interval_join_stream,
     sessionized_stream,
     tumbling_window_stream,
+    watermark_dedup_stream,
 )
 from distributed_api_etl_spark.streaming.stateful import (  # noqa: F401
     stateful_user_totals,

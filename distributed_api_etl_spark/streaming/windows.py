@@ -106,3 +106,25 @@ def interval_join_stream(
         "right_id",
         (F.unix_millis("right_ts") - F.unix_millis("left_ts")).alias("delay_ms"),
     )
+
+
+def watermark_dedup_stream(
+    events: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Event-time bounded-state dedup: ``dropDuplicatesWithinWatermark``.
+
+    Unlike plain ``dropDuplicates`` on a stream (whose key state grows
+    forever), the watermark variant evicts a key's state once the watermark
+    passes its last-seen event time — state is O(distinct keys per watermark
+    window), the only formulation that survives an unbounded 100 TB/day
+    stream. Emits the first row seen per key; only the key columns are
+    projected so the output is deterministic under any arrival order.
+    """
+    return (
+        events.withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(key_cols)
+        .select(*key_cols)
+    )

@@ -523,3 +523,25 @@ def test_value_percentiles_approx_tier(spark, sf_dir):
         assert a.n == exact[k].n
         assert a.p50 <= a.p90 <= a.p99
         assert bounds[k].lo <= a.p50 and a.p99 <= bounds[k].hi
+
+
+def test_chunk_documents_windows_and_tails(spark):
+    """Chunk starts advance by stride; only full windows emit
+    (drop_remainder); docs shorter than chunk_size yield nothing."""
+    from distributed_api_etl_spark.operators.text import chunk_documents
+
+    toks = " ".join(f"t{i}" for i in range(10))  # 10 tokens
+    df = spark.createDataFrame(
+        [(1, toks), (2, "a b c")], "doc_id bigint, text string"
+    )
+    out = chunk_documents(df, "doc_id", "text", chunk_size=4, stride=3).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append((r.chunk_idx, r.start_token, r.chunk_text))
+    # doc 1: starts 1,4,7 (last full window start = 10-4+1 = 7)
+    assert by_doc[1] == [
+        (0, 1, "t0 t1 t2 t3"),
+        (1, 4, "t3 t4 t5 t6"),
+        (2, 7, "t6 t7 t8 t9"),
+    ]
+    assert 2 not in by_doc  # 3 tokens < chunk_size => no full window

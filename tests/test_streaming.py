@@ -231,3 +231,38 @@ def test_interval_join_across_micro_batches(spark, tmp_path):
         for r in spark.sql("SELECT * FROM ivjoin_out").collect()
     }
     assert got == {(1, 2, 600_000), (1, 3, 2_400_000)}
+
+
+def test_watermark_dedup_across_microbatches(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: a key re-arriving in a later batch
+    while its state is live is suppressed; each distinct key emits once."""
+    import datetime as dt
+
+    from distributed_api_etl_spark.streaming import watermark_dedup_stream
+
+    src = str(tmp_path / "wmdedup_src")
+    schema = "event_id bigint, ts timestamp, user_id bigint, event_type string"
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows1 = [(1, t0, 10, "click"), (2, t0 + dt.timedelta(minutes=1), 11, "view")]
+    rows2 = [
+        (3, t0 + dt.timedelta(minutes=2), 10, "click"),  # dup key within watermark
+        (4, t0 + dt.timedelta(minutes=3), 10, "view"),   # new key
+    ]
+    spark.createDataFrame(rows1, schema).coalesce(1).write.mode("overwrite").parquet(src)
+    spark.createDataFrame(rows2, schema).coalesce(1).write.mode("append").parquet(src)
+
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    out = watermark_dedup_stream(stream, ["user_id", "event_type"], ts_col="ts")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("wmdedup_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.user_id, r.event_type)
+        for r in spark.sql("SELECT * FROM wmdedup_out").collect()
+    }
+    assert got == {(10, "click"), (11, "view"), (10, "view")}
