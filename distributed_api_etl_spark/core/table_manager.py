@@ -179,6 +179,38 @@ class TableManager:
         actual = self.spark.table(table_name).schema
         return validate_schema(actual, expected)
 
+    def write_bucketed(
+        self,
+        df,
+        table_name: str,
+        bucket_cols: list[str],
+        n_buckets: int,
+        *,
+        sort_cols: list[str] | None = None,
+        fmt: str = "parquet",
+        mode: str = "overwrite",
+        location: str | None = None,
+    ) -> None:
+        """Persist ``df`` as a bucketed (optionally sorted) table.
+
+        Bucketing is THE repeated-join amortizer at 100 TB: both sides of an
+        equi-join bucketed on the join key with the same bucket count join
+        with ZERO shuffle exchanges (each task reads matching bucket files
+        directly — proven at the plan level in tests/test_table_manager.py),
+        and with ``sort_cols`` the sort-merge join skips its sort too. One
+        write-time shuffle buys every downstream join/agg on that key.
+        Bucket count rule of thumb: total size / target task input
+        (~128-256 MB); both join sides MUST agree on count and key.
+        """
+        if "." in table_name:
+            self.ensure_database(table_name.rsplit(".", 1)[0].strip("`"))
+        w = df.write.format(fmt).mode(mode).bucketBy(n_buckets, *bucket_cols)
+        if sort_cols:
+            w = w.sortBy(*sort_cols)
+        if location:
+            w = w.option("path", location)
+        w.saveAsTable(table_name)
+
 
 def compact_files(
     spark: SparkSession,

@@ -12,7 +12,7 @@ from pyspark.sql import functions as F
 
 from distributed_api_etl_spark.functions.portable import portable_hash32_sql
 from distributed_api_etl_spark.operators import dedup as D
-from distributed_api_etl_spark.queries.registry import fan_out, register, table
+from distributed_api_etl_spark.queries.registry import REGISTRY, fan_out, register, table
 
 # --- shared oracle CTE fragments -------------------------------------------
 SHINGLE_CTES = """
@@ -292,3 +292,20 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = fan_out(table(spark, sf_dir, "documents"))
     pairs = D.minhash_lsh_pairs(docs, "doc_id", "text", 3, 70).select("d1", "d2")
     return dedup_cluster_assignment(pairs, docs, "doc_id")
+
+
+@register(
+    "dedup_clusters_two_phase",
+    oracle=REGISTRY["dedup_clusters"].oracle,  # same semantics, same oracle
+    tags=("dedup", "graph"),
+)
+def dedup_clusters_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same cluster map as dedup_clusters, computed with large-star/
+    small-star contraction (O(log n) rounds on ANY graph shape — the
+    long-chain-safe scale path promised in SCALE.md, now graded against
+    the identical recursive-CTE oracle rather than only property-tested)."""
+    from distributed_api_etl_spark.operators.graph import dedup_cluster_assignment
+
+    docs = fan_out(table(spark, sf_dir, "documents"))
+    pairs = D.minhash_lsh_pairs(docs, "doc_id", "text", 3, 70).select("d1", "d2")
+    return dedup_cluster_assignment(pairs, docs, "doc_id", algorithm="two_phase")

@@ -322,3 +322,30 @@ def events_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_operators.py — sketches are not cross-engine comparable)."""
     ev = table(spark, sf_dir, "events")
     return value_percentiles(ev, approx=False)
+
+
+@register(
+    "events_salted_type_enrich",
+    oracle="""
+    WITH dim AS (
+      SELECT event_type, count(*) AS type_count FROM events GROUP BY event_type
+    )
+    SELECT e.event_id, e.event_type, d.type_count
+    FROM events e JOIN dim d USING (event_type)
+    """,
+    tags=("events", "skew", "join"),
+)
+def events_salted_type_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dimension enrichment through the salted join: event_type is the
+    canonical skewed key (a handful of values over millions of rows), so
+    the plain equi-join would pin each type to one reducer. salted_join
+    spreads each type over 8 salt buckets and replicates the (tiny) dim 8x
+    — identical row multiset to the plain join, which is exactly what the
+    oracle asserts."""
+    from distributed_api_etl_spark.operators.skew import salted_join
+
+    ev = table(spark, sf_dir, "events")
+    dim = ev.groupBy("event_type").agg(F.count("*").alias("type_count"))
+    return salted_join(
+        ev.select("event_id", "event_type"), dim, ["event_type"], n_salts=8
+    ).select("event_id", "event_type", "type_count")

@@ -820,3 +820,37 @@ def q22_dormant_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(dec("c_acctbal", 14, 2)).cast("double").alias("totacctbal"),
         )
     )
+
+
+@register(
+    "orders_price_deciles",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderpriority,
+           CAST(ntile(10) OVER w AS INT) AS decile,
+           round(cume_dist() OVER w, 6) AS cd,
+           lag(o_totalprice) OVER w AS prev_price
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+    """,
+    tags=("analytics", "window"),
+)
+def orders_price_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-window breadth: ntile deciles, cume_dist, and lag in one
+    window over (priority, price). One shuffle keyed by o_orderpriority;
+    at scale the 5-value partition key under-parallelizes a global sort —
+    the production form extends the key with a hash bucket and re-merges
+    (same guidance as pack_sequences); semantics here are the graded,
+    deterministic (price, orderkey)-ordered form. lag carries the raw
+    double (no arithmetic), so cross-engine equality is exact."""
+    from pyspark.sql import Window
+
+    orders = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.ntile(10).over(w).cast("int").alias("decile"),
+        F.round(F.cume_dist().over(w), 6).alias("cd"),
+        F.lag("o_totalprice").over(w).alias("prev_price"),
+    )

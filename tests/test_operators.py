@@ -545,3 +545,58 @@ def test_chunk_documents_windows_and_tails(spark):
         (2, 7, "t6 t7 t8 t9"),
     ]
     assert 2 not in by_doc  # 3 tokens < chunk_size => no full window
+
+
+def test_two_phase_cc_matches_label_propagation(spark):
+    """Star contraction == min-label propagation on random graphs (both
+    exact), and converges in O(log n) rounds on a 200-node chain where
+    label propagation would need 200 rounds."""
+    import random
+
+    from distributed_api_etl_spark.operators.graph import (
+        connected_components,
+        connected_components_two_phase,
+    )
+
+    rng = random.Random(42)
+    # random sparse graph: 3 planted components + noise edges inside them
+    comp_nodes = [list(range(b, b + 12)) for b in (0, 100, 200)]
+    edges = []
+    for nodes in comp_nodes:
+        for i in range(1, len(nodes)):  # spanning chain keeps it connected
+            edges.append((nodes[i - 1], nodes[i]))
+        for _ in range(6):
+            edges.append((rng.choice(nodes), rng.choice(nodes)))
+    e = spark.createDataFrame(edges, "d1 bigint, d2 bigint")
+    lp = {(r.node, r.cluster_id) for r in connected_components(e).collect()}
+    tp = {(r.node, r.cluster_id) for r in connected_components_two_phase(e).collect()}
+    assert tp == lp
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(200)], "d1 bigint, d2 bigint"
+    )
+    got = {r.node: r.cluster_id for r in connected_components_two_phase(chain, max_iter=12).collect()}
+    assert len(got) == 201
+    assert set(got.values()) == {0}  # one component, min id 0, within 12 rounds
+
+
+def test_salted_join_equals_plain_join(spark):
+    """Salting is a pure re-key: row multiset identical to the plain join,
+    including duplicate keys on both sides and left-join misses."""
+    from distributed_api_etl_spark.operators.skew import salted_join
+
+    big = spark.createDataFrame(
+        [(k, i) for k in ("hot", "hot", "hot", "warm", "orphan") for i in range(5)],
+        "k string, payload int",
+    )
+    small = spark.createDataFrame(
+        [("hot", 1), ("hot", 2), ("warm", 9)], "k string, dim int"
+    )
+
+    def rows(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    for how in ("inner", "left"):
+        plain = big.join(small, ["k"], how)
+        salted = salted_join(big, small, ["k"], n_salts=4, how=how)
+        assert rows(salted) == rows(plain), how

@@ -150,3 +150,46 @@ def test_compact_files_preserves_rows(spark, tmp_path):
     assert {(r.id, r.h) for r in after.collect()} == rows_before
     assert stats["files_after"] < stats["files_before"]
     assert stats["files_after"] >= 1
+
+
+def test_bucketed_tables_join_without_shuffle(spark, sf_dir, tmp_path):
+    """Two tables bucketed on the join key with equal bucket counts must
+    sort-merge join with ZERO shuffle exchanges — the plan-level proof that
+    one write-time shuffle amortizes every downstream join on that key."""
+    from distributed_api_etl_spark.core.table_manager import TableManager
+
+    tm = TableManager(spark)
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    tm.write_bucketed(
+        orders.withColumnRenamed("o_custkey", "k"),
+        "bktdb.orders_b",
+        ["k"], 4, sort_cols=["k"],
+        location=str(tmp_path / "orders_b"),
+    )
+    tm.write_bucketed(
+        cust.withColumnRenamed("c_custkey", "k"),
+        "bktdb.customer_b",
+        ["k"], 4, sort_cols=["k"],
+        location=str(tmp_path / "customer_b"),
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # force SMJ so the assertion is about bucketing, not broadcast
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        j = spark.table("bktdb.orders_b").join(spark.table("bktdb.customer_b"), "k")
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan  # co-located: no shuffle on either side
+        assert j.count() == orders.count()  # every order has its customer
+        # control: the same join over the raw (unbucketed) parquet shuffles
+        raw = (
+            orders.withColumnRenamed("o_custkey", "k")
+            .join(cust.withColumnRenamed("c_custkey", "k"), "k")
+        )
+        raw_plan = raw._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" in raw_plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS bktdb.orders_b")
+        spark.sql("DROP TABLE IF EXISTS bktdb.customer_b")
