@@ -173,3 +173,65 @@ def extract_features(
             yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
 
     return df.mapInPandas(decode_batches, schema=schema)
+
+
+def sample_frames(
+    df: DataFrame,
+    frame_bytes: int = 256,
+    stride: int = 2,
+    max_frames: int = 4,
+    decoder: str = "fake",
+) -> DataFrame:
+    """Frame-sampling decode: one OUTPUT ROW PER SAMPLED FRAME — the
+    one-to-many mapInPandas shape a video pipeline needs (decode, take
+    every ``stride``-th frame up to ``max_frames``, featurize each frame
+    independently).
+
+    The fake decoder treats the byte stream as fixed-size ``frame_bytes``
+    blocks (deterministic, hex-oracle-able exactly like extract_features);
+    a real codec drops in by replacing the block slicing with actual frame
+    decode — the contract (bytes in, per-frame rows out) is final. Output:
+    (doc_id, frame_idx, frame_offset, frame_len, f0..f7 histogram).
+    """
+    if decoder not in ("fake",):
+        raise NotImplementedError(
+            f"decoder {decoder!r}: real codecs are not available in this "
+            "runtime; the mapInPandas contract (bytes in, per-frame rows out) is final"
+        )
+    id_type = df.schema["doc_id"].dataType
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", id_type, False),
+            T.StructField("frame_idx", T.IntegerType(), False),
+            T.StructField("frame_offset", T.LongType(), False),
+            T.StructField("frame_len", T.LongType(), False),
+        ]
+        + [T.StructField(f"f{k}", T.DoubleType(), False) for k in range(8)]
+    )
+
+    def frame_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
+                raw = bytes(content) if content is not None else b""
+                for i in range(max_frames):
+                    off = i * stride * frame_bytes
+                    if off >= len(raw):
+                        break
+                    frame = raw[off : off + frame_bytes]
+                    hist = [0] * 8
+                    for b in frame:
+                        hist[b >> 5] += 1
+                    total = float(len(frame)) if frame else 1.0
+                    rows.append(
+                        {
+                            "doc_id": doc_id,
+                            "frame_idx": i,
+                            "frame_offset": off,
+                            "frame_len": len(frame),
+                            **{f"f{k}": hist[k] / total for k in range(8)},
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
+
+    return df.mapInPandas(frame_batches, schema=schema)

@@ -11,9 +11,9 @@ Scale notes: every query is a declarative DataFrame plan — Catalyst pushes
 filters into the parquet scan, prunes columns, and AQE's runtime size stats
 pick broadcast vs sort-merge per join. Explicit ``broadcast`` hints appear
 ONLY on sides whose size is bounded by construction at every sf (fixed-size
-nation/region dims, one-row scalar aggregates, q18's tiny >300-qty key set,
-q17's 1%-selective part slice) — never on tables that scale with the data,
-where a hint would override AQE and OOM at 100 TB.
+nation/region dims, one-row scalar aggregates, q18's tiny >300-qty key
+set) — never on tables or slices that scale with the data, where a hint
+would override AQE and OOM at 100 TB.
 """
 
 from __future__ import annotations
@@ -536,8 +536,11 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("cnt"),
     )
     qty = dec("l_quantity", 12, 2)
+    # sel is a ~1%-selective part slice — small at test sf, but part scales
+    # with data (1% of a 2 TB part table is 20 GB), so the join is unhinted
+    # and AQE's stats pick broadcast vs shuffle per scale
     return (
-        li.join(F.broadcast(sel), "l_partkey")
+        li.join(sel, "l_partkey")
         .join(per_part, "l_partkey")
         .where(qty * F.lit(5) * F.col("cnt").cast(DecimalType(10, 0)) < F.col("sum_qty"))
         .groupBy("p_brand")

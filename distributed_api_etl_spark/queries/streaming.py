@@ -242,3 +242,36 @@ def streaming_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFr
     out = watermark_dedup_stream(stream, ["user_id", "event_type"], ts_col="ts")
     name = _drain_to_memory(out, mode="append")
     return spark.table(name)
+
+
+@register(
+    "streaming_static_enrich",
+    oracle="""
+    WITH dim AS (
+      SELECT event_type, count(*) AS type_count FROM events GROUP BY event_type
+    )
+    SELECT e.event_id, e.user_id, e.event_type, d.type_count
+    FROM events e JOIN dim d USING (event_type)
+    """,
+    tags=("streaming", "join"),
+)
+def streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: the streaming events enrich against a STATIC
+    batch dimension (per-type totals precomputed from the batch table).
+    Stream-static inner joins are stateless — each micro-batch joins
+    against the static side as-of that batch, no watermark or join state
+    needed; with a small dim Spark broadcasts it into every micro-batch
+    (the canonical streaming-enrichment plan at any scale)."""
+    from distributed_api_etl_spark.queries.registry import table
+
+    static_dim = (
+        table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count("*").alias("type_count"))
+    )
+    stream = _events_stream(spark, sf_dir)
+    out = stream.select("event_id", "user_id", "event_type").join(
+        F.broadcast(static_dim), "event_type"
+    ).select("event_id", "user_id", "event_type", "type_count")
+    name = _drain_to_memory(out, mode="append")
+    return spark.table(name)

@@ -539,3 +539,59 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     term-ascending tie-break is deterministic cross-engine."""
     docs = fan_out(table(spark, sf_dir, "documents"))
     return TX.tfidf_top_terms(docs, "doc_id", "text", k=TFIDF_K)
+
+
+FRAME_BYTES = 64
+FRAME_STRIDE = 2
+MAX_FRAMES = 3
+
+_FRAME_FEATURES_SQL = ",\n           ".join(
+    f"{_hist_bucket_sql(k)} / CAST(frame_len AS DOUBLE) AS f{k}" for k in range(8)
+)
+
+
+@register(
+    "multimodal_frame_sample",
+    # Per-frame byte histograms reconstructed from hex(blob) substrings —
+    # same oracle technique as multimodal_feature_extract, applied to each
+    # sampled fixed-size block ("frame") independently.
+    oracle=f"""
+    WITH b AS (
+      SELECT doc_id, hex(encode(text)) AS hh, octet_length(encode(text)) AS n
+      FROM documents
+    ),
+    fr AS (
+      SELECT doc_id, hh, n,
+             CAST(u.i AS INT) AS frame_idx,
+             CAST(u.i * {FRAME_STRIDE * FRAME_BYTES} AS BIGINT) AS frame_offset
+      FROM b, UNNEST(range(0, {MAX_FRAMES})) AS u(i)
+      WHERE u.i * {FRAME_STRIDE * FRAME_BYTES} < n
+    ),
+    fx AS (
+      SELECT doc_id, frame_idx, frame_offset,
+             CAST(least({FRAME_BYTES}, n - frame_offset) AS BIGINT) AS frame_len,
+             hh[2 * frame_offset + 1 :
+                2 * (frame_offset + least({FRAME_BYTES}, n - frame_offset))] AS h
+      FROM fr
+    )
+    SELECT doc_id, frame_idx, frame_offset, frame_len,
+           {_FRAME_FEATURES_SQL}
+    FROM fx
+    """,
+    tags=("multimodal",),
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampled decode: every 2nd 64-byte block (up to 3) emits its own
+    feature row — the one-to-many Arrow decode shape a video/audio pipeline
+    uses for frame/window sampling; codec faked (deterministic block
+    slicing), plumbing and batch shape real."""
+    from distributed_api_etl_spark.operators.multimodal import (
+        attach_binary_content,
+        sample_frames,
+    )
+
+    docs = fan_out(table(spark, sf_dir, "documents"))
+    binary = attach_binary_content(docs, "doc_id", "text")
+    return sample_frames(
+        binary, frame_bytes=FRAME_BYTES, stride=FRAME_STRIDE, max_frames=MAX_FRAMES
+    )

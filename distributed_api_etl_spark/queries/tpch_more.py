@@ -333,7 +333,8 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "total_revenue"
             )
         )
-    )
+    ).persist()  # feeds BOTH the output and the max subquery — without the
+    # cache the filtered lineitem scan + agg runs twice (plan-audited)
     max_rev = revenue.agg(F.max("total_revenue").alias("max_revenue"))
     return (
         revenue.crossJoin(F.broadcast(max_rev))
