@@ -206,3 +206,70 @@ def test_simhash_blocks_partition_all_bits():
 @pytest.fixture(scope="session")
 def spark_global(spark):
     return spark
+
+
+# ---------------------------------------------------------------------------
+# Two-phase (star contraction) CC == union-find on random graphs
+# ---------------------------------------------------------------------------
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 15), st.integers(0, 15)).filter(lambda t: t[0] != t[1]),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_two_phase_cc_matches_union_find(spark_global, edges):
+    from distributed_api_etl_spark.operators.graph import connected_components_two_phase
+
+    df = spark_global.createDataFrame(edges, "d1 bigint, d2 bigint")
+    got = {r.node: r.cluster_id for r in connected_components_two_phase(df).collect()}
+
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in edges:
+        union(a, b)
+    expected = {n: find(n) for n in parent}
+    assert got == expected
+
+
+# ---------------------------------------------------------------------------
+# Chunking: with stride == chunk_size, chunks reconstruct the full-window
+# prefix of every doc; with overlap, consecutive chunks share the suffix
+# ---------------------------------------------------------------------------
+@settings(max_examples=15, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    st.lists(st.integers(0, 40), min_size=1, max_size=8),
+    st.integers(2, 6),
+)
+def test_chunk_documents_reconstruction(spark_global, token_counts, chunk_size):
+    from distributed_api_etl_spark.operators.text import chunk_documents
+
+    rows = [
+        (i, " ".join(f"w{i}_{j}" for j in range(n))) for i, n in enumerate(token_counts)
+    ]
+    df = spark_global.createDataFrame(rows, "doc_id bigint, text string")
+    out = chunk_documents(df, "doc_id", "text", chunk_size=chunk_size, stride=chunk_size)
+    by_doc: dict[int, list] = {}
+    for r in out.collect():
+        by_doc.setdefault(r.doc_id, []).append((r.chunk_idx, r.chunk_text))
+    for i, n in enumerate(token_counts):
+        toks = rows[i][1].split(" ") if rows[i][1] else []
+        n_tokens = len(toks)  # note: "" splits to [''] (1 token), like SQL
+        n_full = n_tokens // chunk_size
+        chunks = sorted(by_doc.get(i, []))
+        assert len(chunks) == n_full
+        rebuilt = " ".join(c for _, c in chunks).split(" ") if chunks else []
+        assert rebuilt == toks[: n_full * chunk_size]
