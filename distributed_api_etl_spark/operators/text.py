@@ -25,6 +25,23 @@ LANG_PRIORITY = ["en", "es", "de", "fr"]
 BPE_TOKEN_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
 
 
+def portable_round6(col: Column) -> Column:
+    """Engine-portable 6-decimal rounding: ``floor(x*1e6 + 0.5) / 1e6``.
+
+    SQL ``round()`` implementations disagree at half-boundary doubles
+    (Spark goes through BigDecimal HALF_UP on the shortest decimal repr;
+    DuckDB uses a float-op algorithm) — observed diverging on 1 of 5000
+    docs at sf0.1. This form is three IEEE ops + an exact floor, so any
+    two engines that computed bit-identical ``x`` (true for the quality
+    formula: fixed-order ops over exact integers) agree bit-for-bit.
+    For non-negative x only (floor(+0.5) is round-half-up only there).
+    """
+    return F.floor(col * F.lit(1000000.0) + F.lit(0.5)) / F.lit(1000000.0)
+
+
+PORTABLE_ROUND6_SQL = "floor(({x}) * 1000000.0 + 0.5) / 1000000.0"
+
+
 def _stopword_hits(toks: Column, words: list[str]) -> Column:
     arr = F.array(*[F.lit(w) for w in words])
     return F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
@@ -85,14 +102,14 @@ def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     alpha_ratio = n_alpha / n_chars
     mean_tok = (n_chars - (n_tokens - 1)) / n_tokens  # chars minus separators
     mean_sat = F.least(mean_tok / F.lit(8.0), F.lit(1.0))
-    score = F.round(
-        0.25 * len_sat + 0.25 * ttr + 0.25 * alpha_ratio + 0.25 * mean_sat, 6
+    score = portable_round6(
+        0.25 * len_sat + 0.25 * ttr + 0.25 * alpha_ratio + 0.25 * mean_sat
     )
     return df.select(
         F.col(id_col),
         n_tokens.alias("n_tokens"),
-        F.round(ttr, 6).alias("type_token_ratio"),
-        F.round(alpha_ratio, 6).alias("alpha_ratio"),
+        portable_round6(ttr).alias("type_token_ratio"),
+        portable_round6(alpha_ratio).alias("alpha_ratio"),
         score.alias("quality"),
     )
 
@@ -265,7 +282,7 @@ def quality_quantile_filter(
     return (
         joined.withColumn("pr", F.percent_rank().over(w))
         .where(F.col("pr") < keep_top_fraction)
-        .select(id_col, stratum_col, "quality", F.round("pr", 6).alias("pr"))
+        .select(id_col, stratum_col, "quality", portable_round6(F.col("pr")).alias("pr"))
     )
 
 

@@ -25,7 +25,7 @@ SESSION_GAP_MIN = 30
            strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
            count(*) AS n_events,
            count(DISTINCT user_id) AS n_users,
-           CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+           CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_value
     FROM events
     GROUP BY 1, 2
     """,
@@ -43,7 +43,7 @@ def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).agg(
             F.count("*").alias("n_events"),
             F.countDistinct("user_id").alias("n_users"),
-            F.sum(F.col("value").cast(DecimalType(18, 6))).cast("double").alias("sum_value"),
+            F.round(F.sum(F.col("value").cast(DecimalType(18, 6))), 2).cast("double").alias("sum_value"),
         )
     )
 
@@ -119,7 +119,7 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH totals AS (
       SELECT event_type, user_id,
-             CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value,
+             CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_value,
              count(*) AS n_events
       FROM events
       GROUP BY event_type, user_id
@@ -142,7 +142,7 @@ def events_top_users_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     much smaller aggregate."""
     ev = table(spark, sf_dir, "events")
     totals = ev.groupBy("event_type", "user_id").agg(
-        F.sum(F.col("value").cast(DecimalType(18, 6))).cast("double").alias("total_value"),
+        F.round(F.sum(F.col("value").cast(DecimalType(18, 6))), 2).cast("double").alias("total_value"),
         F.count("*").alias("n_events"),
     )
     w = Window.partitionBy("event_type").orderBy(F.desc("total_value"), F.asc("user_id"))

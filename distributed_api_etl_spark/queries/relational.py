@@ -179,12 +179,12 @@ def batch_ids_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_returnflag, l_linestatus,
            CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
            CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
-           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
-                    * CAST(1 - CAST(l_discount AS DECIMAL(5,3)) AS DECIMAL(5,3)))
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * CAST(1 - CAST(l_discount AS DECIMAL(5,3)) AS DECIMAL(5,3))), 2)
                 AS DOUBLE) AS sum_disc_price,
-           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))
                     * CAST(1 - CAST(l_discount AS DECIMAL(5,3)) AS DECIMAL(5,3))
-                    * CAST(1 + CAST(l_tax AS DECIMAL(5,3)) AS DECIMAL(5,3)))
+                    * CAST(1 + CAST(l_tax AS DECIMAL(5,3)) AS DECIMAL(5,3))), 2)
                 AS DOUBLE) AS sum_charge,
            count(*) AS count_order
     FROM lineitem
@@ -205,8 +205,8 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.sum(dec("l_quantity", 12, 2)).cast("double").alias("sum_qty"),
             F.sum(price).cast("double").alias("sum_base_price"),
-            F.sum(price * disc_f).cast("double").alias("sum_disc_price"),
-            F.sum(price * disc_f * tax_f).cast("double").alias("sum_charge"),
+            F.round(F.sum(price * disc_f), 2).cast("double").alias("sum_disc_price"),
+            F.round(F.sum(price * disc_f * tax_f), 2).cast("double").alias("sum_charge"),
             F.count("*").alias("count_order"),
         )
     )
@@ -216,8 +216,8 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q3_shipping_priority",
     oracle="""
     SELECT CAST(l_orderkey AS BIGINT) AS l_orderkey,
-           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
-                    * CAST(1 - CAST(l_discount AS DECIMAL(5,3)) AS DECIMAL(5,3)))
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * CAST(1 - CAST(l_discount AS DECIMAL(5,3)) AS DECIMAL(5,3))), 2)
                 AS DOUBLE) AS revenue,
            strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS o_orderdate,
            o_orderpriority
@@ -254,7 +254,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .join(cust.select("c_custkey"), F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .agg(F.round(F.sum(revenue), 2).cast("double").alias("revenue"))
         .select(
             "l_orderkey",
             "revenue",
@@ -270,8 +270,8 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q5_local_supplier_volume",
     oracle="""
     SELECT n_name,
-           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
-                    * CAST(1 - CAST(l_discount AS DECIMAL(5,3)) AS DECIMAL(5,3)))
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * CAST(1 - CAST(l_discount AS DECIMAL(5,3)) AS DECIMAL(5,3))), 2)
                 AS DOUBLE) AS revenue
     FROM customer
     JOIN orders   ON c_custkey = o_custkey
@@ -311,7 +311,7 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation.select("n_nationkey", "n_name", "n_regionkey")), F.col("s_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(region.select("r_regionkey")), F.col("n_regionkey") == F.col("r_regionkey"))
         .groupBy("n_name")
-        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .agg(F.round(F.sum(revenue), 2).cast("double").alias("revenue"))
     )
 
 
@@ -627,8 +627,8 @@ def q4_order_priority_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q10_returned_item_revenue",
     oracle="""
     SELECT c.c_custkey, c.c_name,
-           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
-                    * CAST(1 - CAST(l_discount AS DECIMAL(5,3)) AS DECIMAL(5,3)))
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * CAST(1 - CAST(l_discount AS DECIMAL(5,3)) AS DECIMAL(5,3))), 2)
                 AS DOUBLE) AS revenue,
            c.c_acctbal, n.n_name
     FROM customer c
@@ -672,7 +672,7 @@ def q10_returned_item_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("c_nationkey") == F.col("n_nationkey"),
         )
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
-        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .agg(F.round(F.sum(revenue), 2).cast("double").alias("revenue"))
         .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
         .orderBy(F.desc("revenue"), F.asc("c_custkey"))
         .limit(20)

@@ -79,13 +79,15 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT doc_id,
            CAST(n_tokens AS INTEGER) AS n_tokens,
-           round(n_distinct / n_tokens, 6) AS type_token_ratio,
-           round(n_alpha / n_chars, 6) AS alpha_ratio,
-           round(0.25 * least(n_tokens / 50.0, 1.0)
+           floor((n_distinct / n_tokens) * 1000000.0 + 0.5) / 1000000.0
+             AS type_token_ratio,
+           floor((n_alpha / n_chars) * 1000000.0 + 0.5) / 1000000.0
+             AS alpha_ratio,
+           floor((0.25 * least(n_tokens / 50.0, 1.0)
                + 0.25 * (n_distinct / n_tokens)
                + 0.25 * (n_alpha / n_chars)
-               + 0.25 * least(((n_chars - (n_tokens - 1)) / n_tokens) / 8.0, 1.0),
-             6) AS quality
+               + 0.25 * least(((n_chars - (n_tokens - 1)) / n_tokens) / 8.0, 1.0))
+             * 1000000.0 + 0.5) / 1000000.0 AS quality
     FROM stats
     """,
     bench=True,
@@ -443,11 +445,11 @@ KEEP_TOP_FRACTION = 0.5
     ),
     scored AS (
       SELECT doc_id,
-             round(0.25 * least(n_tokens / 50.0, 1.0)
+             floor((0.25 * least(n_tokens / 50.0, 1.0)
                  + 0.25 * (n_distinct / n_tokens)
                  + 0.25 * (n_alpha / n_chars)
-                 + 0.25 * least(((n_chars - (n_tokens - 1)) / n_tokens) / 8.0, 1.0),
-               6) AS quality
+                 + 0.25 * least(((n_chars - (n_tokens - 1)) / n_tokens) / 8.0, 1.0))
+               * 1000000.0 + 0.5) / 1000000.0 AS quality
       FROM stats
     ),
     j AS (
@@ -460,7 +462,8 @@ KEEP_TOP_FRACTION = 0.5
                                   ORDER BY quality DESC, doc_id) AS pr
       FROM j
     )
-    SELECT doc_id, source, quality, round(pr, 6) AS pr
+    SELECT doc_id, source, quality,
+           floor(pr * 1000000.0 + 0.5) / 1000000.0 AS pr
     FROM r WHERE pr < {KEEP_TOP_FRACTION}
     """,
     tags=("text", "quality", "sampling"),

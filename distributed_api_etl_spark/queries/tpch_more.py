@@ -42,8 +42,8 @@ def _d53(v: str):
 @register(
     "q6_forecast_revenue",
     oracle="""
-    SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
-                    * CAST(l_discount AS DECIMAL(5,3))) AS DOUBLE) AS revenue
+    SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * CAST(l_discount AS DECIMAL(5,3))), 2) AS DOUBLE) AS revenue
     FROM lineitem
     WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
       AND CAST(l_shipdate AS DATE) <  DATE '1997-01-01'
@@ -67,7 +67,7 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             & disc.between(_d53("0.05"), _d53("0.07"))
             & (F.col("l_quantity") < 24)
         )
-        .agg(F.sum(dec("l_extendedprice", 12, 2) * disc).cast("double").alias("revenue"))
+        .agg(F.round(F.sum(dec("l_extendedprice", 12, 2) * disc), 2).cast("double").alias("revenue"))
     )
 
 
@@ -77,8 +77,8 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT n1.n_name AS supp_nation,
            n2.n_name AS cust_nation,
            CAST(EXTRACT(year FROM CAST(l_shipdate AS DATE)) AS INT) AS l_year,
-           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
-                    * CAST(1 - CAST(l_discount AS DECIMAL(5,3)) AS DECIMAL(5,3)))
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * CAST(1 - CAST(l_discount AS DECIMAL(5,3)) AS DECIMAL(5,3))), 2)
                 AS DOUBLE) AS revenue
     FROM supplier
     JOIN lineitem ON s_suppkey = l_suppkey
@@ -134,7 +134,7 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cust_nation",
             F.year(F.col("l_shipdate").cast("date")).alias("l_year"),
         )
-        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .agg(F.round(F.sum(revenue), 2).cast("double").alias("revenue"))
     )
 
 
@@ -213,8 +213,8 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT n_name AS nation,
            CAST(EXTRACT(year FROM CAST(o_orderdate AS DATE)) AS INT) AS o_year,
-           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
-                    * CAST(1 - CAST(l_discount AS DECIMAL(5,3)) AS DECIMAL(5,3)))
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * CAST(1 - CAST(l_discount AS DECIMAL(5,3)) AS DECIMAL(5,3))), 2)
                 AS DOUBLE) AS revenue
     FROM part
     JOIN lineitem ON p_partkey = l_partkey
@@ -251,7 +251,7 @@ def q9_product_type_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_name").alias("nation"),
             F.year(F.col("o_orderdate").cast("date")).alias("o_year"),
         )
-        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .agg(F.round(F.sum(revenue), 2).cast("double").alias("revenue"))
     )
 
 
@@ -308,7 +308,7 @@ def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY l_suppkey
     )
     SELECT s_suppkey, s_name,
-           CAST(total_revenue AS DOUBLE) AS total_revenue
+           CAST(round(total_revenue, 2) AS DOUBLE) AS total_revenue
     FROM supplier JOIN revenue ON s_suppkey = supplier_no
     WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
     """,
@@ -343,7 +343,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "s_suppkey",
             "s_name",
-            F.col("total_revenue").cast("double").alias("total_revenue"),
+            F.round(F.col("total_revenue"), 2).cast("double").alias("total_revenue"),
         )
     )
 
@@ -351,8 +351,8 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q19_disjunctive_revenue",
     oracle="""
-    SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
-                    * CAST(1 - CAST(l_discount AS DECIMAL(5,3)) AS DECIMAL(5,3)))
+    SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * CAST(1 - CAST(l_discount AS DECIMAL(5,3)) AS DECIMAL(5,3))), 2)
                 AS DOUBLE) AS revenue
     FROM lineitem JOIN part ON p_partkey = l_partkey
     WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5
@@ -384,7 +384,9 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(part.select("p_partkey", "p_brand", "p_size"), li.l_partkey == F.col("p_partkey"))
         .where(arm("Brand#1", 5, 1, 11) | arm("Brand#2", 10, 10, 20) | arm("Brand#3", 15, 20, 30))
         .agg(
-            F.sum(dec("l_extendedprice", 12, 2) * _one_minus(F.col("l_discount")))
+            F.round(
+                F.sum(dec("l_extendedprice", 12, 2) * _one_minus(F.col("l_discount"))), 2
+            )
             .cast("double")
             .alias("revenue")
         )

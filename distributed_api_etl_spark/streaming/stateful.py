@@ -40,8 +40,14 @@ def streaming_exact_dedup(
     """
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+    # the id keeps its INPUT type end-to-end: the round-2 version cast ids
+    # to string, making the keep_id min lexicographic ("10" < "2") — which
+    # silently diverges from the numeric min once a dup group's ids cross a
+    # digit-count boundary. Caught by the full-oracle sweep at sf0.1
+    # (invisible at small scales where no dup group straddled one).
+    id_type = docs.schema[id_col].dataType.simpleString()
     fingerprinted = docs.select(
-        F.col(id_col).cast("string").alias("doc_id"),
+        F.col(id_col).alias("doc_id"),
         F.md5(F.col(text_col)).alias("fingerprint"),
     )
 
@@ -51,7 +57,7 @@ def streaming_exact_dedup(
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
         seen = state.exists
-        first_id: str | None = None
+        first_id = None
         for pdf in pdf_iter:
             if not seen and len(pdf) > 0:
                 # deterministic winner: lowest doc_id in the first batch seen
@@ -63,7 +69,7 @@ def streaming_exact_dedup(
 
     return fingerprinted.groupBy("fingerprint").applyInPandasWithState(
         dedup_fn,
-        outputStructType="fingerprint string, keep_id string",
+        outputStructType=f"fingerprint string, keep_id {id_type}",
         stateStructType="seen boolean",
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
