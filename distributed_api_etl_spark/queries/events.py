@@ -349,3 +349,37 @@ def events_salted_type_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     return salted_join(
         ev.select("event_id", "event_type"), dim, ["event_type"], n_salts=8
     ).select("event_id", "event_type", "type_count")
+
+
+@register(
+    "partitioned_sink_roundtrip",
+    oracle="""
+    SELECT event_id, user_id, event_type,
+           strftime(ts, '%Y-%m-%d') AS event_date
+    FROM events
+    WHERE strftime(ts, '%Y-%m-%d') BETWEEN '2024-01-02' AND '2024-01-03'
+    """,
+    tags=("events", "sink", "partitioning"),
+)
+def partitioned_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-style partitioned sink + partition-pruned read-back: events are
+    written partitioned by event_date, and the date-range read touches ONLY
+    the matching partition directories (PartitionFilters in the scan;
+    asserted in tests/test_table_manager.py). This is the reference's
+    ``partition_by`` sink contract (src/core/table_manager.py DDL) made
+    physical: at 100 TB, date-partitioning is what turns a time-scoped
+    query from a full scan into a few directories."""
+    import tempfile
+
+    out = tempfile.mkdtemp(prefix="events_part_")
+    ev = table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.date_format("ts", "yyyy-MM-dd").alias("event_date"),
+    )
+    ev.write.mode("overwrite").partitionBy("event_date").parquet(out)
+    back = spark.read.parquet(out)
+    return back.where(
+        F.col("event_date").between("2024-01-02", "2024-01-03")
+    ).select("event_id", "user_id", "event_type", F.col("event_date"))

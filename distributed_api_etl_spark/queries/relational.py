@@ -857,3 +857,46 @@ def orders_price_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.cume_dist().over(w), 6).alias("cd"),
         F.lag("o_totalprice").over(w).alias("prev_price"),
     )
+
+
+@register(
+    "bucketed_colocated_join",
+    oracle="""
+    SELECT o.o_orderkey, o.o_custkey AS custkey, c.c_name, c.c_mktsegment
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+    tags=("relational", "sink", "bucketing"),
+)
+def bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write both join sides as bucketed+sorted tables on the join key,
+    then join them — the one-write-time-shuffle-amortizes-every-join
+    pattern. The joined plan has ZERO shuffle exchanges (asserted at the
+    plan level in tests/test_table_manager.py); here the ROW SET is graded
+    against the plain-join oracle, proving bucketing is purely physical.
+    At 100 TB this is how a fact table repeatedly joined on one key should
+    be stored: bucket count ~ total size / 200 MB, both sides agreeing."""
+    import tempfile
+
+    from distributed_api_etl_spark.core.table_manager import TableManager
+
+    tm = TableManager(spark)
+    base = tempfile.mkdtemp(prefix="bucketed_q_")
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_custkey").alias("custkey")
+    )
+    cust = table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey"), "c_name", "c_mktsegment"
+    )
+    tm.write_bucketed(
+        orders, "bucketed_q.orders_b", ["custkey"], 8,
+        sort_cols=["custkey"], location=f"{base}/orders_b",
+    )
+    tm.write_bucketed(
+        cust, "bucketed_q.customer_b", ["custkey"], 8,
+        sort_cols=["custkey"], location=f"{base}/customer_b",
+    )
+    return (
+        spark.table("bucketed_q.orders_b")
+        .join(spark.table("bucketed_q.customer_b"), "custkey")
+        .select("o_orderkey", "custkey", "c_name", "c_mktsegment")
+    )

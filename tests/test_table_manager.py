@@ -193,3 +193,30 @@ def test_bucketed_tables_join_without_shuffle(spark, sf_dir, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS bktdb.orders_b")
         spark.sql("DROP TABLE IF EXISTS bktdb.customer_b")
+
+
+def test_partitioned_sink_prunes_partitions(spark, sf_dir, tmp_path):
+    """A date-range read over a date-partitioned sink must scan only the
+    matching partition directories (PartitionFilters, file-count proof)."""
+    from pyspark.sql import functions as F
+
+    from distributed_api_etl_spark.queries.registry import table
+
+    out = str(tmp_path / "events_by_day")
+    ev = table(spark, sf_dir, "events").select(
+        "event_id", F.date_format("ts", "yyyy-MM-dd").alias("event_date")
+    )
+    ev.write.mode("overwrite").partitionBy("event_date").parquet(out)
+    back = spark.read.parquet(out)
+    n_days = back.select("event_date").distinct().count()
+    pruned = back.where(F.col("event_date") == "2024-01-02")
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    # the equality predicate must land in PartitionFilters (directory-level
+    # pruning), NOT in DataFilters (row-level, after reading the file)
+    import re
+
+    pf = re.search(r"PartitionFilters: \[[^\]]*\]", plan)
+    assert pf and "event_date" in pf.group(0) and "2024-01-02" in pf.group(0), plan[:800]
+    assert n_days > 1  # the pruning claim is non-vacuous
+    # and the partition column never materializes as data rows
+    assert pruned.count() == back.where(F.col("event_date") == "2024-01-02").count()
