@@ -600,3 +600,33 @@ def test_salted_join_equals_plain_join(spark):
         plain = big.join(small, ["k"], how)
         salted = salted_join(big, small, ["k"], n_salts=4, how=how)
         assert rows(salted) == rows(plain), how
+
+
+def test_operators_tolerate_empty_input(spark):
+    """Every pipeline stage must yield an empty (not crashing) result on an
+    empty input frame — at 100 TB, date-scoped runs routinely see empty
+    slices and a crash poisons the whole job."""
+    from distributed_api_etl_spark.operators.graph import (
+        connected_components,
+        connected_components_two_phase,
+        dedup_cluster_assignment,
+    )
+    from distributed_api_etl_spark.operators.similarity import embedding_lsh_pairs
+    from distributed_api_etl_spark.operators.skew import salted_join
+    from distributed_api_etl_spark.operators.text import chunk_documents, tfidf_top_terms
+
+    empty_docs = spark.createDataFrame([], "doc_id bigint, text string")
+    empty_edges = spark.createDataFrame([], "d1 bigint, d2 bigint")
+    empty_emb = spark.createDataFrame([], "vec_id bigint, embedding array<double>")
+
+    assert D.minhash_lsh_pairs(empty_docs, "doc_id", "text", 3, 70).count() == 0
+    assert D.exact_fingerprint_groups(empty_docs, "doc_id", "text").count() == 0
+    assert chunk_documents(empty_docs, "doc_id", "text", 4, 3).count() == 0
+    assert tfidf_top_terms(empty_docs, "doc_id", "text").count() == 0
+    assert connected_components(empty_edges).count() == 0
+    assert connected_components_two_phase(empty_edges).count() == 0
+    assert dedup_cluster_assignment(empty_edges, empty_docs, "doc_id").count() == 0
+    assert embedding_lsh_pairs(empty_emb, "vec_id", "embedding", 0.3, dim=4).count() == 0
+    assert (
+        salted_join(empty_docs, empty_docs.select("doc_id"), ["doc_id"]).count() == 0
+    )
