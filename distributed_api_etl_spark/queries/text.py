@@ -598,3 +598,70 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_frames(
         binary, frame_bytes=FRAME_BYTES, stride=FRAME_STRIDE, max_frames=MAX_FRAMES
     )
+
+
+MIX_RATES = {"en": 800, "zh": 600, "es": 500, "de": 400, "fr": 300}
+MIX_DEFAULT = 200
+
+
+def _mix_oracle() -> str:
+    from distributed_api_etl_spark.functions.portable import portable_hash32_sql
+
+    case = " ".join(f"WHEN '{k}' THEN {v}" for k, v in MIX_RATES.items())
+    h = portable_hash32_sql("lang || ':' || CAST(doc_id AS VARCHAR)")
+    return f"""
+    WITH stats AS (
+      SELECT doc_id,
+             len(string_split(text, ' ')) AS n_tokens,
+             len(list_distinct(string_split(text, ' '))) AS n_distinct,
+             length(text) AS n_chars,
+             length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS n_alpha
+      FROM documents
+    ),
+    scored AS (
+      SELECT doc_id,
+             floor((0.25 * least(n_tokens / 50.0, 1.0)
+                 + 0.25 * (n_distinct / n_tokens)
+                 + 0.25 * (n_alpha / n_chars)
+                 + 0.25 * least(((n_chars - (n_tokens - 1)) / n_tokens) / 8.0, 1.0))
+               * 1000000.0 + 0.5) / 1000000.0 AS quality
+      FROM stats
+    ),
+    gated AS (
+      SELECT doc_id, source, lang, quality
+      FROM (
+        SELECT d.doc_id, d.source, d.lang, s.quality,
+               percent_rank() OVER (PARTITION BY d.source
+                                    ORDER BY s.quality DESC, d.doc_id) AS pr
+        FROM documents d JOIN scored s USING (doc_id)
+      ) WHERE pr < {KEEP_TOP_FRACTION}
+    )
+    SELECT doc_id, source, lang, quality
+    FROM gated
+    WHERE {h} % 1000 < CASE lang {case} ELSE {MIX_DEFAULT} END
+    """
+
+
+@register(
+    "training_mix_selection",
+    oracle=_mix_oracle(),
+    tags=("text", "quality", "sampling", "pipeline"),
+)
+def training_mix_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-mix composition: per-source quality gate (keep
+    the top half of each source) THEN per-language deterministic hash
+    sampling at mixture rates (en 80% ... fr 30%, default 20%) — the two
+    operators compose as plain DataFrames, and the whole selection stays
+    reproducible under any partitioning because both decisions are
+    row-derived (percent_rank keyed by (source, quality, id); keep/drop
+    keyed by hash(lang:id)). One window shuffle + one map-side filter."""
+    from distributed_api_etl_spark.operators.sampling import hash_stratified_sample
+
+    docs = fan_out(table(spark, sf_dir, "documents"))
+    gated = TX.quality_quantile_filter(
+        docs, "doc_id", "text", "source", keep_top_fraction=KEEP_TOP_FRACTION
+    ).select("doc_id", F.col("source"), "quality")
+    with_lang = gated.join(docs.select("doc_id", "lang"), "doc_id")
+    return hash_stratified_sample(
+        with_lang, "doc_id", "lang", MIX_RATES, MIX_DEFAULT
+    ).select("doc_id", "source", "lang", "quality")
