@@ -268,3 +268,58 @@ def compact_files(
         "files_after": files_after,
         "bytes": int(total_bytes),
     }
+
+
+def upsert_parquet(
+    spark: SparkSession,
+    location: str,
+    updates,
+    key_col: str = "request_id",
+) -> dict:
+    """Copy-on-write UPSERT for parquet sinks: matched keys take the update
+    row, unmatched sink rows survive, new keys insert — Delta's
+    ``whenMatchedUpdateAll + whenNotMatchedInsertAll`` without a transaction
+    log (beyond the reference, whose merge is insert-only:
+    src/orchestration/batch_handler.py:47).
+
+    Plan: one left-anti join (sink rows whose key is NOT updated) unioned
+    with the updates, rewritten to a temp dir, then the same two-rename
+    swap as :func:`compact_files` — a crash leaves the old or the new
+    layout, never a mix. Concurrent writers must be externally serialized
+    (no log to detect conflicts); at scale partition the sink so the
+    rewrite touches only affected partitions, or use Delta/Iceberg where
+    available — the semantics here are the portable floor, not a
+    transaction-log replacement. Returns {rows_before, rows_after,
+    rows_updated, rows_inserted}.
+    """
+    sc = spark.sparkContext
+    jvm_path = sc._jvm.org.apache.hadoop.fs.Path  # noqa: SLF001
+    fs = jvm_path(location).getFileSystem(sc._jsc.hadoopConfiguration())  # noqa: SLF001
+    if not fs.exists(jvm_path(location)):
+        updates.write.format("parquet").mode("overwrite").save(location)
+        n = updates.count()
+        return {"rows_before": 0, "rows_after": n, "rows_updated": 0, "rows_inserted": n}
+    existing = spark.read.parquet(location)
+    rows_before = existing.count()
+    updates = updates.persist()
+    n_updates = updates.count()
+    kept = existing.join(updates.select(key_col), key_col, "left_anti")
+    merged = kept.unionByName(updates)
+    tmp = location.rstrip("/") + "__upsert_tmp"
+    old = location.rstrip("/") + "__upsert_old"
+    merged.write.format("parquet").mode("overwrite").save(tmp)
+    if not fs.rename(jvm_path(location), jvm_path(old)):
+        raise OSError(f"upsert_parquet: rename {location} -> {old} failed")
+    if not fs.rename(jvm_path(tmp), jvm_path(location)):
+        fs.rename(jvm_path(old), jvm_path(location))
+        raise OSError(f"upsert_parquet: rename {tmp} -> {location} failed")
+    fs.delete(jvm_path(old), True)
+    rows_after = spark.read.parquet(location).count()
+    rows_inserted = rows_after - rows_before
+    updates.unpersist()
+    return {
+        "rows_before": rows_before,
+        "rows_after": rows_after,
+        "rows_updated": n_updates - rows_inserted,
+        "rows_inserted": rows_inserted,
+    }

@@ -220,3 +220,31 @@ def test_partitioned_sink_prunes_partitions(spark, sf_dir, tmp_path):
     assert n_days > 1  # the pruning claim is non-vacuous
     # and the partition column never materializes as data rows
     assert pruned.count() == back.where(F.col("event_date") == "2024-01-02").count()
+
+
+def test_upsert_parquet_update_insert_preserve(spark, tmp_path):
+    """Copy-on-write upsert: matched keys take the new row, unmatched sink
+    rows survive untouched, new keys insert; re-running the same upsert is
+    idempotent (no duplicate keys ever)."""
+    from distributed_api_etl_spark.core.table_manager import upsert_parquet
+
+    loc = str(tmp_path / "sink")
+    base = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30)], "request_id int, k string, v int"
+    )
+    stats = upsert_parquet(spark, loc, base, "request_id")
+    assert stats == {"rows_before": 0, "rows_after": 3, "rows_updated": 0, "rows_inserted": 3}
+
+    upd = spark.createDataFrame(
+        [(2, "B", 200), (4, "d", 40)], "request_id int, k string, v int"
+    )
+    stats = upsert_parquet(spark, loc, upd, "request_id")
+    assert stats["rows_updated"] == 1 and stats["rows_inserted"] == 1
+    got = {r.request_id: (r.k, r.v) for r in spark.read.parquet(loc).collect()}
+    assert got == {1: ("a", 10), 2: ("B", 200), 3: ("c", 30), 4: ("d", 40)}
+
+    # idempotent re-run
+    stats = upsert_parquet(spark, loc, upd, "request_id")
+    assert stats["rows_inserted"] == 0 and stats["rows_after"] == 4
+    got2 = {r.request_id: (r.k, r.v) for r in spark.read.parquet(loc).collect()}
+    assert got2 == got
