@@ -490,3 +490,22 @@ def ivf_multiprobe_topk(
         .where(F.col("rnk") <= k)
         .select("query_id", "neighbor_id", "rnk", F.round("cosine", 6).alias("cosine"))
     )
+
+
+def lsh_params_for(
+    n_vectors: int, target_bucket: int = 200, n_bands: int = 8
+) -> tuple[int, int]:
+    """Corpus-sized LSH parameters: (n_planes, band_bits) holding expected
+    bucket size ~= target_bucket.
+
+    The scale law measured in SCALE.md: with FIXED band_bits, buckets grow
+    linearly with the corpus and candidate pairs quadratically (16x corpus
+    went 8.3s -> 286s); raising band_bits to keep buckets constant restores
+    near-linear cost (26.3s, 11x better) at the price of per-band recall —
+    compensated by keeping ``n_bands`` bands. band_bits = log2(n / target),
+    clamped to [2, 16]; n_planes = n_bands * band_bits.
+    """
+    import math
+
+    band_bits = max(2, min(16, math.ceil(math.log2(max(n_vectors, 2) / target_bucket))))
+    return n_bands * band_bits, band_bits

@@ -630,3 +630,15 @@ def test_operators_tolerate_empty_input(spark):
     assert (
         salted_join(empty_docs, empty_docs.select("doc_id"), ["doc_id"]).count() == 0
     )
+
+
+def test_lsh_params_hold_bucket_size():
+    from distributed_api_etl_spark.operators.similarity import lsh_params_for
+
+    for n in (1_000, 32_000, 1_000_000, 10_000_000_000):
+        n_planes, band_bits = lsh_params_for(n)
+        assert n_planes == 8 * band_bits
+        assert 2 <= band_bits <= 16
+        # expected bucket size n / 2^band_bits stays within ~2x of target
+        assert n / (1 << band_bits) <= 400 or band_bits == 16
+    assert lsh_params_for(32_000) == (64, 8)  # the measured configuration
