@@ -60,6 +60,7 @@ def apply_runtime_conf(spark: SparkSession) -> SparkSession:
     for k, v in {
         "spark.sql.adaptive.enabled": "true",
         "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
         # Let AQE convert shuffle joins to broadcast from RUNTIME stats up to
         # 64MB: small-SF intermediates (e.g. the shingle table) broadcast;
         # at 100 TB the same plan keeps sort-merge — stats decide, not code.
