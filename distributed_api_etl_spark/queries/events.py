@@ -383,3 +383,102 @@ def partitioned_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.where(
         F.col("event_date").between("2024-01-02", "2024-01-03")
     ).select("event_id", "user_id", "event_type", F.col("event_date"))
+
+
+@register(
+    "events_cohort_retention",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, CAST(min(ts) AS DATE) AS cohort_date
+      FROM events GROUP BY user_id
+    ),
+    activity AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS active_date FROM events
+    )
+    SELECT strftime(f.cohort_date, '%Y-%m-%d') AS cohort_date,
+           count(*) AS n_new,
+           CAST(sum(CASE WHEN a.user_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_retained_d7
+    FROM firsts f
+    LEFT JOIN activity a
+      ON a.user_id = f.user_id AND a.active_date = f.cohort_date + INTERVAL 7 DAY
+    GROUP BY f.cohort_date
+    """,
+    tags=("events", "analytics"),
+)
+def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-7 cohort retention: users grouped by first-seen date; retained =
+    active exactly 7 days later. Two aggregations sharing the user_id
+    shuffle key plus one co-keyed left join — the cohort matrix pattern
+    every growth pipeline runs. At 100 TB both sides pre-aggregate to one
+    row per (user, date) before the join, so the join input is bounded by
+    distinct users x active days, never raw events."""
+    ev = table(spark, sf_dir, "events")
+    firsts = ev.groupBy(F.col("user_id").alias("f_user")).agg(
+        F.min("ts").cast("date").alias("f_cohort")
+    )
+    activity = ev.select(
+        F.col("user_id").alias("a_user"), F.col("ts").cast("date").alias("a_date")
+    ).distinct()
+    return (
+        firsts.join(
+            activity,
+            (F.col("f_user") == F.col("a_user"))
+            & (F.col("a_date") == F.date_add(F.col("f_cohort"), 7)),
+            "left",
+        )
+        .groupBy(F.date_format(F.col("f_cohort"), "yyyy-MM-dd").alias("cohort_date"))
+        .agg(
+            F.count("*").alias("n_new"),
+            F.sum(F.when(F.col("a_user").isNotNull(), 1).otherwise(0)).alias(
+                "n_retained_d7"
+            ),
+        )
+    )
+
+
+@register(
+    "events_funnel_click_purchase",
+    oracle="""
+    WITH first_click AS (
+      SELECT user_id, min(ts) AS c_ts FROM events
+      WHERE event_type = 'click' GROUP BY user_id
+    ),
+    converted AS (
+      SELECT DISTINCT f.user_id
+      FROM first_click f
+      JOIN events e ON e.user_id = f.user_id
+       AND e.event_type = 'purchase' AND e.ts >= f.c_ts
+    )
+    SELECT step, n_users FROM (
+      SELECT 1 AS step, count(*) AS n_users FROM first_click
+      UNION ALL
+      SELECT 2 AS step, count(*) AS n_users FROM converted
+    )
+    """,
+    tags=("events", "analytics"),
+)
+def events_funnel_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-step funnel: users who clicked, then users whose purchase came at
+    or after their FIRST click (event-order matters — a purchase before any
+    click does not convert). Step 1 is one aggregation; step 2 joins the
+    first-click timestamps back to purchases (semi-join shape, distinct
+    user set). The pattern extends to N steps by iterating min-ts-after."""
+    ev = table(spark, sf_dir, "events")
+    first_click = (
+        ev.where(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("c_ts"))
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select("user_id", "ts")
+    converted = (
+        first_click.join(
+            purchases,
+            (first_click.user_id == purchases.user_id) & (purchases.ts >= F.col("c_ts")),
+        )
+        .select(first_click.user_id)
+        .distinct()
+    )
+    s1 = first_click.agg(F.lit(1).alias("step"), F.count("*").alias("n_users"))
+    s2 = converted.agg(F.lit(2).alias("step"), F.count("*").alias("n_users"))
+    return s1.unionByName(s2)
