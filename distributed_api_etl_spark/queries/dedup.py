@@ -309,3 +309,45 @@ def dedup_clusters_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = fan_out(table(spark, sf_dir, "documents"))
     pairs = D.minhash_lsh_pairs(docs, "doc_id", "text", 3, 70).select("d1", "d2")
     return dedup_cluster_assignment(pairs, docs, "doc_id", algorithm="two_phase")
+
+
+@register(
+    "dedup_keep_corpus_stats",
+    oracle=f"""
+    SELECT d.source,
+           count(*) AS n_docs_total,
+           CAST(sum(CASE WHEN m.is_keep THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_docs_kept,
+           CAST(sum(CASE WHEN m.is_keep
+                    THEN len(string_split(d.text, ' ')) ELSE 0 END) AS BIGINT)
+             AS tokens_kept
+    FROM ({REGISTRY["dedup_clusters"].oracle}) m
+    JOIN documents d ON d.doc_id = m.doc_id
+    GROUP BY d.source
+    """,
+    tags=("dedup", "pipeline"),
+)
+def dedup_keep_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup pipeline's actual deliverable: per-source corpus counts
+    BEFORE vs AFTER near-dup removal (keep = cluster canonical), plus the
+    surviving token budget — MinHash pairs -> connected components ->
+    is_keep filter -> one aggregation, composed end to end and graded as
+    one query."""
+    from distributed_api_etl_spark.functions.textfns import tokens
+    from distributed_api_etl_spark.operators.graph import dedup_cluster_assignment
+
+    docs = fan_out(table(spark, sf_dir, "documents"))
+    pairs = D.minhash_lsh_pairs(docs, "doc_id", "text", 3, 70).select("d1", "d2")
+    cluster_map = dedup_cluster_assignment(pairs, docs, "doc_id")
+    return (
+        docs.select("doc_id", "source", F.size(tokens(F.col("text"))).alias("n_toks"))
+        .join(cluster_map, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs_total"),
+            F.sum(F.when(F.col("is_keep"), 1).otherwise(0)).alias("n_docs_kept"),
+            F.sum(F.when(F.col("is_keep"), F.col("n_toks")).otherwise(0)).alias(
+                "tokens_kept"
+            ),
+        )
+    )

@@ -482,3 +482,73 @@ def events_funnel_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     s1 = first_click.agg(F.lit(1).alias("step"), F.count("*").alias("n_users"))
     s2 = converted.agg(F.lit(2).alias("step"), F.count("*").alias("n_users"))
     return s1.unionByName(s2)
+
+
+@register(
+    "events_value_outliers",
+    oracle="""
+    WITH comp AS (
+      SELECT event_type,
+             count(*) AS n,
+             CAST(round(sum(CAST(value AS DECIMAL(18,6))), 6) AS DOUBLE) AS s,
+             CAST(round(sum(CAST(value AS DECIMAL(18,6))
+                            * CAST(value AS DECIMAL(18,6))), 6) AS DOUBLE) AS sq
+      FROM events GROUP BY event_type
+    ),
+    stats AS (
+      SELECT event_type, n, s / n AS mean,
+             sqrt((sq - s * s / n) / (n - 1)) AS std
+      FROM comp
+    )
+    SELECT e.event_type,
+           st.n,
+           floor(st.mean * 1000000.0 + 0.5) / 1000000.0 AS mean,
+           floor(st.std * 1000000.0 + 0.5) / 1000000.0 AS std,
+           CAST(sum(CASE WHEN abs(e.value - st.mean) > 3 * st.std
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM events e JOIN stats st USING (event_type)
+    GROUP BY e.event_type, st.n, st.mean, st.std
+    """,
+    tags=("events", "stats"),
+)
+def events_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-pass 3-sigma outlier counts per event type, engine-deterministic
+    end to end: pass 1 accumulates sum and sum-of-squares in EXACT decimal
+    (rounded to 1e-6 before the double cast, so the conversion is exact);
+    mean/std then derive from those two doubles with an identical IEEE op
+    sequence on both engines, making the per-row |x - mean| > 3*std
+    comparison bit-stable even at the boundary. Pass 2 is one broadcast
+    join of the tiny per-type stats back onto the events — the standard
+    two-pass shape for any moment-based filter at 100 TB (never a
+    per-row window over the whole table)."""
+    ev = table(spark, sf_dir, "events")
+    v = F.col("value").cast(DecimalType(18, 6))
+    comp = ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum(v), 6).cast("double").alias("s"),
+        F.round(F.sum(v * v), 6).cast("double").alias("sq"),
+    )
+    stats = comp.select(
+        "event_type",
+        "n",
+        (F.col("s") / F.col("n")).alias("mean"),
+        F.sqrt((F.col("sq") - F.col("s") * F.col("s") / F.col("n")) / (F.col("n") - 1)).alias("std"),
+    )
+    from distributed_api_etl_spark.operators.text import portable_round6
+
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .groupBy("event_type", "n", "mean", "std")
+        .agg(
+            F.sum(
+                F.when(F.abs(F.col("value") - F.col("mean")) > 3 * F.col("std"), 1).otherwise(0)
+            ).alias("n_outliers")
+        )
+        .select(
+            "event_type",
+            "n",
+            portable_round6(F.col("mean")).alias("mean"),
+            portable_round6(F.col("std")).alias("std"),
+            "n_outliers",
+        )
+    )
