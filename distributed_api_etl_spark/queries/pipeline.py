@@ -207,3 +207,52 @@ def api_pipeline_paged(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("attempts").cast("int").alias("attempts"),
         "success",
     )
+
+
+@register(
+    "streaming_api_pipeline_bronze",
+    oracle="""
+    SELECT CAST(c_custkey AS VARCHAR) AS request_id,
+           'http://mock.local/api/customers' AS url,
+           200 AS status_code,
+           TRUE AS success,
+           '{"customer_id": "' || CAST(c_custkey AS VARCHAR)
+             || '", "segment": "' || lower(c_mktsegment) || '"}' AS body_text
+    FROM customer
+    """,
+    tags=("pipeline", "etl", "streaming"),
+)
+def streaming_api_pipeline_bronze(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME HTTP pipeline as api_pipeline_bronze, driven as a Structured
+    Streaming foreachBatch job: customer rows arrive as a file stream, each
+    micro-batch reuses the compiled partition executor + bronze writer, and
+    offsets/checkpoints give exactly-once source progress (restart test in
+    tests/test_streaming.py). The graded projection reads the parquet SINK
+    back — proving the streamed bronze equals the batch pipeline's output
+    row for row."""
+    import os
+    import tempfile
+
+    from distributed_api_etl_spark.streaming import run_streaming_pipeline
+
+    base = tempfile.mkdtemp(prefix="stream_pipe_")
+    src = os.path.join(base, "src")
+    sink = os.path.join(base, "bronze")
+    ckpt = os.path.join(base, "ckpt")
+    table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").cast("string").alias("tracking_id"), "c_mktsegment"
+    ).write.parquet(src)
+    stream = spark.readStream.schema("tracking_id string, c_mktsegment string").parquet(src)
+    cfg = _pipeline_config()
+    cfg["tables"] = {"sink": {"location": sink, "format": "parquet"}}
+    q = run_streaming_pipeline(
+        spark, cfg, stream, source_id="tracking_id", checkpoint_dir=ckpt
+    )
+    q.awaitTermination(300)
+    return spark.read.parquet(sink).select(
+        "request_id",
+        "url",
+        F.col("status_code").cast("int").alias("status_code"),
+        "success",
+        "body_text",
+    )
