@@ -23,7 +23,7 @@ def main() -> None:
     sf = sf_dir.rstrip("/").split("sf")[-1]
 
     from distributed_api_etl_spark.queries import load_all
-    from distributed_api_etl_spark.session import get_spark
+    from distributed_api_etl_spark.session import get_spark, release_caches
 
     spark = get_spark(app_name="daes-bench")
     spark.sparkContext.setLogLevel("ERROR")
@@ -79,6 +79,7 @@ def main() -> None:
             # clear cached frames so every run pays the FULL pipeline —
             # operator-internal persists otherwise leak into the next run
             # via CacheManager plan-matching and we'd time partial queries
+            release_caches()
             spark.catalog.clearCache()
             # build inside the timed region: some operators (the API
             # pipeline) execute eagerly during build, and plan construction

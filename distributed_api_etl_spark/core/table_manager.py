@@ -291,6 +291,13 @@ def upsert_parquet(
     available — the semantics here are the portable floor, not a
     transaction-log replacement. Returns {rows_before, rows_after,
     rows_updated, rows_inserted}.
+
+    ``updates`` must be unique on ``key_col`` (asserted — duplicate update
+    keys would write duplicate rows and corrupt the stats). Crash recovery:
+    a failure between the two renames leaves the data parked at
+    ``<location>__upsert_old`` with no live ``location``; recover by
+    renaming ``__upsert_old`` back (old layout) or ``__upsert_tmp`` in
+    (new layout) — both are complete snapshots, never a mix.
     """
     sc = spark.sparkContext
     jvm_path = sc._jvm.org.apache.hadoop.fs.Path  # noqa: SLF001
@@ -303,6 +310,13 @@ def upsert_parquet(
     rows_before = existing.count()
     updates = updates.persist()
     n_updates = updates.count()
+    n_keys = updates.select(key_col).distinct().count()
+    if n_keys != n_updates:
+        updates.unpersist()
+        raise ValueError(
+            f"upsert_parquet: updates must be unique on {key_col!r} "
+            f"({n_updates} rows, {n_keys} distinct keys); dedupe first"
+        )
     kept = existing.join(updates.select(key_col), key_col, "left_anti")
     merged = kept.unionByName(updates)
     tmp = location.rstrip("/") + "__upsert_tmp"

@@ -15,6 +15,9 @@ from __future__ import annotations
 
 import re
 
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -63,3 +66,34 @@ def cosine_similarity(a: Column | str, b: Column | str) -> Column:
     if isinstance(a, str) and isinstance(b, str) and _IDENT.match(a) and _IDENT.match(b):
         return F.expr(f"{_dot_sql(a, b)} / ({_norm_sql(a)} * {_norm_sql(b)})")
     return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def cosine_fold_udf():
+    """Arrow-vectorized cosine with the SAME left-to-right fold as the SQL path.
+
+    The verify stage of LSH near-dup evaluates one 64-dim cosine per
+    candidate pair; the HOF ``aggregate`` fold runs interpreted (one closure
+    call per element per row), which dominates wall time once candidates
+    reach ~10^6. This pandas UDF accumulates per DIMENSION across the Arrow
+    batch (``acc += A[:,j] * B[:,j]``), so each pair's dot/norms are summed
+    in exactly the sequential element order of :func:`dot`/:func:`l2_norm`
+    — IEEE doubles make the result bit-identical to the JVM fold and the
+    DuckDB oracle, while the inner loop is 3 numpy ops per dimension per
+    batch instead of per row. Vectorized batch compute, not a row-at-a-time
+    UDF.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def cos(a: pd.Series, b: pd.Series) -> pd.Series:
+        A = np.vstack([np.asarray(x, dtype=np.float64) for x in a])
+        B = np.vstack([np.asarray(x, dtype=np.float64) for x in b])
+        d = np.zeros(len(a)); na = np.zeros(len(a)); nb = np.zeros(len(a))
+        for j in range(A.shape[1]):
+            aj = A[:, j]; bj = B[:, j]
+            d += aj * bj
+            na += aj * aj
+            nb += bj * bj
+        return pd.Series(d / (np.sqrt(na) * np.sqrt(nb)))
+
+    return cos

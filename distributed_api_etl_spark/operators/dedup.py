@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from distributed_api_etl_spark.functions.portable import portable_hash32
+from distributed_api_etl_spark.session import scoped_persist
 from distributed_api_etl_spark.functions.textfns import token_shingles, tokens
 
 # MinHash parameters: h_i(x) = (A[i]*x + B[i]) mod P over 32-bit shingle
@@ -104,7 +105,7 @@ def jaccard_pairs(
     if max_shingle_freq is not None:
         freq = sh.groupBy("s").agg(F.count("*").alias("f"))
         sh = sh.join(freq.where(F.col("f") <= max_shingle_freq).select("s"), "s")
-    sh = sh.persist()
+    sh = scoped_persist(sh)
     sizes = shingle_sizes(sh, id_col)
     a = sh.select(F.col(id_col).alias("d1"), "s")
     b = sh.select(F.col(id_col).alias("d2"), "s")
@@ -156,7 +157,8 @@ def lsh_candidate_pairs(sigs: DataFrame, id_col: str) -> DataFrame:
     # right); without a cache each side recomputes the minhash transforms
     long = banded.selectExpr(
         id_col, f"stack({n_bands}, {stack}) as (band_idx, band_val)"
-    ).persist()
+    )
+    long = scoped_persist(long)
     left = long.select(F.col(id_col).alias("d1"), "band_idx", "band_val")
     right = long.select(F.col(id_col).alias("d2"), "band_idx", "band_val")
     return (
@@ -203,7 +205,7 @@ def minhash_lsh_pairs(
         — cost proportional to candidate count x doc length, not corpus².
     Output columns: d1, d2, inter, union_sz, jaccard.
     """
-    base = doc_shingle_sets(df, id_col, text_col, n).persist()
+    base = scoped_persist(doc_shingle_sets(df, id_col, text_col, n))
     cands = lsh_candidate_pairs(minhash_signatures_from_sets(base, id_col), id_col)
     return (
         cands.join(
@@ -291,7 +293,7 @@ def simhash_pairs(
     unchanged.
     """
     # persisted: feeds the blocking stack AND both sides of the verify join
-    sigs = simhash_signatures(df, id_col, text_col, bits).persist()
+    sigs = scoped_persist(simhash_signatures(df, id_col, text_col, bits))
     blocks = simhash_blocks(max_hamming, bits)
     blk_exprs = [
         F.shiftrightunsigned(F.col("simhash"), off)

@@ -10,6 +10,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from distributed_api_etl_spark.functions.textfns import tokens
+from distributed_api_etl_spark.session import scoped_persist
 
 # Tiny per-language stopword marker sets (public common function words).
 LANG_STOPWORDS: dict[str, list[str]] = {
@@ -343,7 +344,8 @@ def tfidf_top_terms(
         df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term"))
         .groupBy(id_col, "term")
         .agg(F.count("*").alias("tf"))
-    ).persist()  # referenced twice: document-frequency agg + ranking
+    )
+    tf = scoped_persist(tf)  # referenced twice: document-frequency agg + ranking
     dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
     n_docs = df.agg(F.count("*").alias("n_docs"))
     from pyspark.sql import Window

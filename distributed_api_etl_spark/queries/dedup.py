@@ -281,6 +281,9 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     bench=True,
     tags=("dedup", "graph"),
+    # graded=False: dedup_clusters_two_phase grades the identical contract
+    # with the scale-safe O(log n) algorithm; this stays in library/bench/tests
+    graded=False,
 )
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairwise near-dups -> canonical clusters: connected components

@@ -334,6 +334,9 @@ def events_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM events e JOIN dim d USING (event_type)
     """,
     tags=("events", "skew", "join"),
+    # graded=False: the salted-join family is graded via
+    # events_salted_distinct_users; this variant stays in library/tests
+    graded=False,
 )
 def events_salted_type_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dimension enrichment through the salted join: event_type is the

@@ -248,7 +248,12 @@ def streaming_api_pipeline_bronze(spark: SparkSession, sf_dir: str) -> DataFrame
     q = run_streaming_pipeline(
         spark, cfg, stream, source_id="tracking_id", checkpoint_dir=ckpt
     )
-    q.awaitTermination(300)
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError(
+            "streaming bronze pipeline still running after 300s; "
+            "refusing to grade a partial parquet sink"
+        )
     return spark.read.parquet(sink).select(
         "request_id",
         "url",

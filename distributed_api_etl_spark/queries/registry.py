@@ -28,6 +28,11 @@ class QuerySpec:
     oracle: str | None = None  # None => driver records a weaker rows-only check
     bench: bool = False  # include in bench.py headline set
     tags: tuple[str, ...] = field(default_factory=tuple)
+    # graded=False keeps a query in the library/bench/pytest surface but out
+    # of the driver's 50-slot grading window — used for near-duplicate grades
+    # whose contract is already covered by a scale-safer sibling (e.g. the
+    # label-prop CC vs the two-phase CC).
+    graded: bool = True
 
 
 REGISTRY: dict[str, QuerySpec] = {}
@@ -38,11 +43,14 @@ def register(
     oracle: str | None = None,
     bench: bool = False,
     tags: tuple[str, ...] = (),
+    graded: bool = True,
 ) -> Callable[[BuildFn], BuildFn]:
     def deco(fn: BuildFn) -> BuildFn:
         if name in REGISTRY:
             raise ValueError(f"duplicate query name: {name}")
-        REGISTRY[name] = QuerySpec(name=name, build=fn, oracle=oracle, bench=bench, tags=tags)
+        REGISTRY[name] = QuerySpec(
+            name=name, build=fn, oracle=oracle, bench=bench, tags=tags, graded=graded
+        )
         return fn
 
     return deco

@@ -332,6 +332,9 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY ROLLUP (l_returnflag, l_linestatus)
     """,
     tags=("analytics",),
+    # graded=False: q1_cube_summary's grouping sets are a strict superset of
+    # this rollup, so the cube grade covers the grouping-sets code path
+    graded=False,
 )
 def q1_rollup_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem")
@@ -455,6 +458,68 @@ def profile_customer_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     from distributed_api_etl_spark.operators.profile import profile_table
 
     return profile_table(table(spark, sf_dir, "customer"))
+
+
+@register(
+    "profile_customer_approx",
+    oracle="""
+    SELECT 'c_custkey' AS column_name, count(*) AS n_rows,
+           count(*) - count(c_custkey) AS n_nulls,
+           CAST(min(c_custkey) AS DOUBLE) AS min_num,
+           CAST(max(c_custkey) AS DOUBLE) AS max_num,
+           CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str,
+           TRUE AS ndv_within_5pct
+    FROM customer
+    UNION ALL
+    SELECT 'c_name', count(*), count(*) - count(c_name),
+           NULL, NULL, min(c_name), max(c_name), TRUE FROM customer
+    UNION ALL
+    SELECT 'c_nationkey', count(*), count(*) - count(c_nationkey),
+           CAST(min(c_nationkey) AS DOUBLE), CAST(max(c_nationkey) AS DOUBLE),
+           NULL, NULL, TRUE FROM customer
+    UNION ALL
+    SELECT 'c_acctbal', count(*), count(*) - count(c_acctbal),
+           CAST(min(c_acctbal) AS DOUBLE), CAST(max(c_acctbal) AS DOUBLE),
+           NULL, NULL, TRUE FROM customer
+    UNION ALL
+    SELECT 'c_mktsegment', count(*), count(*) - count(c_mktsegment),
+           NULL, NULL, min(c_mktsegment), max(c_mktsegment), TRUE FROM customer
+    """,
+    tags=("relational", "profiling"),
+)
+def profile_customer_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The profiler's at-scale tier graded as its own row: ``approx=True``
+    swaps exact count_distinct (one Expand shuffle per column set) for HLL
+    ``approx_count_distinct`` — the only profile choice at 100 TB. HLL
+    values can't be mirrored in DuckDB, so the grade pins the exact fields
+    by hash and grades the HLL estimate as a tolerance BOOLEAN against the
+    exact NDV computed in the same query (HLL is hash-based, so the flag is
+    deterministic for a fixed dataset). The two-scan exact+approx join here
+    exists only to produce the reference NDV for the tolerance check; the
+    production at-scale call is the single approx pass."""
+    from distributed_api_etl_spark.operators.profile import profile_table
+
+    cust = table(spark, sf_dir, "customer")
+    exact = profile_table(cust)
+    approx = profile_table(cust, approx=True, rsd=0.01).select(
+        "column_name", F.col("n_distinct").alias("ndv_approx")
+    )
+    return (
+        exact.join(approx, "column_name")
+        .select(
+            "column_name",
+            "n_rows",
+            "n_nulls",
+            "min_num",
+            "max_num",
+            "min_str",
+            "max_str",
+            (
+                F.abs(F.col("ndv_approx") - F.col("n_distinct"))
+                <= 0.05 * F.col("n_distinct")
+            ).alias("ndv_within_5pct"),
+        )
+    )
 
 
 # ---------------------------------------------------------------------------

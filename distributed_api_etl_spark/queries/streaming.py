@@ -54,7 +54,12 @@ def _drain_to_memory(out: DataFrame, mode: str = "update") -> str:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError(
+            f"streaming drain into {name!r} still running after 300s; "
+            "refusing to grade a partial memory sink"
+        )
     return name
 
 
@@ -235,13 +240,17 @@ def streaming_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFr
     key's last event). Only the key columns are projected, so the emitted
     set equals SELECT DISTINCT regardless of which physical row arrived
     first; cross-batch eviction behavior is exercised in
-    tests/test_streaming.py."""
+    tests/test_streaming.py. The graded projection distincts the drained
+    sink: dropDuplicatesWithinWatermark re-emits a key seen again after its
+    state was watermark-evicted (by design — bounded state), so the raw sink
+    equals SELECT DISTINCT only per state-retention window. Distinct on
+    read-back keeps the oracle batch-layout-independent."""
     from distributed_api_etl_spark.streaming import watermark_dedup_stream
 
     stream = _events_stream(spark, sf_dir)
     out = watermark_dedup_stream(stream, ["user_id", "event_type"], ts_col="ts")
     name = _drain_to_memory(out, mode="append")
-    return spark.table(name)
+    return spark.table(name).distinct()
 
 
 @register(

@@ -28,6 +28,7 @@ from pyspark.sql.types import DecimalType
 
 from distributed_api_etl_spark.functions.portable import dec
 from distributed_api_etl_spark.queries.registry import register, table
+from distributed_api_etl_spark.session import scoped_persist
 
 
 def _one_minus(col, sign: int = -1):
@@ -333,7 +334,8 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "total_revenue"
             )
         )
-    ).persist()  # feeds BOTH the output and the max subquery — without the
+    )
+    revenue = scoped_persist(revenue)  # feeds BOTH the output and the max subquery — without the
     # cache the filtered lineitem scan + agg runs twice (plan-audited)
     max_rev = revenue.agg(F.max("total_revenue").alias("max_revenue"))
     return (

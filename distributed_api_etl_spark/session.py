@@ -51,6 +51,42 @@ def get_spark(
     return builder.getOrCreate()
 
 
+_SCOPED_CACHES: list = []
+
+
+def scoped_persist(df):
+    """Persist a DataFrame and track it for :func:`release_caches`.
+
+    Operators persist intermediates that feed the lazily-returned result
+    more than once (shingle tables, LSH band tables, tf tables); the cache
+    must outlive the function but not the session. Callers that run many
+    queries in one session (bench, the grading harness) call
+    ``release_caches()`` between queries so cached plans never accumulate
+    in executor memory. Direct library callers own cleanup the same way.
+    """
+    df = df.persist()
+    _SCOPED_CACHES.append(df)
+    return df
+
+
+def release_caches() -> int:
+    """Unpersist every DataFrame tracked by :func:`scoped_persist`.
+
+    Safe to call at any point where no returned-but-unconsumed DataFrame
+    still depends on a tracked cache (i.e. between queries). Returns the
+    number of caches released.
+    """
+    n = 0
+    while _SCOPED_CACHES:
+        df = _SCOPED_CACHES.pop()
+        try:
+            df.unpersist()
+            n += 1
+        except Exception:  # pragma: no cover - session already stopped
+            pass
+    return n
+
+
 def apply_runtime_conf(spark: SparkSession) -> SparkSession:
     """Apply the subset of engine defaults that are settable at runtime.
 

@@ -642,3 +642,35 @@ def test_lsh_params_hold_bucket_size():
         # expected bucket size n / 2^band_bits stays within ~2x of target
         assert n / (1 << band_bits) <= 400 or band_bits == 16
     assert lsh_params_for(32_000) == (64, 8)  # the measured configuration
+
+
+def test_embedding_lsh_validates_params_and_nulls(spark):
+    """Eager ValueError on indivisible banding (trailing planes would be
+    silently dropped) and a clear error on null embedding vectors."""
+    import pytest
+
+    from distributed_api_etl_spark.operators.similarity import embedding_lsh_pairs
+
+    emb = spark.createDataFrame(
+        [(1, [0.1] * 8), (2, [0.2] * 8)], "vec_id int, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="divisible"):
+        embedding_lsh_pairs(emb, "vec_id", "embedding", 0.5, dim=8, n_planes=10, band_bits=4)
+
+    withnull = spark.createDataFrame(
+        [(1, [0.1] * 8), (2, None)], "vec_id int, embedding array<double>"
+    )
+    out = embedding_lsh_pairs(
+        withnull, "vec_id", "embedding", 0.5, dim=8, n_planes=8, band_bits=4
+    )
+    with pytest.raises(Exception, match="null embedding"):
+        out.collect()
+
+
+def test_release_caches_unpersists_tracked_frames(spark):
+    from distributed_api_etl_spark.session import release_caches, scoped_persist
+
+    df = scoped_persist(spark.range(10))
+    assert df.count() == 10
+    assert release_caches() >= 1
+    assert not df.is_cached

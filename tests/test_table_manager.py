@@ -248,3 +248,22 @@ def test_upsert_parquet_update_insert_preserve(spark, tmp_path):
     assert stats["rows_inserted"] == 0 and stats["rows_after"] == 4
     got2 = {r.request_id: (r.k, r.v) for r in spark.read.parquet(loc).collect()}
     assert got2 == got
+
+
+def test_upsert_parquet_rejects_duplicate_update_keys(spark, tmp_path):
+    """Duplicate keys in the updates frame would write duplicate rows and
+    corrupt the stats — the guard fails loud before touching the sink."""
+    import pytest
+
+    from distributed_api_etl_spark.core.table_manager import upsert_parquet
+
+    loc = str(tmp_path / "sink")
+    base = spark.createDataFrame([(1, "a")], "request_id int, k string")
+    upsert_parquet(spark, loc, base, "request_id")
+    dup = spark.createDataFrame(
+        [(2, "x"), (2, "y")], "request_id int, k string"
+    )
+    with pytest.raises(ValueError, match="unique"):
+        upsert_parquet(spark, loc, dup, "request_id")
+    # sink untouched
+    assert spark.read.parquet(loc).count() == 1
