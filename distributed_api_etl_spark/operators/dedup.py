@@ -142,8 +142,10 @@ def minhash_signatures(sh: DataFrame, id_col: str) -> DataFrame:
     return sh.groupBy(id_col).agg(*aggs)
 
 
-def lsh_candidate_pairs(sigs: DataFrame, id_col: str) -> DataFrame:
-    """Band the signatures (bands of BAND_ROWS) and bucket-join each band."""
+def band_long_table(sigs: DataFrame, id_col: str) -> DataFrame:
+    """(id, band_idx, band_val) long form of the banded signatures — the
+    join-ready bucket representation shared by self-join and incremental
+    candidate generation."""
     n_bands = N_HASHES // BAND_ROWS
     band_exprs = []
     for b in range(n_bands):
@@ -153,12 +155,16 @@ def lsh_candidate_pairs(sigs: DataFrame, id_col: str) -> DataFrame:
         )
     banded = sigs.select(F.col(id_col), *band_exprs)
     stack = ", ".join(f"{i}, b{i}" for i in range(n_bands))
-    # persist: the self-join references the banded signatures twice (left +
-    # right); without a cache each side recomputes the minhash transforms
-    long = banded.selectExpr(
+    return banded.selectExpr(
         id_col, f"stack({n_bands}, {stack}) as (band_idx, band_val)"
     )
-    long = scoped_persist(long)
+
+
+def lsh_candidate_pairs(sigs: DataFrame, id_col: str) -> DataFrame:
+    """Band the signatures (bands of BAND_ROWS) and bucket-join each band."""
+    # persist: the self-join references the banded signatures twice (left +
+    # right); without a cache each side recomputes the minhash transforms
+    long = scoped_persist(band_long_table(sigs, id_col))
     left = long.select(F.col(id_col).alias("d1"), "band_idx", "band_val")
     right = long.select(F.col(id_col).alias("d2"), "band_idx", "band_val")
     return (
@@ -207,6 +213,78 @@ def minhash_lsh_pairs(
     """
     base = scoped_persist(doc_shingle_sets(df, id_col, text_col, n))
     cands = lsh_candidate_pairs(minhash_signatures_from_sets(base, id_col), id_col)
+    return (
+        cands.join(
+            base.select(
+                F.col(id_col).alias("d1"), F.col("shs").alias("shs1"), F.col("sz").alias("sz1")
+            ),
+            "d1",
+        )
+        .join(
+            base.select(
+                F.col(id_col).alias("d2"), F.col("shs").alias("shs2"), F.col("sz").alias("sz2")
+            ),
+            "d2",
+        )
+        .withColumn("inter", F.size(F.array_intersect("shs1", "shs2")))
+        .withColumn("union_sz", F.col("sz1") + F.col("sz2") - F.col("inter"))
+        .where(100 * F.col("inter") >= threshold_pct * F.col("union_sz"))
+        .select(
+            "d1",
+            "d2",
+            "inter",
+            "union_sz",
+            F.round(F.col("inter") / F.col("union_sz"), 6).alias("jaccard"),
+        )
+    )
+
+
+def incremental_lsh_pairs(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold_pct: int = 70,
+) -> DataFrame:
+    """MinHash+LSH dedup of a NEW ingest batch against an existing corpus.
+
+    The continuous-ingest case: pairs are (corpus x new) band collisions
+    plus (new x new) self-collisions — the corpus NEVER self-joins, so the
+    incremental cost is O(|new| x bucket overlap), not O(|corpus|^2). At
+    100 TB the corpus side of this plan reads precomputed signature /
+    shingle-set tables from storage (they are pure functions of the text,
+    written once at ingest); only the new batch pays shingling. Ids must be
+    disjoint across the two frames; output pairs are normalized to
+    d1 < d2 regardless of tier. Output: d1, d2, inter, union_sz, jaccard.
+    """
+    new_base = scoped_persist(doc_shingle_sets(new_df, id_col, text_col, n))
+    corpus_base = scoped_persist(doc_shingle_sets(corpus_df, id_col, text_col, n))
+    new_long = scoped_persist(
+        band_long_table(minhash_signatures_from_sets(new_base, id_col), id_col)
+    )
+    corpus_long = band_long_table(
+        minhash_signatures_from_sets(corpus_base, id_col), id_col
+    )
+    new_side = new_long.select(F.col(id_col).alias("d_new"), "band_idx", "band_val")
+    cross = (
+        corpus_long.select(F.col(id_col).alias("d_old"), "band_idx", "band_val")
+        .join(new_side, ["band_idx", "band_val"])
+        .select(
+            F.least("d_old", "d_new").alias("d1"),
+            F.greatest("d_old", "d_new").alias("d2"),
+        )
+    )
+    within = (
+        new_side.join(
+            new_long.select(F.col(id_col).alias("d2"), "band_idx", "band_val"),
+            ["band_idx", "band_val"],
+        )
+        .where(F.col("d_new") < F.col("d2"))
+        .select(F.col("d_new").alias("d1"), "d2")
+    )
+    cands = cross.unionByName(within).distinct()
+    base = new_base.unionByName(corpus_base)
     return (
         cands.join(
             base.select(

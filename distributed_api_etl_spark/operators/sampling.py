@@ -44,3 +44,28 @@ def hash_stratified_sample(
         )
     rate = rate.otherwise(default_per_mille) if rate is not None else F.lit(default_per_mille)
     return df.where(bucket < rate)
+
+
+def shard_assignment(
+    df: DataFrame, id_col: str, n_shards: int, seed: str = "0"
+) -> DataFrame:
+    """Deterministic training-shard assignment — the scalable 'global shuffle'.
+
+    Epoch shuffling via a total-order sort (ORDER BY rand()) is an
+    anti-pattern at 100 TB: it needs a global range partitioning and
+    resamples differently per run. Hash sharding gives an equivalent
+    pseudorandom permutation with zero coordination: shard =
+    hash(seed:id) % n_shards picks the file, sort_key = hash(seed:id)
+    orders rows within it. Writers do ``repartition(n_shards, "shard")
+    .sortWithinPartitions("sort_key")`` — one shuffle, fully parallel —
+    and a new ``seed`` (epoch number) reshuffles everything
+    reproducibly. Map-side only; no RNG, no layout dependence.
+    """
+    h = portable_hash32(
+        F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string"))
+    )
+    return df.select(
+        F.col(id_col),
+        (h % n_shards).cast("int").alias("shard"),
+        h.alias("sort_key"),
+    )

@@ -406,6 +406,53 @@ def ivf_kmeans_topk(
     return ivf_bucket_topk(assigned, queries, id_col, vec_col, k)
 
 
+def semantic_representatives(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    iters: int = 2,
+) -> DataFrame:
+    """SemDeDup-style cluster-representative selection over embeddings.
+
+    Semantic deduplication for training corpora: cluster the embedding
+    space (deterministic Lloyd's, :func:`kmeans_centroids`), then keep ONE
+    representative per cluster — the member closest to its centroid (ties
+    -> lowest id) — so near-duplicate semantic regions collapse to a
+    single exemplar. The per-cluster argmax is a single ``max_by``
+    aggregation (map-side combinable), NOT a window over the corpus — at
+    100 TB a row_number window would shuffle every row into per-cluster
+    partitions (skew-prone), while max_by ships one candidate struct per
+    partition per cluster. Output: centroid_id, keep_id, cluster_size,
+    rep_cosine (cosine of the kept member to its centroid, 6dp).
+    """
+    cents = kmeans_centroids(emb, id_col, vec_col, k, iters)
+    assigned = ivf_assign(emb, cents, id_col, vec_col)
+    cv = cents.select(
+        F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("cv")
+    )
+    scored = assigned.join(F.broadcast(cv), "centroid_id").withColumn(
+        "ccos", cosine_similarity(vec_col, "cv")
+    )
+    neg_id = (-F.col(id_col)).cast("bigint")
+    return (
+        scored.groupBy("centroid_id")
+        .agg(
+            F.max_by(
+                F.struct(F.col(id_col).alias("keep_id"), F.col("ccos")),
+                F.struct(F.col("ccos"), neg_id),
+            ).alias("rep"),
+            F.count("*").alias("cluster_size"),
+        )
+        .select(
+            "centroid_id",
+            F.col("rep.keep_id").alias("keep_id"),
+            "cluster_size",
+            F.round("rep.ccos", 6).alias("rep_cosine"),
+        )
+    )
+
+
 def ivf_kmeans_topk_ml(
     emb: DataFrame,
     id_col: str,

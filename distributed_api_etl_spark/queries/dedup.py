@@ -89,7 +89,7 @@ sigs AS (SELECT doc_id,
 """
 
 
-def _lsh_cand_sql() -> str:
+def _lsh_cand_sql(extra_cond: str = "") -> str:
     n_bands = D.N_HASHES // D.BAND_ROWS
     joins = []
     for b in range(n_bands):
@@ -97,7 +97,7 @@ def _lsh_cand_sql() -> str:
         cond = " AND ".join(f"a.{c} = b.{c}" for c in cols)
         joins.append(
             f"SELECT a.doc_id AS d1, b.doc_id AS d2 FROM sigs a "
-            f"JOIN sigs b ON a.doc_id < b.doc_id AND {cond}"
+            f"JOIN sigs b ON a.doc_id < b.doc_id AND {cond}{extra_cond}"
         )
     return "cands AS (SELECT DISTINCT d1, d2 FROM (" + " UNION ALL ".join(joins) + "))"
 
@@ -121,6 +121,46 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = fan_out(table(spark, sf_dir, "documents"))
     return D.minhash_lsh_pairs(docs, "doc_id", "text", 3, 70).select(
         "d1", "d2", F.expr("div(1000000 * inter, union_sz)").alias("jaccard_ppm")
+    )
+
+
+# --- incremental MinHash (new ingest batch vs existing corpus) --------------
+# tier split for the graded query: docs with doc_id % 5 == 0 are the "new"
+# ingest batch, the rest are the standing corpus.
+_NEW_TIER = "doc_id % 5 = 0"
+
+
+@register(
+    "dedup_incremental_minhash",
+    oracle=f"""
+    WITH {SHINGLE_CTES}, {_minhash_sig_sql()},
+    {_lsh_cand_sql(" AND (a.doc_id % 5 = 0 OR b.doc_id % 5 = 0)")}, {PAIRS_CTE}
+    SELECT p.d1, p.d2,
+           {_ppm('p.inter', 's1.sz + s2.sz - p.inter')} AS jaccard_ppm,
+           ((p.d1 % 5 = 0) <> (p.d2 % 5 = 0)) AS cross_tier
+    FROM pairs p
+    JOIN cands c ON c.d1 = p.d1 AND c.d2 = p.d2
+    JOIN sizes s1 ON s1.doc_id = p.d1
+    JOIN sizes s2 ON s2.doc_id = p.d2
+    WHERE 100 * p.inter >= 70 * (s1.sz + s2.sz - p.inter)
+    """,
+    tags=("dedup", "pipeline"),
+)
+def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-ingest dedup (operators/dedup.py:incremental_lsh_pairs):
+    the new batch (doc_id % 5 == 0) collides against the standing corpus and
+    itself via band buckets — the corpus never self-joins, which is what
+    makes re-ingest dedup affordable against a 100 TB standing corpus.
+    ``cross_tier`` marks corpus-vs-new pairs (vs new-vs-new)."""
+    docs = fan_out(table(spark, sf_dir, "documents"))
+    new_batch = docs.where(F.expr(_NEW_TIER))
+    corpus = docs.where(~F.expr(_NEW_TIER))
+    pairs = D.incremental_lsh_pairs(new_batch, corpus, "doc_id", "text", 3, 70)
+    return pairs.select(
+        "d1",
+        "d2",
+        F.expr("div(1000000 * inter, union_sz)").alias("jaccard_ppm"),
+        ((F.col("d1") % 5 == 0) != (F.col("d2") % 5 == 0)).alias("cross_tier"),
     )
 
 

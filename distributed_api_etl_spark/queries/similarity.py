@@ -131,14 +131,13 @@ def ann_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 KMEANS_ITERS = 2
 
 
-def _kmeans_oracle_sql() -> str:
-    """Unrolled deterministic Lloyd's (KMEANS_ITERS iterations) in DuckDB.
-
-    Mirrors operators/similarity.py:kmeans_centroids exactly: max-cosine
-    assignment with lowest-centroid-id tie-break, element-wise cluster mean
-    rounded to 6 decimals each iteration (the rounding is what makes the
-    learned centroids engine-portable), then the nprobe=1 bucket top-k.
-    """
+def _kmeans_parts() -> list[str]:
+    """Shared CTE chain: unrolled deterministic Lloyd's (KMEANS_ITERS
+    iterations) ending at centroid set ``c{KMEANS_ITERS}`` — mirrors
+    operators/similarity.py:kmeans_centroids exactly (max-cosine assignment
+    with lowest-centroid-id tie-break, element-wise cluster mean rounded to
+    6 decimals each iteration; the rounding makes the learned centroids
+    engine-portable)."""
     parts = [
         "vecs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)",
         f"c0 AS (SELECT vec_id AS centroid_id, v AS cv FROM vecs WHERE vec_id < {IVF_CENTROIDS})",
@@ -163,6 +162,12 @@ def _kmeans_oracle_sql() -> str:
         parts.append(
             f"c{t + 1} AS (SELECT centroid_id, list(m ORDER BY pos) AS cv FROM m{t} GROUP BY centroid_id)"
         )
+    return parts
+
+
+def _kmeans_oracle_sql() -> str:
+    """Lloyd's chain + the nprobe=1 bucket top-k (ann_ivf_kmeans_topk)."""
+    parts = _kmeans_parts()
     final = KMEANS_ITERS
     return f"""
     WITH {', '.join(parts)},
@@ -257,4 +262,49 @@ def ann_ivf_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("vec_id")
     return S.ivf_multiprobe_topk(
         emb, "vec_id", "embedding", IVF_CENTROIDS, queries, IVF_K, nprobe=NPROBE
+    )
+
+
+def _semantic_reps_oracle_sql() -> str:
+    """Lloyd's chain + per-cluster representative (closest-to-centroid)."""
+    parts = _kmeans_parts()
+    final = KMEANS_ITERS
+    return f"""
+    WITH {', '.join(parts)},
+    fass AS (
+      SELECT vec_id, centroid_id, ccos FROM (
+        SELECT vecs.vec_id, c.centroid_id,
+               list_cosine_similarity(vecs.v, c.cv) AS ccos,
+               row_number() OVER (PARTITION BY vecs.vec_id
+                 ORDER BY list_cosine_similarity(vecs.v, c.cv) DESC, c.centroid_id) AS arnk
+        FROM vecs CROSS JOIN c{final} c)
+      WHERE arnk = 1),
+    ranked AS (
+      SELECT centroid_id, vec_id, ccos,
+             row_number() OVER (PARTITION BY centroid_id
+               ORDER BY ccos DESC, vec_id) AS rrnk,
+             count(*) OVER (PARTITION BY centroid_id) AS cluster_size
+      FROM fass)
+    SELECT centroid_id, vec_id AS keep_id,
+           CAST(cluster_size AS BIGINT) AS cluster_size,
+           round(ccos, 6) AS rep_cosine
+    FROM ranked WHERE rrnk = 1
+    """
+
+
+@register(
+    "semantic_diversity_sample",
+    oracle=_semantic_reps_oracle_sql(),
+    tags=("similarity", "dedup", "ml", "pipeline"),
+)
+def semantic_diversity_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup for training corpora
+    (operators/similarity.py:semantic_representatives): deterministic
+    k-means over the embedding space, then ONE exemplar per cluster — the
+    member closest to its centroid — via a single max_by aggregation (no
+    corpus-wide window shuffle). cluster_size tells how much semantic
+    redundancy each exemplar replaces."""
+    emb = fan_out(table(spark, sf_dir, "embeddings"))
+    return S.semantic_representatives(
+        emb, "vec_id", "embedding", IVF_CENTROIDS, iters=KMEANS_ITERS
     )

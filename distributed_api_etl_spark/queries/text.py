@@ -665,3 +665,36 @@ def training_mix_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hash_stratified_sample(
         with_lang, "doc_id", "lang", MIX_RATES, MIX_DEFAULT
     ).select("doc_id", "source", "lang", "quality")
+
+
+
+N_TRAIN_SHARDS = 8
+SHARD_SEED = "epoch0"
+
+
+def _shard_hash_sql() -> str:
+    from distributed_api_etl_spark.functions.portable import portable_hash32_sql
+
+    return portable_hash32_sql(f"'{SHARD_SEED}:' || CAST(doc_id AS VARCHAR)")
+
+
+@register(
+    "documents_shard_assign",
+    oracle=f"""
+    SELECT doc_id,
+           CAST({_shard_hash_sql()} % {N_TRAIN_SHARDS} AS INTEGER) AS shard,
+           {_shard_hash_sql()} AS sort_key
+    FROM documents
+    """,
+    tags=("text", "sampling", "pipeline"),
+)
+def documents_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic epoch shuffle as shard assignment + within-shard sort
+    key (operators/sampling.py:shard_assignment) — the scalable replacement
+    for ORDER BY rand() at 100 TB: writers repartition on ``shard`` and
+    sortWithinPartitions on ``sort_key``; a new seed string is a fresh,
+    reproducible epoch permutation."""
+    from distributed_api_etl_spark.operators.sampling import shard_assignment
+
+    docs = table(spark, sf_dir, "documents")
+    return shard_assignment(docs, "doc_id", N_TRAIN_SHARDS, seed=SHARD_SEED)

@@ -674,3 +674,69 @@ def test_release_caches_unpersists_tracked_frames(spark):
     assert df.count() == 10
     assert release_caches() >= 1
     assert not df.is_cached
+
+
+def test_incremental_lsh_equals_full_lsh_restricted(spark, sf_dir):
+    """Incremental (new-batch vs corpus) pairs == the full self-join LSH
+    pairs restricted to pairs touching >=1 new doc — same recall, without
+    the corpus self-join."""
+    from distributed_api_etl_spark.operators.dedup import (
+        incremental_lsh_pairs,
+        minhash_lsh_pairs,
+    )
+    from distributed_api_etl_spark.queries.registry import table
+
+    docs = table(spark, sf_dir, "documents")
+    new = docs.where(F.col("doc_id") % 5 == 0)
+    corpus = docs.where(F.col("doc_id") % 5 != 0)
+    inc = {
+        (r.d1, r.d2)
+        for r in incremental_lsh_pairs(new, corpus, "doc_id", "text", 3, 70).collect()
+    }
+    full = {
+        (r.d1, r.d2)
+        for r in minhash_lsh_pairs(docs, "doc_id", "text", 3, 70).collect()
+        if r.d1 % 5 == 0 or r.d2 % 5 == 0
+    }
+    assert inc == full and inc  # non-vacuous
+
+
+def test_semantic_representatives_cover_clusters(spark, sf_dir):
+    """One representative per non-empty cluster; the representative belongs
+    to its cluster; cluster sizes partition the corpus."""
+    from distributed_api_etl_spark.operators.similarity import (
+        ivf_assign,
+        kmeans_centroids,
+        semantic_representatives,
+    )
+    from distributed_api_etl_spark.queries.registry import table
+
+    emb = table(spark, sf_dir, "embeddings")
+    reps = semantic_representatives(emb, "vec_id", "embedding", 8, iters=2).collect()
+    cents = kmeans_centroids(emb, "vec_id", "embedding", 8, iters=2)
+    assign = {
+        r.vec_id: r.centroid_id
+        for r in ivf_assign(emb, cents, "vec_id", "embedding").collect()
+    }
+    assert len({r.centroid_id for r in reps}) == len(reps)
+    for r in reps:
+        assert assign[r.keep_id] == r.centroid_id
+    assert sum(r.cluster_size for r in reps) == emb.count()
+
+
+def test_shard_assignment_layout_invariant(spark, sf_dir):
+    """Shard/sort_key are pure row functions: invariant under repartition,
+    shards in range, and a different seed produces a different permutation."""
+    from distributed_api_etl_spark.operators.sampling import shard_assignment
+    from distributed_api_etl_spark.queries.registry import table
+
+    docs = table(spark, sf_dir, "documents")
+    a = {r.doc_id: (r.shard, r.sort_key)
+         for r in shard_assignment(docs, "doc_id", 8, "epoch0").collect()}
+    b = {r.doc_id: (r.shard, r.sort_key)
+         for r in shard_assignment(docs.repartition(13), "doc_id", 8, "epoch0").collect()}
+    assert a == b
+    assert all(0 <= v[0] < 8 for v in a.values())
+    c = {r.doc_id: (r.shard, r.sort_key)
+         for r in shard_assignment(docs, "doc_id", 8, "epoch1").collect()}
+    assert c != a
