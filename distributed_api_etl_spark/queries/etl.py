@@ -1,0 +1,153 @@
+"""Warehouse-maintenance graded queries: SCD2 dimension merge and
+data-quality expectations (operators/scd.py, operators/quality.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from distributed_api_etl_spark.queries.registry import register, table
+
+SCD_T0 = "2024-01-01 00:00:00"
+SCD_T1 = "2024-06-01 00:00:00"
+# update batch: every 7th customer re-lands with a segment derived from
+# custkey%3 (some equal the current segment -> must NOT version), plus
+# three brand-new keys (insert branch)
+_NEW_SEG_SQL = (
+    "CASE CAST(c_custkey % 3 AS INTEGER) WHEN 0 THEN 'AUTOMOBILE' "
+    "WHEN 1 THEN 'BUILDING' ELSE 'MACHINERY' END"
+)
+
+
+@register(
+    "scd2_customer_segments",
+    oracle=f"""
+    WITH cur AS (SELECT c_custkey, c_mktsegment FROM customer),
+    upd AS (
+      SELECT c_custkey, {_NEW_SEG_SQL} AS new_seg
+      FROM customer WHERE c_custkey % 7 = 0
+      UNION ALL
+      SELECT * FROM (VALUES (900000001, 'FURNITURE'), (900000002, 'FURNITURE'),
+                            (900000003, 'HOUSEHOLD')) v(c_custkey, new_seg)
+    ),
+    changed AS (
+      SELECT c.c_custkey, c.c_mktsegment AS old_seg, u.new_seg
+      FROM cur c JOIN upd u USING (c_custkey)
+      WHERE u.new_seg <> c.c_mktsegment
+    )
+    SELECT c_custkey, old_seg AS c_mktsegment,
+           TIMESTAMP '{SCD_T0}' AS valid_from,
+           TIMESTAMP '{SCD_T1}' AS valid_to
+    FROM changed
+    UNION ALL
+    SELECT c_custkey, new_seg, TIMESTAMP '{SCD_T1}', CAST(NULL AS TIMESTAMP)
+    FROM changed
+    UNION ALL
+    SELECT u.c_custkey, u.new_seg, TIMESTAMP '{SCD_T1}', CAST(NULL AS TIMESTAMP)
+    FROM upd u LEFT JOIN cur c USING (c_custkey) WHERE c.c_custkey IS NULL
+    UNION ALL
+    SELECT c.c_custkey, c.c_mktsegment, TIMESTAMP '{SCD_T0}',
+           CAST(NULL AS TIMESTAMP)
+    FROM cur c LEFT JOIN upd u USING (c_custkey)
+    WHERE u.c_custkey IS NULL OR u.new_seg = c.c_mktsegment
+    """,
+    tags=("etl", "scd"),
+)
+def scd2_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 merge (operators/scd.py:scd2_apply): an update batch versions
+    the customer-segment dimension — changed keys close + re-version,
+    unchanged re-lands are suppressed, brand-new keys insert as their
+    first version. One equi-join plus map-side unions."""
+    from distributed_api_etl_spark.operators.scd import scd2_apply
+
+    cust = table(spark, sf_dir, "customer")
+    dim = cust.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.lit(SCD_T0).cast("timestamp_ntz").alias("valid_from"),
+        F.lit(None).cast("timestamp_ntz").alias("valid_to"),
+    )
+    upd = cust.where(F.col("c_custkey") % 7 == 0).select(
+        "c_custkey",
+        F.expr(_NEW_SEG_SQL).alias("c_mktsegment"),
+        F.lit(SCD_T1).cast("timestamp_ntz").alias("effective_ts"),
+    ).unionByName(
+        spark.createDataFrame(
+            [
+                (900000001, "FURNITURE", SCD_T1),
+                (900000002, "FURNITURE", SCD_T1),
+                (900000003, "HOUSEHOLD", SCD_T1),
+            ],
+            "c_custkey bigint, c_mktsegment string, effective_ts string",
+        ).select(
+            "c_custkey",
+            "c_mktsegment",
+            F.col("effective_ts").cast("timestamp_ntz").alias("effective_ts"),
+        )
+    )
+    return scd2_apply(dim, upd, "c_custkey", ["c_mktsegment"])
+
+
+def _viol_sql(name: str, fail_cond: str) -> str:
+    """One report row: violations = rows where the rule's SQL check fails
+    (fail_cond is the NEGATED check, NULL-inclusive on both engines)."""
+    return f"""
+    SELECT '{name}' AS rule_name, count(*) AS n_rows,
+           CAST(sum(CASE WHEN {fail_cond} THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_violations,
+           CAST((1000000 * sum(CASE WHEN {fail_cond} THEN 1 ELSE 0 END))
+                // count(*) AS BIGINT) AS violation_ppm
+    FROM orders
+    """
+
+
+@register(
+    "orders_dq_report",
+    oracle=f"""
+    {_viol_sql("orderdate_in_window",
+               "NOT (CAST(o_orderdate AS DATE) <= DATE '1998-12-31')")}
+    UNION ALL
+    {_viol_sql("priority_known",
+               "o_orderpriority NOT IN ('1-URGENT','2-HIGH','3-MEDIUM',"
+               "'4-NOT SPECIFIED','5-LOW') OR o_orderpriority IS NULL")}
+    UNION ALL
+    {_viol_sql("totalprice_positive", "NOT (o_totalprice > 0)")}
+    UNION ALL
+    {_viol_sql("totalprice_under_400k", "NOT (o_totalprice < 400000)")}
+    UNION ALL
+    SELECT 'custkey_in_customer' AS rule_name,
+           (SELECT count(*) FROM orders) AS n_rows,
+           CAST(count(*) AS BIGINT) AS n_violations,
+           CAST((1000000 * count(*)) // (SELECT count(*) FROM orders)
+                AS BIGINT) AS violation_ppm
+    FROM orders o
+    WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+    """,
+    tags=("etl", "quality"),
+)
+def orders_dq_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expectation report (operators/quality.py): four row rules in ONE
+    aggregation pass over one scan, plus a referential rule (anti-join
+    against the customer key set) — the bronze->silver promotion gate.
+    Non-vacuous: the testdata's order dates overrun the declared window
+    and the price cap, so two rules report real violations."""
+    from distributed_api_etl_spark.operators.quality import (
+        dq_report,
+        fk_violations,
+        rule,
+    )
+
+    orders = table(spark, sf_dir, "orders")
+    cust = table(spark, sf_dir, "customer")
+    rules = [
+        rule("orderdate_in_window",
+             F.col("o_orderdate").cast("date") <= F.lit("1998-12-31").cast("date")),
+        rule("priority_known",
+             F.col("o_orderpriority").isin(
+                 "1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")),
+        rule("totalprice_positive", F.col("o_totalprice") > 0),
+        rule("totalprice_under_400k", F.col("o_totalprice") < 400000),
+    ]
+    report = dq_report(orders, rules)
+    fk = fk_violations(orders, "o_custkey", cust, "c_custkey", "custkey_in_customer")
+    return report.unionByName(fk)

@@ -138,6 +138,7 @@ def load_all() -> dict[str, QuerySpec]:
     """Import all query modules (they self-register) and return the registry."""
     from distributed_api_etl_spark.queries import (  # noqa: F401
         dedup,
+        etl,
         events,
         pipeline,
         relational,

@@ -740,3 +740,60 @@ def test_shard_assignment_layout_invariant(spark, sf_dir):
     c = {r.doc_id: (r.shard, r.sort_key)
          for r in shard_assignment(docs, "doc_id", 8, "epoch1").collect()}
     assert c != a
+
+
+def test_scd2_two_batches_build_history(spark):
+    """Two sequential update batches: change -> version chain with correct
+    validity windows; unchanged re-land suppressed; new key inserts."""
+    from distributed_api_etl_spark.operators.scd import scd2_apply
+
+    dim = spark.createDataFrame(
+        [(1, "A", "2024-01-01 00:00:00", None), (2, "B", "2024-01-01 00:00:00", None)],
+        "k int, seg string, valid_from string, valid_to string",
+    ).selectExpr(
+        "k", "seg",
+        "CAST(valid_from AS timestamp_ntz) AS valid_from",
+        "CAST(valid_to AS timestamp_ntz) AS valid_to",
+    )
+
+    def upd(rows):
+        return spark.createDataFrame(
+            rows, "k int, seg string, effective_ts string"
+        ).selectExpr("k", "seg", "CAST(effective_ts AS timestamp_ntz) AS effective_ts")
+
+    # batch 1: key1 changes, key2 re-lands unchanged, key3 is new
+    d1 = scd2_apply(dim, upd([(1, "X", "2024-02-01 00:00:00"),
+                              (2, "B", "2024-02-01 00:00:00"),
+                              (3, "C", "2024-02-01 00:00:00")]),
+                    "k", ["seg"])
+    # batch 2: key1 changes again
+    d2 = scd2_apply(d1, upd([(1, "Y", "2024-03-01 00:00:00")]), "k", ["seg"])
+
+    rows = {(r.k, r.seg, str(r.valid_from), str(r.valid_to)) for r in d2.collect()}
+    assert rows == {
+        (1, "A", "2024-01-01 00:00:00", "2024-02-01 00:00:00"),
+        (1, "X", "2024-02-01 00:00:00", "2024-03-01 00:00:00"),
+        (1, "Y", "2024-03-01 00:00:00", "None"),
+        (2, "B", "2024-01-01 00:00:00", "None"),   # no spurious version
+        (3, "C", "2024-02-01 00:00:00", "None"),
+    }
+    # exactly one current version per key
+    cur = d2.where(F.col("valid_to").isNull()).groupBy("k").count().collect()
+    assert all(r["count"] == 1 for r in cur)
+
+
+def test_quarantine_split_tags_failed_rules(spark):
+    from distributed_api_etl_spark.operators.quality import quarantine_split, rule
+
+    df = spark.createDataFrame(
+        [(1, 10.0, "ok"), (2, -5.0, "ok"), (3, 7.0, None), (4, -1.0, None)],
+        "id int, price double, status string",
+    )
+    valid, quar = quarantine_split(
+        df, [rule("price_pos", F.col("price") > 0),
+             rule("status_set", F.col("status").isNotNull())]
+    )
+    assert {r.id for r in valid.collect()} == {1}
+    got = {r.id: sorted(r._failed_rules) for r in quar.collect()}
+    assert got == {2: ["price_pos"], 3: ["status_set"],
+                   4: ["price_pos", "status_set"]}
