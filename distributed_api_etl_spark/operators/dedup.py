@@ -417,3 +417,23 @@ def simhash_pairs_exhaustive(
         .where(ham <= max_hamming)
         .select("d1", "d2", ham.alias("hamming"))
     )
+
+
+def latest_by_key(
+    df: DataFrame, key_cols: list[str], order_cols: list[str]
+) -> DataFrame:
+    """Latest-record-wins dedup (CDC compaction): one row per key — the one
+    with the greatest ``order_cols`` tuple (lexicographic; append a unique
+    id as the last element for a total order).
+
+    The bronze-layer staple: at-least-once ingest re-delivers rows, CDC
+    streams deliver multiple versions; promotion keeps only the newest. A
+    row_number window would shuffle the full table into per-key partitions
+    and sort each; this is ONE ``max_by(struct(row), struct(order))``
+    aggregation — map-side combinable, skew-tolerant (hot keys reduce
+    per-partition before the shuffle), no sort.
+    """
+    row_struct = F.struct(*[F.col(c) for c in df.columns])
+    ord_struct = F.struct(*[F.col(c) for c in order_cols])
+    out = df.groupBy(*key_cols).agg(F.max_by(row_struct, ord_struct).alias("_r"))
+    return out.select(*[F.col(f"_r.{c}").alias(c) for c in df.columns])

@@ -144,6 +144,7 @@ _NEW_TIER = "doc_id % 5 = 0"
     JOIN sizes s2 ON s2.doc_id = p.d2
     WHERE 100 * p.inter >= 70 * (s1.sz + s2.sz - p.inter)
     """,
+    bench=True,
     tags=("dedup", "pipeline"),
 )
 def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -555,3 +555,36 @@ def events_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_outliers",
         )
     )
+
+
+@register(
+    "events_latest_per_user_type",
+    oracle="""
+    WITH ranked AS (
+      SELECT user_id, event_type, event_id, ts,
+             row_number() OVER (
+               PARTITION BY user_id, event_type
+               ORDER BY ts DESC, event_id DESC) AS rnk
+      FROM events
+    )
+    SELECT user_id, event_type, event_id AS last_event_id,
+           CAST(epoch_ms(ts) AS BIGINT) AS last_ts_ms
+    FROM ranked WHERE rnk = 1
+    """,
+    tags=("events", "etl", "dedup"),
+)
+def events_latest_per_user_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-record-wins compaction (operators/dedup.py:latest_by_key) —
+    the CDC/at-least-once staple: one max_by(struct) aggregation keeps the
+    newest row per (user, type), map-side combinable with NO window sort
+    shuffle; ties on ts break by highest event_id (total order)."""
+    from distributed_api_etl_spark.operators.dedup import latest_by_key
+
+    ev = table(spark, sf_dir, "events").select("user_id", "event_type", "event_id", "ts")
+    latest = latest_by_key(ev, ["user_id", "event_type"], ["ts", "event_id"])
+    return latest.select(
+        "user_id",
+        "event_type",
+        F.col("event_id").alias("last_event_id"),
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("last_ts_ms"),
+    )

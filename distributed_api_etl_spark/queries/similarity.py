@@ -295,6 +295,7 @@ def _semantic_reps_oracle_sql() -> str:
 @register(
     "semantic_diversity_sample",
     oracle=_semantic_reps_oracle_sql(),
+    bench=True,
     tags=("similarity", "dedup", "ml", "pipeline"),
 )
 def semantic_diversity_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
