@@ -223,9 +223,15 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- embedding LSH near-dup (the bucketed scale path) -----------------------
+# band_bits=8 keeps the expected per-band bucket population ~n/256 — at the
+# bench scale (2000 vectors) that is ~60k candidate pairs vs ~1M at the old
+# band_bits=4, and the exact-cosine verify on candidates is the dominant cost
+# (SCALE.md scale law; lsh_params_for encodes the same dial for real corpora).
+# Recall at a given threshold is governed by n_bands (kept at 8); the oracle
+# mirrors the identical planes/bands so parity is parameter-independent.
 EMB_DIM = 64
-LSH_PLANES = 32
-LSH_BAND_BITS = 4
+LSH_PLANES = 64
+LSH_BAND_BITS = 8
 
 
 def _emb_lsh_oracle(threshold: float) -> str:
