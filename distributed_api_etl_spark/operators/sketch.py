@@ -1,0 +1,260 @@
+"""Distributed sketch operators: HyperLogLog cardinality and Bloom pruning.
+
+Both sketches are built from :func:`portable_hash32` (md5-based) and pure
+integer arithmetic, so Spark and the DuckDB oracle compute BIT-IDENTICAL
+sketches — unlike ``approx_count_distinct`` / ``bloom_filter_agg``, whose
+internal hashing is engine-specific and could only be graded rows-only.
+
+Why sketches at 100 TB:
+
+* ``COUNT(DISTINCT user_id)`` over 100 TB shuffles every distinct key; the
+  HLL register table is ``m`` rows (here 256) per group — the aggregation
+  map-side-combines down to max-per-register, one tiny shuffle, and
+  register tables from disjoint inputs merge with ``max`` (per-day
+  sketches roll up to per-month for free — the sketch algebra that makes
+  pre-aggregated cubes possible).
+* A Bloom bitmap of a selective join's build side is 1 KiB — broadcast it
+  and drop non-matching probe rows BEFORE the shuffle the real join would
+  pay. Spark's runtime bloom filter
+  (``spark.sql.optimizer.runtime.bloomFilter.enabled``) does this inside
+  Catalyst; this operator is the explicit, cross-engine-checkable form.
+
+The reference engine has no sketch surface (SURVEY.md §2.4) — this is
+beyond-reference capability for the training-data pipeline tier.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from distributed_api_etl_spark.functions.portable import (
+    portable_hash32,
+    portable_hash32_sql,
+)
+
+# --- HyperLogLog ------------------------------------------------------------
+# b index bits -> m = 2^b registers; remaining w = 32 - b hash bits feed the
+# leading-zero rank. m = 256 gives ~1.04/sqrt(256) = 6.5% standard error —
+# the classic space/accuracy point (Flajolet et al., "HyperLogLog", 2007).
+HLL_B = 8
+HLL_M = 1 << HLL_B
+HLL_W = 32 - HLL_B
+#: alpha_256 bias correction; double literal arithmetic is correctly
+#: rounded and identical on both engines.
+HLL_ALPHA_EXPR = f"0.7213 / (1.0 + 1.079 / {HLL_M})"
+
+
+def _rho(rem: Column) -> Column:
+    """Rank of the first set bit (from the MSB of the w-bit remainder) + 1.
+
+    ``bin()`` renders integers without leading zeros on BOTH engines, so
+    ``length(bin(r))`` is ``floor(log2(r)) + 1`` with no float log anywhere:
+    rho = w + 1 - length(bin(r)); an all-zero remainder (bin -> '0') maps
+    to w + 1.
+    """
+    return F.when(rem == 0, F.lit(HLL_W + 1)).otherwise(
+        F.lit(HLL_W + 1) - F.length(F.bin(rem))
+    )
+
+
+def hll_registers(df: DataFrame, key_col: str, group_cols: list[str]) -> DataFrame:
+    """Per-group HLL register table: (group..., bucket, max_rho).
+
+    One map-side-combinable aggregation; the output is at most ``m`` rows
+    per group regardless of input size, and register tables from disjoint
+    inputs merge with ``groupBy(bucket).max(max_rho)`` — union-then-merge
+    IS the distributed sketch algebra.
+    """
+    return (
+        df.select(*group_cols, portable_hash32(F.col(key_col)).alias("h32"))
+        .select(
+            *group_cols,
+            F.expr(f"div(h32, {1 << HLL_W})").alias("bucket"),
+            _rho(F.expr(f"pmod(h32, {1 << HLL_W})")).alias("rho"),
+        )
+        .groupBy(*group_cols, "bucket")
+        .agg(F.max("rho").alias("max_rho"))
+    )
+
+
+def _hll_correction_sql(est_raw: str) -> str:
+    """Standard small-range (linear counting) correction, shared verbatim by
+    the Spark expression and the DuckDB oracle."""
+    return (
+        f"CASE WHEN ({est_raw}) <= 2.5 * {HLL_M} AND zero_registers > 0 "
+        f"THEN {HLL_M} * ln(CAST({HLL_M} AS DOUBLE) / zero_registers) "
+        f"ELSE ({est_raw}) END"
+    )
+
+
+def hll_estimate(registers: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Collapse a register table to (group..., zero_registers, est_distinct).
+
+    The harmonic sum uses ``1 / (1 << max_rho)`` — every term and every
+    partial sum is an exact dyadic double (terms >= 2^-25, total < m, well
+    inside the 53-bit mantissa), so the sum is order-independent and
+    bit-identical across engines with no libm anywhere. Only the
+    linear-counting branch touches ``ln``, rounded to 4 decimals on both
+    sides (portable_round pattern, operators/text.py:portable_round6).
+    """
+    est_raw = f"({HLL_ALPHA_EXPR}) * {HLL_M} * {HLL_M} / denom"
+    corrected = _hll_correction_sql(est_raw)
+    return (
+        registers.groupBy(*group_cols)
+        .agg(
+            F.count("*").alias("present"),
+            F.sum(F.expr("1.0 / shiftleft(CAST(1 AS BIGINT), max_rho)")).alias(
+                "inv_sum"
+            ),
+        )
+        .select(
+            *group_cols,
+            (F.lit(HLL_M) - F.col("present")).cast("bigint").alias("zero_registers"),
+            "inv_sum",
+        )
+        .withColumn("denom", F.col("zero_registers") + F.col("inv_sum"))
+        .withColumn("est_distinct", F.expr(f"floor(({corrected}) * 1e4 + 0.5) / 1e4"))
+        .select(*group_cols, "zero_registers", "est_distinct")
+    )
+
+
+def hll_oracle_sql(key_expr: str, source_table: str, group_col: str) -> str:
+    """DuckDB mirror of registers + estimate, grouped by one column.
+
+    Returns a complete SELECT (no leading WITH) producing
+    (group_col, zero_registers, est_distinct).
+    """
+    est_raw = f"({HLL_ALPHA_EXPR}) * {HLL_M} * {HLL_M} / denom"
+    corrected = _hll_correction_sql(est_raw)
+    return f"""
+    WITH hashed AS (
+      SELECT {group_col}, {portable_hash32_sql(key_expr)} AS h32
+      FROM {source_table}),
+    bucketed AS (
+      SELECT {group_col}, h32 // {1 << HLL_W} AS bucket,
+             CASE WHEN h32 % {1 << HLL_W} = 0 THEN {HLL_W + 1}
+                  ELSE {HLL_W + 1} - length(bin(h32 % {1 << HLL_W})) END AS rho
+      FROM hashed),
+    regs AS (SELECT {group_col}, bucket, max(rho) AS max_rho
+             FROM bucketed GROUP BY {group_col}, bucket),
+    est AS (
+      SELECT {group_col},
+             CAST({HLL_M} - count(*) AS BIGINT) AS zero_registers,
+             sum(1.0 / (1::BIGINT << max_rho)) AS inv_sum
+      FROM regs GROUP BY {group_col}),
+    final AS (
+      SELECT {group_col}, zero_registers,
+             zero_registers + inv_sum AS denom
+      FROM est)
+    SELECT {group_col}, zero_registers,
+           floor(({corrected}) * 1e4 + 0.5) / 1e4 AS est_distinct
+    FROM final
+    """
+
+
+# --- Bloom filter -----------------------------------------------------------
+#: 2^13 bits = 1 KiB bitmap (128 x 64-bit words); k = 3 salted hashes.
+#: False-positive rate for n build keys ~ (1 - e^{-kn/m})^k — ~0.4% at
+#: n = 500. At real scale, size m from the build-side cardinality (an HLL
+#: estimate upstream is the canonical way to pick it).
+BLOOM_BITS_LOG2 = 13
+BLOOM_BITS = 1 << BLOOM_BITS_LOG2
+BLOOM_K = 3
+
+
+def _salted_pos(key: Column, salt: int, m_bits: int) -> Column:
+    """Bit position for hash ``salt``: portable_hash32('salt:' || key) mod m."""
+    h = portable_hash32(F.concat(F.lit(f"{salt}:"), key.cast("string")))
+    return F.pmod(h, F.lit(m_bits))
+
+
+def build_bloom(df: DataFrame, key_col: str, m_bits: int = BLOOM_BITS) -> DataFrame:
+    """(word, bits) bitmap (<=128 rows) of the build side's distinct keys.
+
+    One map-side-combinable ``bit_or`` aggregation — associative and
+    commutative, so partial bitmaps OR together exactly like HLL registers
+    max together. Broadcast-sized by construction (1 KiB) no matter how
+    large the build side is.
+    """
+    positions = (
+        df.select(F.col(key_col).alias("k"))
+        .distinct()
+        .select(
+            F.explode(
+                F.array(*[_salted_pos(F.col("k"), i, m_bits) for i in range(BLOOM_K)])
+            ).alias("pos")
+        )
+    )
+    # 32-bit words: the maximum shift is 31, safely inside BIGINT range on
+    # both engines (DuckDB raises on a signed 1 << 63)
+    return (
+        positions.select(
+            F.expr("div(pos, 32)").alias("word"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), pmod(pos, 32))").alias("mask"),
+        )
+        .groupBy("word")
+        .agg(F.bit_or("mask").alias("bits"))
+    )
+
+
+def bloom_might_contain(
+    df: DataFrame, key_col: str, bitmap: DataFrame, m_bits: int = BLOOM_BITS
+) -> DataFrame:
+    """Add boolean ``bloom_pass``: true iff all k salted bits are set.
+
+    k broadcast joins against the <=128-row bitmap — no shuffle of ``df``,
+    no explode, no Python: the probe stays inside whole-stage codegen and
+    rows are droppable BEFORE any downstream shuffle. Bitmap words absent
+    from the aggregation read as 0 (no build key hashed there).
+    """
+    out = df
+    cond = F.lit(True)
+    scratch: list[str] = []
+    for i in range(BLOOM_K):
+        pos_c, word_c, w_c, bits_c = f"_bp{i}", f"_bw{i}", f"_bmw{i}", f"_bmb{i}"
+        scratch += [pos_c, word_c, w_c, bits_c]
+        bm = bitmap.select(F.col("word").alias(w_c), F.col("bits").alias(bits_c))
+        out = (
+            out.withColumn(pos_c, _salted_pos(F.col(key_col), i, m_bits))
+            .withColumn(word_c, F.expr(f"div({pos_c}, 32)"))
+            .join(F.broadcast(bm), F.col(word_c) == F.col(w_c), "left")
+        )
+        mask = F.expr(f"shiftleft(CAST(1 AS BIGINT), pmod({pos_c}, 32))")
+        cond = cond & (
+            F.coalesce(F.col(bits_c), F.lit(0).cast("bigint")).bitwiseAND(mask) == mask
+        )
+    return out.withColumn("bloom_pass", cond).drop(*scratch)
+
+
+def bloom_oracle_ctes(build_sql: str, m_bits: int = BLOOM_BITS) -> str:
+    """DuckDB CTE chain ending in ``bloom AS (word, bits)``.
+
+    ``build_sql`` must yield a single column ``k`` (the build keys).
+    Embed after WITH; test membership with :func:`bloom_oracle_pass_expr`.
+    """
+    hashes = " UNION ALL ".join(
+        f"SELECT {portable_hash32_sql(chr(39) + str(i) + ':' + chr(39) + ' || CAST(k AS VARCHAR)')} "
+        f"% {m_bits} AS pos FROM bkeys"
+        for i in range(BLOOM_K)
+    )
+    return f"""
+    bkeys AS ({build_sql}),
+    bpos AS ({hashes}),
+    bloom AS (SELECT pos // 32 AS word,
+                     bit_or(1::BIGINT << (pos % 32)) AS bits
+              FROM bpos GROUP BY pos // 32)
+    """
+
+
+def bloom_oracle_pass_expr(key_expr: str, m_bits: int = BLOOM_BITS) -> str:
+    """Boolean SQL: all k salted bits of ``key_expr`` set in ``bloom``."""
+    conds = []
+    for i in range(BLOOM_K):
+        salted = chr(39) + str(i) + ":" + chr(39) + f" || CAST({key_expr} AS VARCHAR)"
+        pos = f"({portable_hash32_sql(salted)} % {m_bits})"
+        conds.append(
+            f"(COALESCE((SELECT bits FROM bloom WHERE word = {pos} // 32), 0) "
+            f"& (1::BIGINT << ({pos} % 32))) = (1::BIGINT << ({pos} % 32))"
+        )
+    return " AND ".join(conds)

@@ -1,0 +1,91 @@
+"""Graded graph-analytics queries beyond dedup clustering.
+
+Connected components (two variants) grade under the dedup family
+(queries/dedup.py); this module holds general graph analytics over the
+relational tables — currently fixed-point PageRank on the customer-supplier
+interaction graph.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from distributed_api_etl_spark.operators.graph import PR_SCALE, pagerank_fixed_point
+from distributed_api_etl_spark.queries.registry import register, table
+
+PR_ITERS = 3
+
+
+def _pagerank_oracle() -> str:
+    """Unrolled fixed-point PageRank (PR_ITERS rounds) in DuckDB SQL —
+    integer arithmetic end to end, mirroring pagerank_fixed_point exactly."""
+    scale = PR_SCALE
+    parts = [
+        """e0 AS (SELECT DISTINCT o_custkey * 2 AS a, l_suppkey * 2 + 1 AS b
+                 FROM orders JOIN lineitem ON l_orderkey = o_orderkey)""",
+        "sym AS (SELECT a, b FROM e0 UNION SELECT b, a FROM e0)",
+        "deg AS (SELECT a, count(*) AS d FROM sym GROUP BY a)",
+        "nn AS (SELECT count(*) AS n FROM deg)",
+        f"pr0 AS (SELECT a AS node, {scale} // (SELECT n FROM nn) AS pr FROM deg)",
+    ]
+    for t in range(PR_ITERS):
+        parts.append(
+            f"""agg{t} AS (
+              SELECT s.b AS node, CAST(sum(p.pr // d.d) AS BIGINT) AS insum
+              FROM sym s JOIN deg d ON d.a = s.a JOIN pr{t} p ON p.node = s.a
+              GROUP BY s.b)"""
+        )
+        parts.append(
+            f"""pr{t + 1} AS (
+              SELECT node,
+                     (15 * {scale}) // (100 * (SELECT n FROM nn))
+                     + (85 * insum) // 100 AS pr
+              FROM agg{t})"""
+        )
+    return f"""
+    WITH {', '.join(parts)}
+    SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS node_type,
+           CAST(node // 2 AS BIGINT) AS entity_id,
+           CAST(pr AS BIGINT) AS pr_fp,
+           CAST(pr AS DOUBLE) / {float(scale)} AS pr
+    FROM pr{PR_ITERS}
+    """
+
+
+@register(
+    "supply_graph_pagerank",
+    oracle=_pagerank_oracle(),
+    tags=("graph", "ml"),
+)
+def supply_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-point PageRank over the customer-supplier graph (edges =
+     'customer ordered from supplier' via orders x lineitem; node ids
+    disambiguated by parity). The graded columns carry the EXACT integer
+    ranks — the property float PageRank can never grade — plus the double
+    rendering; top ranks surface the hub suppliers serving the most
+    distinct high-degree customers.
+
+    Scale: |E| distinct edges after one orders-lineitem join; each of the
+    3 rounds shuffles only the |V|-sized rank frame against the persisted,
+    pre-partitioned edge list (operators/graph.py:pagerank_fixed_point).
+    """
+    orders = table(spark, sf_dir, "orders")
+    lineitem = table(spark, sf_dir, "lineitem")
+    edges = (
+        orders.join(lineitem, orders["o_orderkey"] == lineitem["l_orderkey"])
+        .select(
+            (F.col("o_custkey") * 2).alias("d1"),
+            (F.col("l_suppkey") * 2 + 1).alias("d2"),
+        )
+        .distinct()
+    )
+    pr = pagerank_fixed_point(edges, "d1", "d2", iters=PR_ITERS)
+    return pr.select(
+        F.when(F.col("node") % 2 == 0, F.lit("customer"))
+        .otherwise(F.lit("supplier"))
+        .alias("node_type"),
+        F.expr("div(node, 2)").cast("bigint").alias("entity_id"),
+        "pr_fp",
+        "pr",
+    )

@@ -140,9 +140,11 @@ def load_all() -> dict[str, QuerySpec]:
         dedup,
         etl,
         events,
+        graphs,
         pipeline,
         relational,
         similarity,
+        sketches,
         streaming,
         text,
         tpch_more,

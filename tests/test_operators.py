@@ -797,3 +797,75 @@ def test_quarantine_split_tags_failed_rules(spark):
     got = {r.id: sorted(r._failed_rules) for r in quar.collect()}
     assert got == {2: ["price_pos"], 3: ["status_set"],
                    4: ["price_pos", "status_set"]}
+
+
+def test_hll_estimate_within_error_and_mergeable(spark):
+    from pyspark.sql import functions as F
+
+    from distributed_api_etl_spark.operators import sketch as SK
+
+    n = 5000
+    df = spark.range(n).select(F.col("id").alias("k"), (F.col("id") % 2).alias("g"))
+    regs = SK.hll_registers(df, "k", [])
+    est = SK.hll_estimate(regs, []).collect()[0]["est_distinct"]
+    # m=256 -> sigma ~6.5%; 4 sigma is a deterministic bound for this fixed
+    # hash (no randomness run to run)
+    assert abs(est - n) / n < 0.26
+    # merge algebra: registers of two disjoint halves, max-merged, must give
+    # the EXACT registers (hence estimate) of the whole
+    lo = SK.hll_registers(df.where(F.col("k") < n // 2), "k", [])
+    hi = SK.hll_registers(df.where(F.col("k") >= n // 2), "k", [])
+    merged = (
+        lo.unionByName(hi)
+        .groupBy("bucket")
+        .agg(F.max("max_rho").alias("max_rho"))
+    )
+    est_merged = SK.hll_estimate(merged, []).collect()[0]["est_distinct"]
+    assert est_merged == est
+
+
+def test_bloom_no_false_negatives_and_tiny_bitmap_fps(spark):
+    from pyspark.sql import functions as F
+
+    from distributed_api_etl_spark.operators import sketch as SK
+
+    members = spark.range(200).select((F.col("id") * 3).alias("k"))
+    probe = spark.range(2000).select(F.col("id").alias("k"))
+    # deliberately undersized bitmap: false positives MUST appear, false
+    # negatives must NOT (the one-sided error contract)
+    bm = SK.build_bloom(members, "k", m_bits=512)
+    marked = SK.bloom_might_contain(probe, "k", bm, m_bits=512)
+    got = {r["k"]: r["bloom_pass"] for r in marked.collect()}
+    true_members = {i * 3 for i in range(200) if i * 3 < 2000}
+    assert all(got[k] for k in true_members), "false negative!"
+    n_pass = sum(1 for v in got.values() if v)
+    assert n_pass > len(true_members), "expected false positives at 512 bits"
+    # production-sized bitmap: FP rate under 1%
+    bm2 = SK.build_bloom(members, "k")
+    n_pass2 = (
+        SK.bloom_might_contain(probe, "k", bm2).where("bloom_pass").count()
+    )
+    assert n_pass2 - len(true_members) <= 0.01 * 2000
+
+
+def test_pagerank_mass_and_star_center(spark):
+    from pyspark.sql import functions as F
+
+    from distributed_api_etl_spark.operators.graph import (
+        PR_SCALE,
+        pagerank_fixed_point,
+    )
+
+    # star: center 0, leaves 1..10 — center must out-rank every leaf, and
+    # total fixed-point mass stays ~scale (floor drift only: < |V| units
+    # lost per round)
+    edges = spark.createDataFrame(
+        [(0, i) for i in range(1, 11)], ["d1", "d2"]
+    )
+    pr = pagerank_fixed_point(edges, iters=3).collect()
+    ranks = {r["node"]: r["pr_fp"] for r in pr}
+    assert max(ranks, key=ranks.get) == 0
+    assert abs(sum(ranks.values()) - PR_SCALE) < 11 * 3 * 100
+    # leaves are symmetric: identical integer ranks
+    leaf_ranks = {ranks[i] for i in range(1, 11)}
+    assert len(leaf_ranks) == 1
