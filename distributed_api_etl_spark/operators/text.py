@@ -9,7 +9,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from distributed_api_etl_spark.functions.textfns import tokens
+from distributed_api_etl_spark.functions.textfns import token_shingles, tokens
 from distributed_api_etl_spark.session import scoped_persist
 
 # Tiny per-language stopword marker sets (public common function words).
@@ -370,4 +370,53 @@ def tfidf_top_terms(
         scored.withColumn("rnk", F.row_number().over(w))
         .where(F.col("rnk") <= k)
         .select(id_col, "term", "tf", "tfidf", F.col("rnk").cast("int").alias("rnk"))
+    )
+
+
+def boilerplate_ngram_stats(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    min_df: int = 5,
+) -> DataFrame:
+    """Per-document boilerplate load: how much of a doc is made of n-grams
+    that recur across >= ``min_df`` documents (navigation chrome, license
+    headers, template sentences — the stuff corpus curation strips before
+    training).
+
+    Plan: one distinct-shingle explode, ONE shuffle for document frequency,
+    then the (small by construction — templates, not content) boilerplate
+    shingle set joins back against the per-doc shingles; no broadcast hint,
+    AQE broadcasts it from measured stats. ``min_df`` should scale with the
+    corpus (a fixed count at 100 TB marks nothing; a fixed fraction works).
+    Output: (doc_id, total_grams, boiler_grams, boiler_ppm) for every doc,
+    zero-gram docs included with ppm 0.
+    """
+    sh = (
+        df.select(F.col(id_col), F.explode(token_shingles(F.col(text_col), n)).alias("s"))
+        .distinct()
+    )
+    sh = scoped_persist(sh)  # referenced three times: df-count, totals, boiler join
+    dfreq = sh.groupBy("s").agg(F.count("*").alias("df"))
+    boiler = dfreq.where(F.col("df") >= min_df).select("s")
+    totals = sh.groupBy(id_col).agg(F.count("*").alias("total_grams"))
+    boiler_counts = (
+        sh.join(boiler, "s").groupBy(id_col).agg(F.count("*").alias("boiler_grams"))
+    )
+    return (
+        df.select(id_col)
+        .join(totals, id_col, "left")
+        .join(boiler_counts, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("total_grams", F.lit(0)).alias("total_grams"),
+            F.coalesce("boiler_grams", F.lit(0)).alias("boiler_grams"),
+        )
+        .withColumn(
+            "boiler_ppm",
+            F.when(F.col("total_grams") == 0, F.lit(0).cast("bigint")).otherwise(
+                F.expr("div(1000000 * boiler_grams, total_grams)")
+            ),
+        )
     )

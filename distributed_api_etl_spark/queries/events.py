@@ -588,3 +588,39 @@ def events_latest_per_user_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_id").alias("last_event_id"),
         F.unix_millis(F.col("ts").cast("timestamp")).alias("last_ts_ms"),
     )
+
+
+def _zorder_oracle() -> str:
+    from distributed_api_etl_spark.operators.layout import zorder_expr
+
+    m = 1 << 16
+    return f"""
+    WITH base AS (
+      SELECT event_id,
+             CAST(user_id % {m} AS BIGINT) AS xb,
+             CAST((epoch_ms(CAST(ts AS TIMESTAMP)) // 60000) % {m} AS BIGINT) AS yb
+      FROM events)
+    SELECT event_id, {zorder_expr('xb', 'yb', sql_div='//')} AS zval
+    FROM base
+    """
+
+
+@register(
+    "events_zorder_index",
+    oracle=_zorder_oracle(),
+    tags=("layout", "events"),
+)
+def events_zorder_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton (Z-order) clustering key over (user_id, event minute) —
+    the multi-dimension layout key write_zordered sorts parquet by
+    (operators/layout.py). Grading the key itself proves the interleave is
+    engine-exact; the layout write + pruning behavior is covered in
+    tests/test_operators.py and SCALE.md."""
+    from distributed_api_etl_spark.operators.layout import with_zorder_key
+
+    ev = table(spark, sf_dir, "events").withColumn(
+        "minute_idx", F.expr("div(unix_millis(cast(ts as timestamp)), 60000)")
+    )
+    return with_zorder_key(ev, "user_id", "minute_idx", out_col="zval").select(
+        "event_id", "zval"
+    )

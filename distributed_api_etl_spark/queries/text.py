@@ -698,3 +698,43 @@ def documents_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = table(spark, sf_dir, "documents")
     return shard_assignment(docs, "doc_id", N_TRAIN_SHARDS, seed=SHARD_SEED)
+
+
+BOILER_N = 3
+BOILER_MIN_DF = 5
+
+
+@register(
+    "text_boilerplate_ngrams",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    sh AS (SELECT DISTINCT doc_id, s FROM toks,
+           UNNEST(list_transform(generate_series(1, greatest(len(t) - {BOILER_N - 1}, 0)),
+                  i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) u(s)),
+    dfreq AS (SELECT s, count(*) AS df FROM sh GROUP BY s),
+    boiler AS (SELECT s FROM dfreq WHERE df >= {BOILER_MIN_DF}),
+    totals AS (SELECT doc_id, count(*) AS total_grams FROM sh GROUP BY doc_id),
+    bc AS (SELECT sh.doc_id, count(*) AS boiler_grams
+           FROM sh JOIN boiler USING (s) GROUP BY sh.doc_id)
+    SELECT d.doc_id,
+           CAST(COALESCE(t.total_grams, 0) AS BIGINT) AS total_grams,
+           CAST(COALESCE(bc.boiler_grams, 0) AS BIGINT) AS boiler_grams,
+           CAST(CASE WHEN COALESCE(t.total_grams, 0) = 0 THEN 0
+                ELSE (1000000 * COALESCE(bc.boiler_grams, 0)) // t.total_grams
+           END AS BIGINT) AS boiler_ppm
+    FROM documents d
+    LEFT JOIN totals t USING (doc_id)
+    LEFT JOIN bc USING (doc_id)
+    """,
+    tags=("text", "quality"),
+)
+def text_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate-density scoring (operators/text.py:boilerplate_ngram_stats):
+    the share of each doc's distinct trigrams that recur across >=
+    {BOILER_MIN_DF} documents — corpus curation's template/chrome detector.
+    One shuffle for document frequency; the small boilerplate set joins back
+    without a hint (AQE broadcasts from stats)."""
+    docs = fan_out(table(spark, sf_dir, "documents"))
+    return TX.boilerplate_ngram_stats(
+        docs, "doc_id", "text", n=BOILER_N, min_df=BOILER_MIN_DF
+    )

@@ -869,3 +869,62 @@ def test_pagerank_mass_and_star_center(spark):
     # leaves are symmetric: identical integer ranks
     leaf_ranks = {ranks[i] for i in range(1, 11)}
     assert len(leaf_ranks) == 1
+
+
+def test_boilerplate_ngram_stats_flags_planted_template(spark):
+    from distributed_api_etl_spark.operators.text import boilerplate_ngram_stats
+
+    template = "all rights reserved by example corp"
+    rows = [(i, f"unique{i} words only here {i} " + template) for i in range(8)]
+    rows += [(100 + i, f"fresh{i} standalone doc number {i} nothing shared") for i in range(4)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r["doc_id"]: r
+        for r in boilerplate_ngram_stats(docs, "doc_id", "text", n=3, min_df=5).collect()
+    }
+    assert len(out) == 12
+    # template docs carry the shared trigrams; fresh docs carry none
+    for i in range(8):
+        assert out[i]["boiler_grams"] >= 4, out[i]
+        assert out[i]["boiler_ppm"] > 0
+    for i in range(4):
+        assert out[100 + i]["boiler_grams"] == 0
+        assert out[100 + i]["boiler_ppm"] == 0
+
+
+def test_zorder_layout_clusters_both_dimensions(spark, tmp_path, sf_dir):
+    from pyspark.sql import functions as F
+
+    from distributed_api_etl_spark.operators.layout import (
+        with_zorder_key,
+        write_zordered,
+    )
+    from distributed_api_etl_spark.queries.registry import table
+
+    ev = table(spark, sf_dir, "events").withColumn(
+        "minute_idx", F.expr("div(unix_millis(cast(ts as timestamp)), 60000)")
+    )
+    zloc = str(tmp_path / "z")
+    write_zordered(ev, zloc, "user_id", "minute_idx", n_files=8)
+    back = spark.read.parquet(zloc)
+    assert back.count() == ev.count()
+    assert "_zval" not in back.columns
+    # per-file bounding boxes: under z-order, one user's rows live in a few
+    # files; under a pure time sort they smear across all of them
+    files = back.inputFiles()
+    assert len(files) >= 4
+    uid = ev.select("user_id").first()["user_id"]
+
+    def files_holding(loc_files):
+        n = 0
+        for f in loc_files:
+            if spark.read.parquet(f).where(F.col("user_id") == uid).limit(1).count():
+                n += 1
+        return n
+
+    tloc = str(tmp_path / "t")
+    (ev.repartitionByRange(8, "minute_idx").sortWithinPartitions("minute_idx")
+       .write.parquet(tloc))
+    t_files = spark.read.parquet(tloc).inputFiles()
+    z_hits, t_hits = files_holding(files), files_holding(t_files)
+    assert z_hits < t_hits, (z_hits, t_hits)
