@@ -420,3 +420,51 @@ def boilerplate_ngram_stats(
             ),
         )
     )
+
+
+#: Fixed-point linear quality model (weights in 1e-6 logit units). The
+#: integer weights are the engine-portable form of a trained linear/fastText
+#: -style quality classifier: at deploy time quantize learned floats to
+#: micro-units once, and every engine scores identically forever after.
+QUALITY_MODEL_WEIGHTS = {
+    "bias": -400_000,
+    "distinct_tokens": 30_000,
+    "stopword_hits": 80_000,
+    "repeated_tokens": -10_000,  # n_tokens - n_distinct_tokens
+}
+
+
+def quality_model_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Linear-classifier quality gate: fixed-point logit per document.
+
+    The inference pattern, not the training: a quality model (fastText /
+    logistic head) reduced to integer micro-unit weights scores each doc
+    with a dot product over exact integer features — whole-stage codegen,
+    zero shuffle, no Python, no broadcast (the model IS the plan literals).
+    That is the map-only plan shape model-based filtering has at 100 TB;
+    swap the literal weights for a broadcast weight table or an ONNX
+    pandas-UDF when the model outgrows literals. The fixed-point logit
+    makes classifier DECISIONS reproducible cross-engine — a float dot
+    product would round differently per engine at decision boundaries.
+
+    Output: (id, logit_micros BIGINT, keep = logit_micros >= 0).
+    """
+    w = QUALITY_MODEL_WEIGHTS
+    toks = tokens(F.col(text_col))
+    feats = df.select(
+        F.col(id_col),
+        F.size(toks).alias("t"),
+        F.size(F.array_distinct(toks)).alias("d"),
+        _stopword_hits(toks, LANG_STOPWORDS["en"]).alias("s"),
+    )
+    logit = (
+        F.lit(w["bias"]).cast("bigint")
+        + F.lit(w["distinct_tokens"]) * F.col("d")
+        + F.lit(w["stopword_hits"]) * F.col("s")
+        + F.lit(w["repeated_tokens"]) * (F.col("t") - F.col("d"))
+    )
+    return feats.select(
+        F.col(id_col),
+        logit.alias("logit_micros"),
+        (logit >= 0).alias("keep"),
+    )

@@ -284,3 +284,59 @@ def streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("event_id", "user_id", "event_type", "type_count")
     name = _drain_to_memory(out, mode="append")
     return spark.table(name)
+
+
+@register(
+    "streaming_click_purchase_left_outer",
+    oracle="""
+    WITH wm AS (SELECT least(
+          (SELECT max(ts) FROM events WHERE event_type = 'click'),
+          (SELECT max(ts) FROM events WHERE event_type = 'purchase')) AS w),
+    matched AS (
+      SELECT a.user_id, a.event_id AS left_id, b.event_id AS right_id,
+             CAST(epoch_ms(b.ts) - epoch_ms(a.ts) AS BIGINT) AS delay_ms
+      FROM events a JOIN events b
+        ON a.user_id = b.user_id
+       AND a.event_type = 'click' AND b.event_type = 'purchase'
+       AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL '1 hour'),
+    unmatched AS (
+      SELECT a.user_id, a.event_id AS left_id,
+             CAST(NULL AS BIGINT) AS right_id,
+             CAST(NULL AS BIGINT) AS delay_ms
+      FROM events a
+      WHERE a.event_type = 'click'
+        AND a.ts + INTERVAL '1 hour' < (SELECT w FROM wm)
+        AND NOT EXISTS (
+          SELECT 1 FROM events b
+          WHERE b.user_id = a.user_id AND b.event_type = 'purchase'
+            AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL '1 hour'))
+    SELECT * FROM matched UNION ALL SELECT * FROM unmatched
+    """,
+    tags=("streaming", "join"),
+)
+def streaming_click_purchase_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER stream-stream interval join: clicks with no purchase
+    within 1 h emit null-matched once the watermark passes their window.
+
+    The oracle mirrors Spark's eviction semantics exactly (determined
+    empirically, tests/test_streaming.py): the final watermark of an
+    availableNow drain is min(max click ts, max purchase ts) (each side's
+    withWatermark sees only its filtered rows), a trailing no-data batch
+    runs the eviction, and a click emits null-matched iff
+    ``click.ts + 1h < watermark`` STRICTLY. Clicks whose window is still
+    open stay in state — bounded-state semantics, not a batch left join.
+    """
+    from distributed_api_etl_spark.streaming import interval_join_stream
+
+    stream = _events_stream(spark, sf_dir)
+    out = interval_join_stream(
+        stream.where(F.col("event_type") == "click"),
+        stream.where(F.col("event_type") == "purchase"),
+        key_col="user_id",
+        ts_col="ts",
+        max_delay="1 hour",
+        watermark="0 seconds",
+        how="leftOuter",
+    )
+    name = _drain_to_memory(out, mode="append")
+    return spark.table(name)

@@ -738,3 +738,36 @@ def text_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.boilerplate_ngram_stats(
         docs, "doc_id", "text", n=BOILER_N, min_df=BOILER_MIN_DF
     )
+
+
+@register(
+    "text_quality_model_score",
+    oracle=f"""
+    WITH f AS (
+      SELECT doc_id,
+             len(string_split(text, ' ')) AS t,
+             len(list_distinct(string_split(text, ' '))) AS d,
+             len(list_filter(string_split(text, ' '),
+                 x -> x IN ({_in_list(TX.LANG_STOPWORDS["en"])}))) AS s
+      FROM documents)
+    SELECT doc_id,
+           CAST({TX.QUALITY_MODEL_WEIGHTS["bias"]}
+                + {TX.QUALITY_MODEL_WEIGHTS["distinct_tokens"]} * d
+                + {TX.QUALITY_MODEL_WEIGHTS["stopword_hits"]} * s
+                + {TX.QUALITY_MODEL_WEIGHTS["repeated_tokens"]} * (t - d)
+             AS BIGINT) AS logit_micros,
+           ({TX.QUALITY_MODEL_WEIGHTS["bias"]}
+                + {TX.QUALITY_MODEL_WEIGHTS["distinct_tokens"]} * d
+                + {TX.QUALITY_MODEL_WEIGHTS["stopword_hits"]} * s
+                + {TX.QUALITY_MODEL_WEIGHTS["repeated_tokens"]} * (t - d)) >= 0 AS keep
+    FROM f
+    """,
+    tags=("text", "quality", "ml"),
+)
+def text_quality_model_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality gate (operators/text.py:quality_model_score):
+    fixed-point linear classifier inference in pure codegen — the
+    complement to the heuristic text_quality_score; decisions grade
+    bit-for-bit because the logit is integer micro-units."""
+    docs = fan_out(table(spark, sf_dir, "documents"))
+    return TX.quality_model_score(docs, "doc_id", "text")

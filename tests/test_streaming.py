@@ -266,3 +266,54 @@ def test_watermark_dedup_across_microbatches(spark, tmp_path):
         for r in spark.sql("SELECT * FROM wmdedup_out").collect()
     }
     assert got == {(10, "click"), (11, "view"), (10, "view")}
+
+
+def test_left_outer_interval_join_emits_unmatched_after_eviction(spark, tmp_path):
+    """Outer rows are emitted by the trailing no-data batch once the global
+    watermark (min over both sides' event-time maxima, filters applied
+    BEFORE withWatermark) passes left.ts + max_delay. Anchor events must
+    survive the click/purchase filters or they never advance the
+    watermark."""
+    import datetime as dt
+
+    from distributed_api_etl_spark.streaming import interval_join_stream
+
+    src = str(tmp_path / "src")
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        (1, t0, 10, "click"),
+        (2, t0 + dt.timedelta(minutes=30), 10, "purchase"),
+        (3, t0 + dt.timedelta(minutes=5), 20, "click"),  # never matched
+        # watermark anchors: far-future activity on both sides
+        (4, t0 + dt.timedelta(hours=6), 99, "click"),
+        (5, t0 + dt.timedelta(hours=12), 98, "purchase"),
+    ]
+    spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type"]
+    ).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    out = interval_join_stream(
+        stream.where("event_type = 'click'"),
+        stream.where("event_type = 'purchase'"),
+        key_col="user_id",
+        ts_col="ts",
+        max_delay="1 hour",
+        watermark="0 seconds",
+        how="leftOuter",
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("louter_sink")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300)
+    got = {r["left_id"]: r for r in spark.table("louter_sink").collect()}
+    assert got[1]["right_id"] == 2  # matched pair
+    assert got[3]["right_id"] is None  # unmatched click emitted with nulls
+    assert got[3]["delay_ms"] is None
+    # click 4's window (ends 7:00) is still ahead of the final watermark
+    # (6:00): retained in state, correctly NOT emitted
+    assert 4 not in got
