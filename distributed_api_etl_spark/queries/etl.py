@@ -151,3 +151,49 @@ def orders_dq_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     report = dq_report(orders, rules)
     fk = fk_violations(orders, "o_custkey", cust, "c_custkey", "custkey_in_customer")
     return report.unionByName(fk)
+
+
+@register(
+    "orders_snapshot_diff",
+    oracle="""
+    WITH old AS (
+      SELECT o_orderkey AS k,
+             o_totalprice + CASE WHEN o_orderkey % 5 = 0 THEN 1.0 ELSE 0 END AS price,
+             o_orderstatus AS st
+      FROM orders WHERE o_orderkey % 13 != 0),
+    new AS (
+      SELECT o_orderkey AS k, o_totalprice AS price, o_orderstatus AS st
+      FROM orders WHERE o_orderkey % 11 != 0),
+    cls AS (
+      SELECT COALESCE(old.k, new.k) AS o_orderkey,
+             CASE WHEN old.k IS NULL THEN 'added'
+                  WHEN new.k IS NULL THEN 'removed'
+                  WHEN old.price != new.price OR old.st != new.st THEN 'changed'
+                  ELSE 'unchanged' END AS change_type
+      FROM old FULL OUTER JOIN new ON old.k = new.k)
+    SELECT o_orderkey, change_type FROM cls WHERE change_type != 'unchanged'
+    """,
+    tags=("etl", "reconcile"),
+)
+def orders_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed snapshot reconciliation (operators/reconcile.py:snapshot_diff):
+    two deterministic snapshots derived from ``orders`` (1/13 of keys new,
+    1/11 removed, every 5th price drifted) are diffed into
+    added/removed/changed rows — both sides reduce to (key, md5 row hash)
+    before the single full-outer shuffle, so the join ships two narrow
+    columns and the output scales with the CHANGE rate, not table size."""
+    from distributed_api_etl_spark.operators.reconcile import snapshot_diff
+
+    orders = table(spark, sf_dir, "orders")
+    old = orders.where(F.col("o_orderkey") % 13 != 0).select(
+        "o_orderkey",
+        (
+            F.col("o_totalprice")
+            + F.when(F.col("o_orderkey") % 5 == 0, F.lit(1.0)).otherwise(F.lit(0.0))
+        ).alias("o_totalprice"),
+        "o_orderstatus",
+    )
+    new = orders.where(F.col("o_orderkey") % 11 != 0).select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    return snapshot_diff(old, new, "o_orderkey", ["o_totalprice", "o_orderstatus"])

@@ -40,6 +40,10 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
+        # Catalyst's runtime bloom filter: inject a bloom of a selective
+        # build side into the probe scan of large shuffle joins (the
+        # optimizer-internal cousin of operators/sketch.py's explicit form)
+        .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
@@ -101,6 +105,7 @@ def apply_runtime_conf(spark: SparkSession) -> SparkSession:
         # 64MB: small-SF intermediates (e.g. the shingle table) broadcast;
         # at 100 TB the same plan keeps sort-merge — stats decide, not code.
         "spark.sql.autoBroadcastJoinThreshold": "64MB",
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
         "spark.sql.session.timeZone": "UTC",
         # Externally-created sessions often keep the 200 default; size the
         # shuffle to the actual cluster (AQE coalesces down, never up).

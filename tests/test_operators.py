@@ -928,3 +928,26 @@ def test_zorder_layout_clusters_both_dimensions(spark, tmp_path, sf_dir):
     t_files = spark.read.parquet(tloc).inputFiles()
     z_hits, t_hits = files_holding(files), files_holding(t_files)
     assert z_hits < t_hits, (z_hits, t_hits)
+
+
+def test_snapshot_diff_classifies_all_change_types(spark):
+    from distributed_api_etl_spark.operators.reconcile import (
+        diff_summary,
+        snapshot_diff,
+    )
+
+    old = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)], ["k", "s", "v"]
+    )
+    new = spark.createDataFrame(
+        [(2, "b", 20.0), (3, "c", 31.0), (4, "d", 40.0)], ["k", "s", "v"]
+    )
+    d = {r["k"]: r["change_type"] for r in snapshot_diff(old, new, "k", ["s", "v"]).collect()}
+    assert d == {1: "removed", 3: "changed", 4: "added"}
+    full = snapshot_diff(old, new, "k", ["s", "v"], include_unchanged=True)
+    s = {r["change_type"]: r["n"] for r in diff_summary(full).collect()}
+    assert s == {"removed": 1, "changed": 1, "added": 1, "unchanged": 1}
+    # null-tagging: NULL vs 'null' string must differ
+    o2 = spark.createDataFrame([(1, None)], "k int, s string")
+    n2 = spark.createDataFrame([(1, "null")], "k int, s string")
+    assert snapshot_diff(o2, n2, "k", ["s"]).collect()[0]["change_type"] == "changed"
