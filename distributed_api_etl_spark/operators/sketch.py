@@ -40,9 +40,14 @@ from distributed_api_etl_spark.functions.portable import (
 HLL_B = 8
 HLL_M = 1 << HLL_B
 HLL_W = 32 - HLL_B
-#: alpha_256 bias correction; double literal arithmetic is correctly
-#: rounded and identical on both engines.
-HLL_ALPHA_EXPR = f"0.7213 / (1.0 + 1.079 / {HLL_M})"
+#: alpha_256 bias correction. Every numeric literal is cast to DOUBLE
+#: explicitly: DuckDB parses bare decimal literals (0.7213, 1.0) as
+#: DECIMAL and its decimal division rounds differently from IEEE — at
+#: sf0.1 the drift crossed the final floor boundary. With DOUBLE forced,
+#: both engines run the identical correctly-rounded IEEE sequence.
+HLL_ALPHA_EXPR = (
+    f"CAST(0.7213 AS DOUBLE) / (CAST(1.0 AS DOUBLE) + CAST(1.079 AS DOUBLE) / {HLL_M})"
+)
 
 
 def _rho(rem: Column) -> Column:
@@ -82,7 +87,7 @@ def _hll_correction_sql(est_raw: str) -> str:
     """Standard small-range (linear counting) correction, shared verbatim by
     the Spark expression and the DuckDB oracle."""
     return (
-        f"CASE WHEN ({est_raw}) <= 2.5 * {HLL_M} AND zero_registers > 0 "
+        f"CASE WHEN ({est_raw}) <= CAST(2.5 AS DOUBLE) * {HLL_M} AND zero_registers > 0 "
         f"THEN {HLL_M} * ln(CAST({HLL_M} AS DOUBLE) / zero_registers) "
         f"ELSE ({est_raw}) END"
     )
@@ -104,9 +109,9 @@ def hll_estimate(registers: DataFrame, group_cols: list[str]) -> DataFrame:
         registers.groupBy(*group_cols)
         .agg(
             F.count("*").alias("present"),
-            F.sum(F.expr("1.0 / shiftleft(CAST(1 AS BIGINT), max_rho)")).alias(
-                "inv_sum"
-            ),
+            F.sum(
+                F.expr("CAST(1.0 AS DOUBLE) / shiftleft(CAST(1 AS BIGINT), max_rho)")
+            ).alias("inv_sum"),
         )
         .select(
             *group_cols,
@@ -141,7 +146,7 @@ def hll_oracle_sql(key_expr: str, source_table: str, group_col: str) -> str:
     est AS (
       SELECT {group_col},
              CAST({HLL_M} - count(*) AS BIGINT) AS zero_registers,
-             sum(1.0 / (1::BIGINT << max_rho)) AS inv_sum
+             sum(CAST(1.0 AS DOUBLE) / (1::BIGINT << max_rho)) AS inv_sum
       FROM regs GROUP BY {group_col}),
     final AS (
       SELECT {group_col}, zero_registers,

@@ -121,3 +121,66 @@ def events_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_false_positive", F.col("n_bloom_pass") - F.col("n_true_match")
         )
     )
+
+
+def _hll_rollup_oracle() -> str:
+    """Per-day registers max-merged == whole-table registers, and therefore
+    identical estimates — the sketch rollup algebra as a graded fact."""
+    est_raw = f"({SK.HLL_ALPHA_EXPR}) * {SK.HLL_M} * {SK.HLL_M} / denom"
+    corrected = SK._hll_correction_sql(est_raw)
+    w = SK.HLL_W
+    return f"""
+    WITH hashed AS (
+      SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+             {SK.portable_hash32_sql("user_id")} AS h32
+      FROM events),
+    bucketed AS (
+      SELECT day, h32 // {1 << w} AS bucket,
+             CASE WHEN h32 % {1 << w} = 0 THEN {w + 1}
+                  ELSE {w + 1} - length(bin(h32 % {1 << w})) END AS rho
+      FROM hashed),
+    daily AS (SELECT day, bucket, max(rho) AS max_rho
+              FROM bucketed GROUP BY day, bucket),
+    merged AS (SELECT bucket, max(max_rho) AS max_rho FROM daily GROUP BY bucket),
+    est AS (
+      SELECT CAST({SK.HLL_M} - count(*) AS BIGINT) AS zero_registers,
+             sum(CAST(1.0 AS DOUBLE) / (1::BIGINT << max_rho)) AS inv_sum
+      FROM merged),
+    final AS (SELECT zero_registers, zero_registers + inv_sum AS denom FROM est)
+    SELECT CAST((SELECT count(*) FROM daily) AS BIGINT) AS n_daily_registers,
+           CAST((SELECT count(DISTINCT day) FROM daily) AS BIGINT) AS n_days,
+           zero_registers,
+           floor(({corrected}) * 1e4 + 0.5) / 1e4 AS est_distinct
+    FROM final
+    """
+
+
+@register(
+    "events_hll_daily_rollup",
+    oracle=_hll_rollup_oracle(),
+    tags=("sketch", "events"),
+)
+def events_hll_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sketch rollup algebra, graded: per-DAY HLL register tables
+    (what a 100 TB pipeline persists — 256 rows/day instead of re-scanning
+    history) max-merge into the whole-corpus registers, and the merged
+    estimate is computed FROM the daily tables only. The graded row
+    carries the daily-register footprint (n_daily_registers ~ days x m)
+    alongside the merged estimate — the pre-aggregation contract that
+    makes distinct-count cubes incrementally maintainable."""
+    ev = table(spark, sf_dir, "events").withColumn(
+        "day", F.col("ts").cast("timestamp").cast("date")
+    )
+    daily = SK.hll_registers(ev, "user_id", ["day"])
+    from distributed_api_etl_spark.session import scoped_persist
+
+    daily = scoped_persist(daily)  # referenced twice: footprint counts + merge
+    merged = daily.groupBy("bucket").agg(F.max("max_rho").alias("max_rho"))
+    est = SK.hll_estimate(merged, [])
+    footprint = daily.agg(
+        F.count("*").alias("n_daily_registers"),
+        F.count_distinct("day").alias("n_days"),
+    )
+    return footprint.crossJoin(est).select(
+        "n_daily_registers", "n_days", "zero_registers", "est_distinct"
+    )
