@@ -32,6 +32,7 @@ from distributed_api_etl_spark.functions.portable import (
     portable_hash32,
     portable_hash32_sql,
 )
+from distributed_api_etl_spark.session import scoped_persist
 
 # --- HyperLogLog ------------------------------------------------------------
 # b index bits -> m = 2^b registers; remaining w = 32 - b hash bits feed the
@@ -212,7 +213,13 @@ def bloom_might_contain(
     no explode, no Python: the probe stays inside whole-stage codegen and
     rows are droppable BEFORE any downstream shuffle. Bitmap words absent
     from the aggregation read as 0 (no build key hashed there).
+
+    The bitmap frame is persisted here: it feeds k separate broadcasts,
+    and without a cache each broadcast would re-run the whole build-side
+    pipeline (distinct + hash + bit_or — k redundant scans of the build
+    table at 100 TB; caught by plan audit, SCALE.md).
     """
+    bitmap = scoped_persist(bitmap)
     out = df
     cond = F.lit(True)
     scratch: list[str] = []

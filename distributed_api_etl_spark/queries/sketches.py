@@ -95,8 +95,12 @@ def events_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     (``spark.sql.optimizer.runtime.bloomFilter.enabled``); this operator is
     the explicit, cross-engine-checkable form.
     """
+    from distributed_api_etl_spark.session import scoped_persist
+
     ev = table(spark, sf_dir, "events")
-    build = (
+    # persisted: referenced by the bitmap build AND the is_member
+    # verification join — without the cache the distinct re-runs per use
+    build = scoped_persist(
         ev.where(
             (F.col("event_type") == "purchase")
             & (F.col("value") > BLOOM_BUILD_VALUE)
