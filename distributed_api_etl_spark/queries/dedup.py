@@ -401,3 +401,55 @@ def dedup_keep_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+def _lsh_recall_oracle() -> str:
+    """Exhaustive pairs vs LSH-found pairs at the same threshold — recall
+    of the sub-quadratic path, measured, in a graded row."""
+    lsh = _emb_lsh_oracle(0.3)
+    return f"""
+    WITH exact_pairs AS (
+      SELECT a.vec_id AS d1, b.vec_id AS d2
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                   CAST(b.embedding AS DOUBLE[])) >= 0.3),
+    lsh_pairs AS (SELECT d1, d2 FROM ({lsh}))
+    SELECT CAST((SELECT count(*) FROM exact_pairs) AS BIGINT) AS n_exact,
+           CAST((SELECT count(*) FROM lsh_pairs) AS BIGINT) AS n_lsh,
+           CAST((1000000 * (SELECT count(*) FROM lsh_pairs))
+                // (SELECT count(*) FROM exact_pairs) AS BIGINT) AS recall_ppm
+    """
+
+
+@register(
+    "dedup_lsh_recall_report",
+    oracle=_lsh_recall_oracle(),
+    tags=("dedup", "similarity", "quality"),
+)
+def dedup_lsh_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measure, don't guess: the LSH scale path's recall against the
+    exhaustive cosine tier at the same threshold, as a graded row
+    (LSH output is a verified SUBSET of the exact pairs — identical
+    cosines — so recall is a pure count ratio). At production thresholds
+    (>=0.9) recall -> 1 with strong pruning; at the graded 0.3 threshold
+    the measured ppm documents the approximation honestly. At 100 TB only
+    the LSH tier runs; this report is the calibration job you run on a
+    sample to pick n_planes/band_bits (lsh_params_for)."""
+    from distributed_api_etl_spark.operators.similarity import (
+        cosine_pairs,
+        embedding_lsh_pairs,
+    )
+    from distributed_api_etl_spark.session import scoped_persist
+
+    emb = scoped_persist(fan_out(table(spark, sf_dir, "embeddings")))
+    exact_n = cosine_pairs(emb, "vec_id", "embedding", threshold=0.3).agg(
+        F.count("*").alias("n_exact")
+    )
+    lsh_n = embedding_lsh_pairs(
+        emb, "vec_id", "embedding", threshold=0.3, dim=EMB_DIM,
+        n_planes=LSH_PLANES, band_bits=LSH_BAND_BITS,
+    ).agg(F.count("*").alias("n_lsh"))
+    return (
+        exact_n.crossJoin(lsh_n)
+        .withColumn("recall_ppm", F.expr("div(1000000 * n_lsh, n_exact)"))
+    )

@@ -56,6 +56,7 @@ def _pagerank_oracle() -> str:
 @register(
     "supply_graph_pagerank",
     oracle=_pagerank_oracle(),
+    bench=True,
     tags=("graph", "ml"),
 )
 def supply_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -21,6 +21,7 @@ BLOOM_BUILD_VALUE = 200
 
 @register(
     "events_hll_user_cardinality",
+    bench=True,
     oracle=f"""
     SELECT h.event_type, h.zero_registers, h.est_distinct,
            e.exact_distinct
