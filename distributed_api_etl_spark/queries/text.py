@@ -771,3 +771,60 @@ def text_quality_model_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-for-bit because the logit is integer micro-units."""
     docs = fan_out(table(spark, sf_dir, "documents"))
     return TX.quality_model_score(docs, "doc_id", "text")
+
+
+RESIZE_TARGET = 256
+
+
+@register(
+    "multimodal_resize",
+    # fake resize = every stride-th byte capped at target. The corpus is
+    # pure ASCII (asserted: octet_length == length at every shipped SF), so
+    # byte slicing == char slicing and DuckDB's sha256(VARCHAR) hashes the
+    # identical byte stream hashlib sees; a non-ASCII corpus would need a
+    # blob-capable digest (this DuckDB build's sha256 is VARCHAR-only).
+    oracle=f"""
+    WITH b AS (
+      SELECT doc_id, text, octet_length(encode(text)) AS n FROM documents),
+    p AS (
+      SELECT doc_id, text, n, greatest(1, n // {RESIZE_TARGET}) AS stride,
+             least({RESIZE_TARGET},
+                   CASE WHEN n = 0 THEN 0 ELSE 1 + (n - 1) // greatest(1, n // {RESIZE_TARGET}) END)
+               AS cnt
+      FROM b),
+    r AS (
+      SELECT doc_id, n, stride, cnt,
+             CASE WHEN cnt = 0 THEN '' ELSE array_to_string(
+               list_transform(generate_series(0, cnt - 1),
+                              i -> substr(text, i * stride + 1, 1)), '')
+             END AS rstr
+      FROM p)
+    SELECT doc_id,
+           CAST(n AS BIGINT) AS byte_len,
+           CAST((n % 64) + 1 AS INTEGER) AS width,
+           CAST((n // 64) + 1 AS INTEGER) AS height,
+           CAST(stride AS INTEGER) AS stride,
+           CAST(cnt AS BIGINT) AS dst_byte_len,
+           sha256(rstr) AS resized_sha
+    FROM r
+    """,
+    tags=("multimodal",),
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize/downsample stage (operators/multimodal.py:resize_media): each
+    payload reduced to a bounded byte budget in a map-only Arrow stage; the
+    graded row carries source geometry, stride, and the sha256 of the
+    resized payload (the binary itself flows to downstream stages)."""
+    from distributed_api_etl_spark.operators.multimodal import (
+        attach_binary_content,
+        resize_media,
+    )
+
+    docs = fan_out(table(spark, sf_dir, "documents"))
+    out = resize_media(
+        attach_binary_content(docs, "doc_id", "text"), target_bytes=RESIZE_TARGET
+    )
+    return out.select(
+        "doc_id", "byte_len", "width", "height", "stride", "dst_byte_len",
+        "resized_sha",
+    )
