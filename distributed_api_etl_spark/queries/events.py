@@ -669,3 +669,64 @@ def events_rolling_1h_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("sum_value_1h"),
     )
+
+
+def winsorize_normalize(
+    df: DataFrame,
+    value_col: str,
+    lo_q: float = 0.01,
+    hi_q: float = 0.99,
+    approx: bool = False,
+) -> DataFrame:
+    """Feature clipping + min-max normalization against winsorized bounds.
+
+    The scaling staple before model training: clamp to [p_lo, p_hi] (so a
+    handful of outliers can't flatten the feature range) and normalize to
+    [0, 1]. Two passes: ONE one-row percentile aggregate (exact tier for
+    grading; ``approx=True`` flips to the bounded-memory sketch for the
+    100 TB path, same plan shape), broadcast back (one row — always
+    broadcastable), then a map-only clamp/scale. Adds ``{value}_clipped``
+    and ``{value}_norm`` (portable_round6 — the bounds and the two IEEE
+    ops after them are bit-identical cross-engine).
+    """
+    from distributed_api_etl_spark.operators.text import portable_round6
+
+    fn = "approx_percentile" if approx else "percentile"
+    bounds = df.agg(
+        F.expr(f"{fn}({value_col}, {lo_q})").cast("double").alias("_lo"),
+        F.expr(f"{fn}({value_col}, {hi_q})").cast("double").alias("_hi"),
+    )
+    clipped = F.least(F.greatest(F.col(value_col), F.col("_lo")), F.col("_hi"))
+    norm = F.when(F.col("_hi") > F.col("_lo"), (clipped - F.col("_lo")) / (F.col("_hi") - F.col("_lo"))).otherwise(F.lit(0.0))
+    return (
+        df.crossJoin(F.broadcast(bounds))
+        .withColumn(f"{value_col}_clipped", portable_round6(clipped))
+        .withColumn(f"{value_col}_norm", portable_round6(norm))
+        .drop("_lo", "_hi")
+    )
+
+
+@register(
+    "events_value_winsorized",
+    oracle="""
+    WITH b AS (SELECT quantile_cont(value, 0.01) AS lo,
+                      quantile_cont(value, 0.99) AS hi
+               FROM events)
+    SELECT event_id,
+           floor(least(greatest(value, lo), hi) * 1000000.0 + 0.5) / 1000000.0
+             AS value_clipped,
+           floor((CASE WHEN hi > lo
+                  THEN (least(greatest(value, lo), hi) - lo) / (hi - lo)
+                  ELSE 0.0 END) * 1000000.0 + 0.5) / 1000000.0 AS value_norm
+    FROM events, b
+    """,
+    tags=("events", "stats", "ml"),
+)
+def events_value_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized [p01, p99] clipping + min-max normalization of the event
+    value — graded on the exact-percentile tier; the approx flag is the
+    at-scale path with the identical plan shape."""
+    ev = table(spark, sf_dir, "events")
+    return winsorize_normalize(ev, "value").select(
+        "event_id", "value_clipped", "value_norm"
+    )

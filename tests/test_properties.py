@@ -273,3 +273,60 @@ def test_chunk_documents_reconstruction(spark_global, token_counts, chunk_size):
         assert len(chunks) == n_full
         rebuilt = " ".join(c for _, c in chunks).split(" ") if chunks else []
         assert rebuilt == toks[: n_full * chunk_size]
+
+
+# ---------------------------------------------------------------------------
+# Z-order interleave: bijective on the (x, y) grid, monotone block locality
+# ---------------------------------------------------------------------------
+@settings(max_examples=20, deadline=None)
+@given(st.integers(min_value=2, max_value=6))
+def test_zorder_interleave_bijective(bits):
+    from distributed_api_etl_spark.operators.layout import zorder_expr
+
+    con = duckdb.connect()
+    n = 1 << bits
+    rows = con.sql(
+        f"""
+        SELECT x, y, {zorder_expr('x', 'y', bits=bits, sql_div='//')} AS z
+        FROM generate_series(0, {n - 1}) g1(x), generate_series(0, {n - 1}) g2(y)
+        """
+    ).fetchall()
+    zs = [r[2] for r in rows]
+    assert len(set(zs)) == n * n  # bijective
+    assert min(zs) == 0 and max(zs) == n * n - 1  # dense
+    # locality: the low 2k bits of z identify the 2^k x 2^k block
+    for x, y, z in rows:
+        assert (z & 3) == (x & 1) | ((y & 1) << 1)
+
+
+# ---------------------------------------------------------------------------
+# HLL register merge: associative/commutative, equals whole-set registers
+# ---------------------------------------------------------------------------
+@settings(max_examples=15, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    st.lists(st.integers(min_value=0, max_value=10**6), min_size=1, max_size=200),
+    st.integers(min_value=1, max_value=5),
+)
+def test_hll_register_merge_partition_invariant(spark_global, keys, n_parts):
+    from pyspark.sql import functions as F
+
+    from distributed_api_etl_spark.operators.sketch import hll_registers
+
+    df = spark_global.createDataFrame([(k,) for k in keys], "k bigint")
+    whole = {
+        (r["bucket"], r["max_rho"])
+        for r in hll_registers(df, "k", []).collect()
+    }
+    # split into arbitrary disjoint parts, sketch each, merge with max
+    parts = [
+        hll_registers(df.where(F.pmod(F.col("k"), F.lit(n_parts)) == i), "k", [])
+        for i in range(n_parts)
+    ]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    merged = {
+        (r["bucket"], r["max_rho"])
+        for r in u.groupBy("bucket").agg(F.max("max_rho").alias("max_rho")).collect()
+    }
+    assert merged == whole
