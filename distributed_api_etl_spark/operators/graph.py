@@ -265,6 +265,12 @@ def pagerank_fixed_point(
     deg = sym.groupBy("a").agg(F.count("*").alias("deg_a"))
     linked = sym.join(deg, "a").persist()
     n_nodes = linked.select("a").distinct().count()
+    if n_nodes == 0:
+        linked.unpersist()
+        spark = edges.sparkSession
+        return spark.createDataFrame(
+            [], "node bigint, pr_fp bigint, pr double"
+        )
     base = (15 * scale) // (100 * n_nodes)
     pr = (
         linked.select(F.col("a").alias("node"))

@@ -110,8 +110,16 @@ def hll_estimate(registers: DataFrame, group_cols: list[str]) -> DataFrame:
         registers.groupBy(*group_cols)
         .agg(
             F.count("*").alias("present"),
-            F.sum(
-                F.expr("CAST(1.0 AS DOUBLE) / shiftleft(CAST(1 AS BIGINT), max_rho)")
+            # coalesce: the global (no-group) aggregate of an EMPTY input is
+            # one row with a null sum; 0.0 routes it to linear counting,
+            # which correctly estimates 0 with every register empty
+            F.coalesce(
+                F.sum(
+                    F.expr(
+                        "CAST(1.0 AS DOUBLE) / shiftleft(CAST(1 AS BIGINT), max_rho)"
+                    )
+                ),
+                F.lit(0.0),
             ).alias("inv_sum"),
         )
         .select(

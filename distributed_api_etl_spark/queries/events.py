@@ -696,8 +696,11 @@ def winsorize_normalize(
         F.expr(f"{fn}({value_col}, {lo_q})").cast("double").alias("_lo"),
         F.expr(f"{fn}({value_col}, {hi_q})").cast("double").alias("_hi"),
     )
-    clipped = F.least(F.greatest(F.col(value_col), F.col("_lo")), F.col("_hi"))
-    norm = F.when(F.col("_hi") > F.col("_lo"), (clipped - F.col("_lo")) / (F.col("_hi") - F.col("_lo"))).otherwise(F.lit(0.0))
+    # null bounds (empty input / all-null values) degrade to identity clip
+    lo = F.coalesce(F.col("_lo"), F.col(value_col))
+    hi = F.coalesce(F.col("_hi"), F.col(value_col))
+    clipped = F.least(F.greatest(F.col(value_col), lo), hi)
+    norm = F.when(hi > lo, (clipped - lo) / (hi - lo)).otherwise(F.lit(0.0))
     return (
         df.crossJoin(F.broadcast(bounds))
         .withColumn(f"{value_col}_clipped", portable_round6(clipped))

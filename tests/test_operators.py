@@ -951,3 +951,36 @@ def test_snapshot_diff_classifies_all_change_types(spark):
     o2 = spark.createDataFrame([(1, None)], "k int, s string")
     n2 = spark.createDataFrame([(1, "null")], "k int, s string")
     assert snapshot_diff(o2, n2, "k", ["s"]).collect()[0]["change_type"] == "changed"
+
+
+def test_round4_operators_tolerate_empty_input(spark):
+    from pyspark.sql import functions as F
+
+    from distributed_api_etl_spark.operators.graph import pagerank_fixed_point
+    from distributed_api_etl_spark.operators.reconcile import snapshot_diff
+    from distributed_api_etl_spark.operators.sketch import (
+        bloom_might_contain,
+        build_bloom,
+        hll_estimate,
+        hll_registers,
+    )
+    from distributed_api_etl_spark.operators.text import boilerplate_ngram_stats
+    from distributed_api_etl_spark.queries.events import winsorize_normalize
+
+    empty_kv = spark.createDataFrame([], "k bigint, v double")
+    empty_edges = spark.createDataFrame([], "d1 bigint, d2 bigint")
+    empty_docs = spark.createDataFrame([], "doc_id bigint, text string")
+
+    assert pagerank_fixed_point(empty_edges).count() == 0
+    # global (no-group) estimate of an empty set: one row, estimate 0
+    est_rows = hll_estimate(hll_registers(empty_kv, "k", []), []).collect()
+    assert len(est_rows) == 1 and est_rows[0]["est_distinct"] == 0.0
+    # empty build side: bitmap empty, NOTHING passes (no false positives
+    # from a missing filter)
+    probe = spark.createDataFrame([(1,), (2,)], "k bigint")
+    bm = build_bloom(empty_kv, "k")
+    assert bloom_might_contain(probe, "k", bm).where("bloom_pass").count() == 0
+    assert snapshot_diff(empty_kv, empty_kv, "k", ["v"]).count() == 0
+    assert boilerplate_ngram_stats(empty_docs, "doc_id", "text").count() == 0
+    out = winsorize_normalize(empty_kv, "v")
+    assert out.count() == 0 and "v_norm" in out.columns
