@@ -733,3 +733,73 @@ def events_value_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winsorize_normalize(ev, "value").select(
         "event_id", "value_clipped", "value_norm"
     )
+
+
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+@register(
+    "events_pivot_type_counts",
+    oracle=f"""
+    SELECT CAST(user_id AS BIGINT) AS user_id,
+           {", ".join(f"CAST(count(*) FILTER (event_type = '{t}') AS BIGINT) AS n_{t}" for t in EVENT_TYPES)}
+    FROM events GROUP BY user_id
+    """,
+    tags=("events", "reshape"),
+)
+def events_pivot_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide per-user activity matrix via ``groupBy().pivot()`` — the
+    reshape operator the catalog lacked. The pivot VALUES ARE DECLARED
+    (not discovered): at 100 TB an undeclared pivot first runs a distinct
+    scan over the pivot column AND plans one output column per value —
+    declaring them keeps planning O(1) and the single shuffle identical
+    to a plain groupBy."""
+    ev = table(spark, sf_dir, "events")
+    out = (
+        ev.groupBy(F.col("user_id").cast("bigint").alias("user_id"))
+        .pivot("event_type", list(EVENT_TYPES))
+        .agg(F.count(F.lit(1)))
+    )
+    return out.select(
+        "user_id",
+        *[F.coalesce(F.col(t), F.lit(0)).cast("bigint").alias(f"n_{t}") for t in EVENT_TYPES],
+    )
+
+
+@register(
+    "lineitem_unpivot_metrics",
+    oracle="""
+    SELECT metric,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(round(sum(CAST(v AS DECIMAL(14,2))), 2) AS DOUBLE) AS total
+    FROM (
+      SELECT 'extendedprice' AS metric, l_extendedprice AS v FROM lineitem
+      UNION ALL SELECT 'discount', l_discount FROM lineitem
+      UNION ALL SELECT 'tax', l_tax FROM lineitem)
+    GROUP BY metric
+    """,
+    tags=("relational", "reshape"),
+)
+def lineitem_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long-form metric table via ``DataFrame.unpivot`` (melt) + one
+    aggregation — the inverse reshape. unpivot is a zero-shuffle Expand
+    (each row emits one row per metric in-place); only the final
+    aggregation shuffles, on the tiny metric key. Decimal-sum-then-round
+    keeps the money totals engine-exact."""
+    li = table(spark, sf_dir, "lineitem")
+    long = li.unpivot(
+        [],
+        [
+            F.col("l_extendedprice").alias("extendedprice"),
+            F.col("l_discount").alias("discount"),
+            F.col("l_tax").alias("tax"),
+        ],
+        "metric",
+        "v",
+    )
+    return long.groupBy("metric").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum(F.col("v").cast(DecimalType(14, 2))), 2)
+        .cast("double")
+        .alias("total"),
+    )
