@@ -109,3 +109,49 @@ def write_zordered(
         .mode("overwrite")
         .save(location)
     )
+
+
+def optimize_zorder(
+    spark,
+    location: str,
+    x_col: str,
+    y_col: str,
+    target_file_mb: int = 128,
+    bucket_bits: int = 8,
+) -> dict:
+    """In-place table maintenance: rewrite a parquet location clustered by
+    the (x, y) Morton key — the parquet-native analog of Delta
+    ``OPTIMIZE ... ZORDER BY`` (compaction + multi-dimension clustering in
+    one rewrite).
+
+    File count derives from total bytes (the compact_files sizing rule);
+    the swap is the same two-rename protocol as compact_files /
+    upsert_parquet through the Hadoop FileSystem of the location (works on
+    file:/hdfs:/s3a:; a crash leaves old or new, never a mix — see
+    core/table_manager.compact_files for the concurrency caveats).
+    Returns {files_before, files_after, bytes}.
+    """
+    import math
+
+    sc = spark.sparkContext
+    jvm_path = sc._jvm.org.apache.hadoop.fs.Path  # noqa: SLF001
+    fs = jvm_path(location).getFileSystem(sc._jsc.hadoopConfiguration())  # noqa: SLF001
+    df = spark.read.parquet(location)
+    files_before = len(df.inputFiles())
+    total_bytes = fs.getContentSummary(jvm_path(location)).getLength()
+    n_out = max(1, math.ceil(total_bytes / (target_file_mb * 1024 * 1024)))
+    tmp = location.rstrip("/") + "__zorder_tmp"
+    old = location.rstrip("/") + "__zorder_old"
+    write_zordered(df, tmp, x_col, y_col, n_files=n_out, bucket_bits=bucket_bits)
+    if not fs.rename(jvm_path(location), jvm_path(old)):
+        raise OSError(f"optimize_zorder: rename {location} -> {old} failed")
+    if not fs.rename(jvm_path(tmp), jvm_path(location)):
+        fs.rename(jvm_path(old), jvm_path(location))
+        raise OSError(f"optimize_zorder: rename {tmp} -> {location} failed")
+    fs.delete(jvm_path(old), True)
+    files_after = len(spark.read.parquet(location).inputFiles())
+    return {
+        "files_before": files_before,
+        "files_after": files_after,
+        "bytes": int(total_bytes),
+    }

@@ -828,3 +828,65 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "byte_len", "width", "height", "stride", "dst_byte_len",
         "resized_sha",
     )
+
+
+MIX_ALPHA = 0.7
+MIX_BUDGET = 300
+
+
+@register(
+    "documents_temperature_mixture",
+    oracle=f"""
+    WITH counts AS (
+      SELECT lang, CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY lang),
+    tot AS (SELECT sum(n_docs) AS n FROM counts),
+    raised AS (
+      SELECT lang, n_docs,
+             pow(CAST(n_docs AS DOUBLE) / (SELECT n FROM tot), {MIX_ALPHA}) AS q_raw
+      FROM counts),
+    norm AS (SELECT sum(q_raw) AS z FROM raised)
+    SELECT lang, n_docs,
+           floor((q_raw / (SELECT z FROM norm)) * 1000000.0 + 0.5) / 1000000.0
+             AS mix_weight,
+           CAST(least(CAST(n_docs AS DOUBLE),
+                floor({MIX_BUDGET} * q_raw / (SELECT z FROM norm) + 0.5))
+             AS BIGINT) AS target_docs
+    FROM raised
+    """,
+    tags=("text", "sampling", "ml"),
+    # graded=False: local oracle evidence at zero driver-window cost while
+    # the round-4 grading backlog drains; flip to graded once rotation
+    # catches up.
+    graded=False,
+)
+def documents_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based multilingual mixture (the UniMax / alpha-sampling
+    staple): per-language sampling weights proportional to p_l^alpha
+    (alpha<1 upsamples the tail so low-resource languages aren't drowned),
+    plus the per-language target doc count for a fixed budget, capped at
+    availability. One tiny groupBy; the weights are plan literals for the
+    downstream sampler. pow() is sub-ulp on both engines; the
+    portable-round pattern absorbs it (same argument as the HLL ln)."""
+    docs = table(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang").agg(F.count("*").alias("n_docs"))
+    tot = counts.agg(F.sum("n_docs").alias("n"))
+    raised = counts.crossJoin(F.broadcast(tot)).withColumn(
+        "q_raw", F.pow(F.col("n_docs").cast("double") / F.col("n"), F.lit(MIX_ALPHA))
+    )
+    z = raised.agg(F.sum("q_raw").alias("z"))
+    return (
+        raised.crossJoin(F.broadcast(z))
+        .select(
+            "lang",
+            "n_docs",
+            F.expr("floor((q_raw / z) * 1000000.0 + 0.5) / 1000000.0").alias(
+                "mix_weight"
+            ),
+            F.least(
+                F.col("n_docs").cast("double"),
+                F.expr(f"floor({MIX_BUDGET} * q_raw / z + 0.5)"),
+            )
+            .cast("bigint")
+            .alias("target_docs"),
+        )
+    )

@@ -267,3 +267,33 @@ def test_upsert_parquet_rejects_duplicate_update_keys(spark, tmp_path):
         upsert_parquet(spark, loc, dup, "request_id")
     # sink untouched
     assert spark.read.parquet(loc).count() == 1
+
+
+def test_optimize_zorder_rewrites_in_place(spark, sf_dir, tmp_path):
+    from pyspark.sql import functions as F
+
+    from distributed_api_etl_spark.operators.layout import optimize_zorder
+    from distributed_api_etl_spark.queries.registry import table
+
+    loc = str(tmp_path / "ev")
+    ev = table(spark, sf_dir, "events").withColumn(
+        "minute_idx", F.expr("div(unix_millis(cast(ts as timestamp)), 60000)")
+    )
+    # fragmented starting layout
+    ev.repartition(16).write.parquet(loc)
+    before = spark.read.parquet(loc)
+    n_rows = before.count()
+    # materialize BEFORE the swap: the rewrite replaces the files this
+    # frame's listing points at
+    sum_before = before.agg(F.sum("event_id")).first()[0]
+    stats = optimize_zorder(spark, loc, "user_id", "minute_idx", target_file_mb=1)
+    after = spark.read.parquet(loc)
+    assert after.count() == n_rows
+    assert stats["files_before"] == 16
+    assert stats["files_after"] == len(after.inputFiles())
+    # same data, new layout; scratch dirs gone
+    import os
+
+    assert not os.path.exists(loc + "__zorder_tmp")
+    assert not os.path.exists(loc + "__zorder_old")
+    assert after.agg(F.sum("event_id")).first()[0] == sum_before
