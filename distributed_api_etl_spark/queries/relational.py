@@ -965,3 +965,71 @@ def bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(spark.table("bucketed_q.customer_b"), "custkey")
         .select("o_orderkey", "custkey", "c_name", "c_mktsegment")
     )
+
+
+@register(
+    "customer_rfm_segments",
+    oracle="""
+    WITH maxd AS (SELECT max(o_orderdate) AS d FROM orders),
+    rfm AS (
+      SELECT o_custkey AS c_custkey,
+             date_diff('day', max(o_orderdate), (SELECT d FROM maxd)) AS recency_days,
+             CAST(count(*) AS BIGINT) AS frequency,
+             CAST(round(sum(CAST(o_totalprice AS DECIMAL(14,2))), 2) AS DOUBLE)
+               AS monetary
+      FROM orders GROUP BY o_custkey)
+    SELECT c_custkey, CAST(recency_days AS BIGINT) AS recency_days,
+           frequency, monetary,
+           CAST(CASE WHEN recency_days <= 90 THEN 3
+                     WHEN recency_days <= 365 THEN 2 ELSE 1 END AS INTEGER) AS r_score,
+           CAST(CASE WHEN frequency >= 15 THEN 3
+                     WHEN frequency >= 8 THEN 2 ELSE 1 END AS INTEGER) AS f_score,
+           CAST(CASE WHEN monetary >= 2000000 THEN 3
+                     WHEN monetary >= 1000000 THEN 2 ELSE 1 END AS INTEGER) AS m_score
+    FROM rfm
+    """,
+    tags=("relational", "ml"),
+    # graded=False: local oracle evidence at zero driver-window cost
+    graded=False,
+)
+def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation (recency/frequency/monetary scores with
+    fixed business thresholds — integer boundaries, so segment assignment
+    is bit-exact): one groupBy on the customer key plus a one-row max-date
+    broadcast. Day arithmetic via datediff on DATE values (no
+    engine-boundary-crossing second counting)."""
+    orders = table(spark, sf_dir, "orders")
+    maxd = orders.agg(F.max("o_orderdate").alias("d"))
+    rfm = (
+        orders.groupBy(F.col("o_custkey").alias("c_custkey"))
+        .agg(
+            F.max("o_orderdate").alias("last_order"),
+            F.count("*").alias("frequency"),
+            F.round(F.sum(F.col("o_totalprice").cast(DecimalType(14, 2))), 2)
+            .cast("double")
+            .alias("monetary"),
+        )
+        .crossJoin(F.broadcast(maxd))
+        .withColumn("recency_days", F.datediff(F.col("d"), F.col("last_order")).cast("bigint"))
+    )
+    return rfm.select(
+        "c_custkey",
+        "recency_days",
+        "frequency",
+        "monetary",
+        F.when(F.col("recency_days") <= 90, 3)
+        .when(F.col("recency_days") <= 365, 2)
+        .otherwise(1)
+        .cast("int")
+        .alias("r_score"),
+        F.when(F.col("frequency") >= 15, 3)
+        .when(F.col("frequency") >= 8, 2)
+        .otherwise(1)
+        .cast("int")
+        .alias("f_score"),
+        F.when(F.col("monetary") >= 2000000, 3)
+        .when(F.col("monetary") >= 1000000, 2)
+        .otherwise(1)
+        .cast("int")
+        .alias("m_score"),
+    )

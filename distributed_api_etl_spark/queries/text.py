@@ -846,7 +846,7 @@ MIX_BUDGET = 300
       FROM counts),
     norm AS (SELECT sum(q_raw) AS z FROM raised)
     SELECT lang, n_docs,
-           floor((q_raw / (SELECT z FROM norm)) * 1000000.0 + 0.5) / 1000000.0
+           floor((q_raw / (SELECT z FROM norm)) * 1e6 + 0.5) / 1e6
              AS mix_weight,
            CAST(least(CAST(n_docs AS DOUBLE),
                 floor({MIX_BUDGET} * q_raw / (SELECT z FROM norm) + 0.5))
@@ -879,9 +879,7 @@ def documents_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame
         .select(
             "lang",
             "n_docs",
-            F.expr("floor((q_raw / z) * 1000000.0 + 0.5) / 1000000.0").alias(
-                "mix_weight"
-            ),
+            F.expr("floor((q_raw / z) * 1e6 + 0.5) / 1e6").alias("mix_weight"),
             F.least(
                 F.col("n_docs").cast("double"),
                 F.expr(f"floor({MIX_BUDGET} * q_raw / z + 0.5)"),
