@@ -23,6 +23,13 @@ class MockApiServer:
         outer = self
 
         class Handler(BaseHTTPRequestHandler):
+            # HTTP/1.1 keep-alive: every reply carries Content-Length, so
+            # clients can reuse connections — without this each request
+            # pays a fresh TCP setup + server thread spawn, which distorts
+            # concurrency measurements (and real APIs keep connections
+            # alive, which is what the pooled transports are tuned for)
+            protocol_version = "HTTP/1.1"
+
             def log_message(self, *a):  # noqa: D102
                 return
 
@@ -46,6 +53,10 @@ class MockApiServer:
                 try:
                     if parsed.path == "/ok":
                         time.sleep(0.002)
+                        self._reply(200, {"echo": params})
+                    elif parsed.path == "/slow":
+                        # I/O-bound API emulation: latency from the ms param
+                        time.sleep(float(params.get("ms", "50")) / 1000.0)
                         self._reply(200, {"echo": params})
                     elif parsed.path == "/flaky":
                         rid = params.get("id", "?")
