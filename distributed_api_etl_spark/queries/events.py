@@ -835,3 +835,78 @@ def events_type_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("prev_type", F.col("event_type").alias("next_type"))
         .agg(F.count("*").alias("n"))
     )
+
+
+@register(
+    "events_value_mad_outliers",
+    oracle="""
+    WITH med AS (SELECT quantile_cont(value, 0.5) AS m FROM events),
+    dev AS (SELECT event_type, value, abs(value - (SELECT m FROM med)) AS d
+            FROM events),
+    madv AS (SELECT quantile_cont(d, 0.5) AS mad FROM dev)
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(*) FILTER (
+             d > 3.0 * 1.4826 * (SELECT mad FROM madv)) AS BIGINT) AS n_outliers
+    FROM dev GROUP BY event_type
+    """,
+    tags=("events", "stats"),
+    # graded=False: local oracle evidence at zero driver-window cost
+    graded=False,
+)
+def events_value_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier counts via median/MAD (the 3-sigma dual that a few
+    extreme points cannot poison — the mean/std of events_value_outliers
+    move with every outlier, the median/MAD do not): two exact-percentile
+    passes (each a one-row aggregate broadcast back; the approx_percentile
+    flag pattern of value_percentiles applies unchanged at scale) and a
+    map-side threshold at the conventional 3 x 1.4826 x MAD."""
+    ev = table(spark, sf_dir, "events")
+    med = ev.agg(F.expr("percentile(value, 0.5)").cast("double").alias("m"))
+    dev = ev.crossJoin(F.broadcast(med)).withColumn(
+        "d", F.abs(F.col("value") - F.col("m"))
+    )
+    mad = dev.agg(F.expr("percentile(d, 0.5)").cast("double").alias("mad"))
+    return (
+        dev.crossJoin(F.broadcast(mad))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(
+                (F.col("d") > F.lit(3.0) * F.lit(1.4826) * F.col("mad")).cast("bigint")
+            ).alias("n_outliers"),
+        )
+    )
+
+
+@register(
+    "events_dow_seasonality",
+    oracle="""
+    SELECT CAST((epoch_ms(CAST(ts AS TIMESTAMP)) // 86400000 + 4) % 7 AS INTEGER)
+             AS dow,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM events GROUP BY 1, 2
+    """,
+    tags=("events", "calendar"),
+    # graded=False: local oracle evidence at zero driver-window cost
+    graded=False,
+)
+def events_dow_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week activity matrix with ENGINE-PORTABLE dow: Spark's
+    dayofweek() is 1=Sunday, DuckDB's dayofweek() is 0=Sunday and isodow()
+    is 1=Monday — calendar functions are a cross-engine trap, so the dow
+    here is pure integer epoch-day arithmetic ((days since 1970-01-01 + 4)
+    mod 7, 0=Monday — 1970-01-01 was a Thursday) on the UTC-pinned
+    normalized timestamps."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.withColumn(
+            "dow",
+            F.expr(
+                "CAST(pmod(div(unix_millis(cast(ts as timestamp)), 86400000) + 4, 7) AS INT)"
+            ),
+        )
+        .groupBy("dow", "event_type")
+        .agg(F.count("*").alias("n_events"))
+    )
