@@ -910,3 +910,101 @@ def events_dow_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("dow", "event_type")
         .agg(F.count("*").alias("n_events"))
     )
+
+
+@register(
+    "events_linear_attribution",
+    oracle="""
+    WITH pairs AS (
+      SELECT a.event_id AS click_id, b.event_id AS purchase_id
+      FROM events a JOIN events b
+        ON a.user_id = b.user_id
+       AND a.event_type = 'click' AND b.event_type = 'purchase'
+       AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL '1 hour'),
+    split AS (
+      SELECT click_id, purchase_id,
+             1000000000 // count(*) OVER (PARTITION BY purchase_id) AS credit_ppb
+      FROM pairs)
+    SELECT click_id,
+           CAST(count(*) AS BIGINT) AS n_purchases_touched,
+           CAST(sum(credit_ppb) AS BIGINT) AS credit_ppb
+    FROM split GROUP BY click_id
+    """,
+    tags=("events", "attribution"),
+    # graded=False: local oracle evidence at zero driver-window cost
+    graded=False,
+)
+def events_linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear (equal-split) marketing attribution: each purchase's credit
+    divides equally across the clicks in its preceding hour. Credits are
+    INTEGER parts-per-billion (1e9 // touch_count) so the per-click sums
+    are exact BIGINT arithmetic on both engines — float fractions would
+    make every aggregation order-dependent. Plan: the interval pair join
+    (as events_asof/interval queries), one window over purchase_id, one
+    aggregation by click."""
+    ev = table(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("cu"), F.col("event_id").alias("click_id"),
+        F.col("ts").alias("cts"),
+    )
+    purch = ev.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("pu"), F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("pts"),
+    )
+    pairs = clicks.join(
+        purch,
+        (F.col("cu") == F.col("pu"))
+        & (F.col("pts") >= F.col("cts"))
+        & (F.col("pts") <= F.col("cts") + F.expr("INTERVAL 1 hour")),
+    )
+    w = Window.partitionBy("purchase_id")
+    split = pairs.withColumn("touches", F.count("*").over(w)).withColumn(
+        "credit_ppb", F.expr("div(CAST(1000000000 AS BIGINT), touches)")
+    )
+    return split.groupBy("click_id").agg(
+        F.count("*").alias("n_purchases_touched"),
+        F.sum("credit_ppb").alias("credit_ppb"),
+    )
+
+
+@register(
+    "events_interarrival_stats",
+    oracle="""
+    WITH gaps AS (
+      SELECT user_id,
+             epoch_ms(ts) - lag(epoch_ms(ts)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS gap_ms
+      FROM events)
+    SELECT CAST(user_id AS BIGINT) AS user_id,
+           CAST(count(gap_ms) AS BIGINT) AS n_gaps,
+           CAST(min(gap_ms) AS BIGINT) AS min_gap_ms,
+           quantile_cont(gap_ms, 0.5) AS median_gap_ms,
+           CAST(max(gap_ms) AS BIGINT) AS max_gap_ms
+    FROM gaps WHERE gap_ms IS NOT NULL GROUP BY user_id
+    """,
+    tags=("events", "sequence", "stats"),
+    # graded=False: local oracle evidence at zero driver-window cost
+    graded=False,
+)
+def events_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user activity cadence: inter-event gap stats from one lag window
+    (single shuffle on user_id, deterministic (ts, event_id) order) — the
+    burstiness/engagement features behind bot detection and session-gap
+    tuning (the 30-min sessionize gap should dominate these medians).
+    Exact interpolated median per user (grouped percentile; groups are
+    per-user sized, so the exact tier holds far beyond test scale)."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = ev.select(
+        F.col("user_id").cast("bigint").alias("user_id"),
+        (
+            F.unix_millis(F.col("ts").cast("timestamp"))
+            - F.lag(F.unix_millis(F.col("ts").cast("timestamp"))).over(w)
+        ).alias("gap_ms"),
+    ).where(F.col("gap_ms").isNotNull())
+    return gaps.groupBy("user_id").agg(
+        F.count("gap_ms").alias("n_gaps"),
+        F.min("gap_ms").alias("min_gap_ms"),
+        F.expr("percentile(gap_ms, 0.5)").cast("double").alias("median_gap_ms"),
+        F.max("gap_ms").alias("max_gap_ms"),
+    )
