@@ -9,6 +9,8 @@ doubles.
 
 from __future__ import annotations
 
+import hashlib
+import json
 import math
 
 import duckdb
@@ -41,9 +43,36 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
     return df
 
 
+def driver_vhash(pdf: pd.DataFrame) -> str:
+    """The driver's EXACT value-hash canonicalization (verify recipe).
+
+    Stricter than the per-column compare below: floats canonicalize via
+    ``repr(float(v))`` but everything else via ``str(v)``, so a DECIMAL
+    column (e.g. from a bare ``1000000.0`` literal inside F.expr) hashes as
+    ``'0.160427000'`` and NEVER matches the oracle's ``'0.160427'`` even
+    when the values are equal — the exact failure mode the laxer
+    astype(float) compare used to hide.
+    """
+    pdf = pdf[sorted(pdf.columns)]
+    recs = sorted(
+        json.dumps(
+            [
+                None
+                if pd.isna(v)
+                else (repr(float(v)) if isinstance(v, float) else str(v))
+                for v in row
+            ]
+        )
+        for row in pdf.itertuples(index=False)
+    )
+    return hashlib.md5("\n".join(recs).encode()).hexdigest()
+
+
 def assert_matches_oracle(spark_df, oracle_sql: str, sf_dir: str, float_tol: float = 0.0):
-    actual = _normalize(spark_df.toPandas())
-    expected = _normalize(run_oracle(oracle_sql, sf_dir))
+    raw_actual = spark_df.toPandas()
+    raw_expected = run_oracle(oracle_sql, sf_dir)
+    actual = _normalize(raw_actual)
+    expected = _normalize(raw_expected)
     assert list(actual.columns) == list(expected.columns), (
         f"column mismatch: spark={list(actual.columns)} oracle={list(expected.columns)}"
     )
@@ -67,3 +96,12 @@ def assert_matches_oracle(spark_df, oracle_sql: str, sf_dir: str, float_tol: flo
                 raise AssertionError(
                     f"col {c} row {i}: spark={a[i]!r} oracle={e[i]!r}"
                 )
+    # the driver's exact hash, last: the per-column pass above localizes a
+    # diff for debugging; this catches dtype-level divergence it coerces away
+    if float_tol == 0.0:
+        ah, eh = driver_vhash(raw_actual), driver_vhash(raw_expected)
+        assert ah == eh, (
+            "driver value-hash mismatch despite per-column equality — "
+            "dtype-level divergence (DECIMAL vs DOUBLE column?); run the "
+            "driver-sim in .claude/skills/verify/SKILL.md to localize"
+        )
