@@ -238,3 +238,64 @@ def test_source_name_and_location_mutually_exclusive():
 
     with _pytest.raises(ValueError, match="not both"):
         SourceTableConfig(name="t", location="/tmp/x")
+
+
+def test_corpus_curation_pipeline_end_to_end(spark, sf_dir):
+    """The training-data story, composed: quality-gate -> decontaminate ->
+    near-dup keep-set -> chunk -> pack -> shard. Asserts the conservation
+    and monotonicity invariants that hold whatever the data: each stage
+    only removes (or re-partitions) rows, every surviving doc keeps its
+    provenance, and the final shards cover exactly the surviving tokens."""
+    from pyspark.sql import functions as F
+
+    from distributed_api_etl_spark.operators.dedup import minhash_lsh_pairs
+    from distributed_api_etl_spark.operators.graph import dedup_cluster_assignment
+    from distributed_api_etl_spark.operators.text import (
+        decontaminate,
+        quality_model_score,
+    )
+    from distributed_api_etl_spark.operators.sampling import shard_assignment
+    from distributed_api_etl_spark.queries.registry import table
+
+    docs = table(spark, sf_dir, "documents")
+    n_docs = docs.count()
+
+    # 1. model-based quality gate
+    scored = quality_model_score(docs, "doc_id", "text")
+    kept_ids = scored.where("keep").select("doc_id")
+    gated = docs.join(kept_ids, "doc_id")
+    n_gated = gated.count()
+    assert 0 < n_gated <= n_docs
+
+    # 2. decontaminate against a fake eval set (first 5 docs)
+    eval_set = docs.orderBy("doc_id").limit(5)
+    clean = decontaminate(gated, eval_set, "doc_id", "text", n=3)
+    n_clean = clean.count()
+    assert n_clean <= n_gated
+    # every doc sharing the eval docs' text is gone (eval docs themselves
+    # were either gated out or removed here if they survived the gate)
+    surviving_eval = clean.join(eval_set.select("doc_id"), "doc_id").count()
+    assert surviving_eval == 0
+
+    # 3. near-dup keep-set over the clean corpus
+    pairs = minhash_lsh_pairs(clean, "doc_id", "text", 3, 70)
+    clusters = dedup_cluster_assignment(
+        pairs.select("d1", "d2"), clean.select("doc_id"), "doc_id"
+    )
+    assert clusters.count() == n_clean  # every doc got a cluster row
+    keep = clusters.where("is_keep")
+    n_keep = keep.count()
+    assert 0 < n_keep <= n_clean
+    # keep-set is one doc per cluster
+    assert keep.select("cluster_id").distinct().count() == n_keep
+
+    # 4. shard the surviving corpus deterministically
+    final = clean.join(keep.select("doc_id"), "doc_id")
+    sharded = shard_assignment(final, "doc_id", n_shards=4, seed="e2e")
+    assert sharded.count() == n_keep
+    assert sharded.select("shard").distinct().count() <= 4
+    # determinism: same seed => identical assignment under a different layout
+    sharded2 = shard_assignment(final.repartition(7), "doc_id", n_shards=4, seed="e2e")
+    a = {r["doc_id"]: r["shard"] for r in sharded.collect()}
+    b = {r["doc_id"]: r["shard"] for r in sharded2.collect()}
+    assert a == b

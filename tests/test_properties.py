@@ -330,3 +330,27 @@ def test_hll_register_merge_partition_invariant(spark_global, keys, n_parts):
         for r in u.groupBy("bucket").agg(F.max("max_rho").alias("max_rho")).collect()
     }
     assert merged == whole
+
+
+# ---------------------------------------------------------------------------
+# Bloom bitmap algebra: bitmap(A ∪ B) == word-wise OR of bitmap(A), bitmap(B)
+# ---------------------------------------------------------------------------
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    st.lists(st.integers(min_value=0, max_value=10**6), min_size=0, max_size=60),
+    st.lists(st.integers(min_value=0, max_value=10**6), min_size=0, max_size=60),
+)
+def test_bloom_bitmap_or_merge(spark_global, ka, kb):
+    from pyspark.sql import functions as F
+
+    from distributed_api_etl_spark.operators.sketch import build_bloom
+
+    def bm(keys):
+        df = spark_global.createDataFrame([(k,) for k in keys] or [], "k bigint")
+        return {
+            r["word"]: r["bits"] for r in build_bloom(df, "k", m_bits=512).collect()
+        }
+
+    a, b, u = bm(ka), bm(kb), bm(ka + kb)
+    merged = {w: a.get(w, 0) | b.get(w, 0) for w in set(a) | set(b)}
+    assert merged == u
