@@ -340,3 +340,44 @@ def streaming_click_purchase_left_outer(spark: SparkSession, sf_dir: str) -> Dat
     )
     name = _drain_to_memory(out, mode="append")
     return spark.table(name)
+
+
+@register(
+    "streaming_hll_user_cardinality",
+    oracle=None,  # patched below: reuse the batch HLL oracle (same registers)
+    tags=("streaming", "sketch"),
+    # graded=False: local oracle evidence at zero driver-window cost
+    graded=False,
+)
+def streaming_hll_user_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-state streaming distinct-count: per-type HLL registers held
+    as applyInPandasWithState state (a FIXED 256 ints per group forever —
+    the only formulation that survives an unbounded stream; plain
+    streaming count(DISTINCT) state grows with the keys). The cross-batch
+    update is the sketch merge algebra (element-wise register max), so the
+    drained state equals the batch sketch EXACTLY and the batch HLL oracle
+    grades it; multi-batch behavior is pinned in tests/test_streaming.py."""
+    from distributed_api_etl_spark.operators.sketch import hll_estimate
+    from distributed_api_etl_spark.streaming import streaming_hll_distinct
+
+    stream = _events_stream(spark, sf_dir)
+    out = streaming_hll_distinct(stream, group_col="event_type", key_col="user_id")
+    name = _drain_to_memory(out, mode="update")
+    regs = (
+        spark.table(name)
+        .groupBy(F.col("g").alias("event_type"), "bucket")
+        .agg(F.max("max_rho").alias("max_rho"))
+        .where(F.col("max_rho") > 0)
+    )
+    return hll_estimate(regs, ["event_type"])
+
+
+from dataclasses import replace as _dc_replace  # noqa: E402
+
+from distributed_api_etl_spark.operators.sketch import hll_oracle_sql as _hll_sql  # noqa: E402
+from distributed_api_etl_spark.queries.registry import REGISTRY as _REG  # noqa: E402
+
+_REG["streaming_hll_user_cardinality"] = _dc_replace(
+    _REG["streaming_hll_user_cardinality"],
+    oracle=_hll_sql("user_id", "events", "event_type"),
+)

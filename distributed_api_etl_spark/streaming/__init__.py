@@ -10,4 +10,5 @@ from distributed_api_etl_spark.streaming.windows import (  # noqa: F401
 from distributed_api_etl_spark.streaming.stateful import (  # noqa: F401
     stateful_user_totals,
     streaming_exact_dedup,
+    streaming_hll_distinct,
 )

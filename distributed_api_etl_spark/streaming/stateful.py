@@ -119,3 +119,79 @@ def stateful_user_totals(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_hll_distinct(
+    events: DataFrame,
+    group_col: str = "event_type",
+    key_col: str = "user_id",
+) -> DataFrame:
+    """Bounded-state streaming distinct-count: per-group HLL registers as
+    ``applyInPandasWithState`` state.
+
+    Plain streaming ``count(DISTINCT key)`` needs state proportional to the
+    distinct keys — unbounded on a real stream. The HLL register table is
+    a FIXED 256 ints per group forever, and the cross-batch update is the
+    sketch's merge algebra (element-wise max of register arrays), so the
+    state after any number of micro-batches equals the batch sketch of the
+    union — which is what makes the result exactly gradable against the
+    batch oracle. Emits the group's full register table after every batch
+    that touches it (update mode); estimate with
+    ``operators.sketch.hll_estimate`` on the sink.
+
+    Hashing runs JVM-side (``portable_hash32``) BEFORE the Python stage —
+    the pandas function only buckets and maxes integers.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from distributed_api_etl_spark.operators.sketch import HLL_M, HLL_W
+    from distributed_api_etl_spark.functions.portable import portable_hash32
+
+    slim = events.select(
+        F.col(group_col).cast("string").alias("g"),
+        portable_hash32(F.col(key_col)).alias("h32"),
+    )
+
+    import numpy as np
+
+    def hll_fn(
+        key: tuple[Any, ...],
+        pdf_iter: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        regs = np.array(state.get[0] if state.exists else [0] * HLL_M, dtype=np.int64)
+        touched = False
+        for pdf in pdf_iter:
+            if not len(pdf):
+                continue
+            touched = True
+            h = pdf["h32"].to_numpy()
+            buckets = h >> HLL_W
+            rem = h & ((1 << HLL_W) - 1)
+            # rho = W + 1 - bit_length(rem). floor(log2(int)) is exact for
+            # ints < 2^24: log2 of an exact power is exact, and for any
+            # other x in (2^k, 2^(k+1)) the nearest-rounded log2 stays
+            # inside [k, k+1) (the gap to the integer dwarfs a half-ulp) —
+            # so no bin()-style detour is needed in numpy land.
+            bl = np.zeros(len(rem), dtype=np.int64)
+            nz = rem > 0
+            bl[nz] = np.floor(np.log2(rem[nz])).astype(np.int64) + 1
+            rho = (HLL_W + 1) - bl
+            np.maximum.at(regs, buckets, rho)
+        if touched:
+            state.update((regs.tolist(),))
+            yield pd.DataFrame(
+                {
+                    "g": [key[0]] * HLL_M,
+                    "bucket": list(range(HLL_M)),
+                    "max_rho": regs.tolist(),
+                }
+            )
+
+    return slim.groupBy("g").applyInPandasWithState(
+        hll_fn,
+        outputStructType="g string, bucket bigint, max_rho int",
+        stateStructType="regs array<int>",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

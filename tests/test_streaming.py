@@ -317,3 +317,49 @@ def test_left_outer_interval_join_emits_unmatched_after_eviction(spark, tmp_path
     # click 4's window (ends 7:00) is still ahead of the final watermark
     # (6:00): retained in state, correctly NOT emitted
     assert 4 not in got
+
+
+def test_streaming_hll_state_equals_batch_sketch(spark, tmp_path, sf_dir):
+    """Cross-batch HLL state (element-wise max of register arrays) must end
+    at EXACTLY the batch sketch of the union — the merge-algebra property,
+    exercised across two micro-batches via maxFilesPerTrigger=1."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from distributed_api_etl_spark.operators.sketch import hll_registers
+    from distributed_api_etl_spark.queries.registry import table
+    from distributed_api_etl_spark.streaming import streaming_hll_distinct
+
+    ev = table(spark, sf_dir, "events").select("event_type", "user_id")
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    ev.where("user_id % 2 = 0").coalesce(1).write.parquet(f"{src}/a")
+    ev.where("user_id % 2 = 1").coalesce(1).write.parquet(f"{src}/b")
+    schema = spark.read.parquet(f"{src}/a").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+    )
+    out = streaming_hll_distinct(stream, group_col="event_type", key_col="user_id")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("hll_sink")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300)
+    # update mode re-emits per batch: keep each group's LAST register table
+    sink = spark.table("hll_sink")
+    final = {}
+    for r in sink.collect():
+        final[(r["g"], r["bucket"])] = r["max_rho"]  # later rows overwrite
+    batch = {
+        (r["event_type"], r["bucket"]): r["max_rho"]
+        for r in hll_registers(ev, "user_id", ["event_type"]).collect()
+    }
+    # streaming emits ALL m registers (zeros included); compare non-zero
+    stream_nonzero = {k: v for k, v in final.items() if v > 0}
+    assert stream_nonzero == batch
