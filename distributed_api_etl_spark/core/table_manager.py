@@ -337,3 +337,33 @@ def upsert_parquet(
         "rows_updated": n_updates - rows_inserted,
         "rows_inserted": rows_inserted,
     }
+
+
+def read_with_evolution(
+    spark: SparkSession, location: str, expected_schema=None
+) -> "DataFrame":
+    """Read a parquet location whose files span SCHEMA VERSIONS.
+
+    Long-lived sinks accumulate files written under evolving schemas
+    (columns added over time). A plain read takes ONE file's footer as the
+    schema and silently drops newer columns; ``mergeSchema`` unions the
+    footers so added columns surface everywhere, null-filled for files
+    that predate them — the additive-evolution read contract
+    (validate_schema governs what writes are ALLOWED; this is the read
+    side). At 100 TB footer-merging costs one metadata pass over file
+    footers, not data; pin ``expected_schema`` to also project/order
+    columns deterministically for downstream contracts.
+    """
+    df = spark.read.option("mergeSchema", "true").parquet(location)
+    if expected_schema is not None:
+        from pyspark.sql import functions as F
+
+        cols = []
+        have = {f.name for f in df.schema.fields}
+        for f in expected_schema.fields:
+            if f.name in have:
+                cols.append(F.col(f.name).cast(f.dataType).alias(f.name))
+            else:
+                cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+        df = df.select(*cols)
+    return df

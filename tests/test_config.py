@@ -162,3 +162,38 @@ def test_malformed_request_template_rejected():
 
     with _pytest.raises(ValueError, match="request_template"):
         EndpointConfig(url="http://x", request_template={"bad": "single { brace"})
+
+
+def test_grading_order_prioritizes_never_then_stale(tmp_path, monkeypatch):
+    """__spark_entry__._grading_order is the driver-window rotation policy:
+    never-green first, then least-recently-green, alphabetical ties —
+    computed from the CORRECTNESS_r*.json files. Load-bearing for every
+    round's evidence, so pinned here against a synthetic history."""
+    import importlib
+    import json
+    import sys
+
+    import __spark_entry__ as E
+
+    hist = {
+        "CORRECTNESS_r1.json": {
+            "q_old_green": {"rows_match": True, "schema_match": True,
+                            "hash_match": True, "err": None},
+            "q_refreshed": {"rows_match": True, "schema_match": True,
+                            "hash_match": True, "err": None},
+        },
+        "CORRECTNESS_r2.json": {
+            "q_refreshed": {"rows_match": True, "schema_match": True,
+                            "hash_match": True, "err": None},
+            "q_failed_only": {"rows_match": False, "schema_match": True,
+                              "hash_match": False, "err": None},
+            "q_errored": {"err": "boom"},
+        },
+    }
+    for fname, rows in hist.items():
+        (tmp_path / fname).write_text(json.dumps(rows))
+    monkeypatch.setattr(E, "_HERE", str(tmp_path))
+    names = ["q_refreshed", "q_old_green", "q_never", "q_failed_only", "q_errored"]
+    out = E._grading_order(sorted(names))
+    # fails/errors carry NO green history: graded first, with never-run
+    assert out == ["q_errored", "q_failed_only", "q_never", "q_old_green", "q_refreshed"]

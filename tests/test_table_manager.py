@@ -297,3 +297,37 @@ def test_optimize_zorder_rewrites_in_place(spark, sf_dir, tmp_path):
     assert not os.path.exists(loc + "__zorder_tmp")
     assert not os.path.exists(loc + "__zorder_old")
     assert after.agg(F.sum("event_id")).first()[0] == sum_before
+
+
+def test_read_with_evolution_merges_schema_versions(spark, tmp_path):
+    from pyspark.sql import types as T
+
+    from distributed_api_etl_spark.core.table_manager import read_with_evolution
+
+    loc = str(tmp_path / "evolving")
+    v1 = spark.createDataFrame([(1, "a"), (2, "b")], "id bigint, name string")
+    v1.write.parquet(loc)
+    v2 = spark.createDataFrame(
+        [(3, "c", 9.5)], "id bigint, name string, score double"
+    )
+    v2.write.mode("append").parquet(loc)
+
+    # plain read: schema depends on which footer wins -> score may vanish
+    merged = read_with_evolution(spark, loc)
+    assert set(merged.columns) == {"id", "name", "score"}
+    rows = {r["id"]: r for r in merged.collect()}
+    assert rows[1]["score"] is None and rows[3]["score"] == 9.5
+
+    # expected-schema pinning: adds never-written columns as typed nulls
+    target = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("name", T.StringType()),
+            T.StructField("score", T.DoubleType()),
+            T.StructField("source", T.StringType()),  # future column
+        ]
+    )
+    pinned = read_with_evolution(spark, loc, target)
+    assert pinned.columns == ["id", "name", "score", "source"]
+    assert pinned.schema["source"].dataType == T.StringType()
+    assert all(r["source"] is None for r in pinned.collect())
