@@ -1,0 +1,75 @@
+"""Incremental backfill driver: process work units once, resume after crashes.
+
+The HTTP pipeline's idempotency is row-level (sink anti-join,
+batch_processor). Backfills need the same property one level up: a historical
+re-computation over many PARTITIONS (dates, shards, tenants) that can die
+mid-run and resume without re-processing finished units. The bookmark is a
+tiny parquet state table (unit, status, rows, processed_at) appended after
+each unit commits — the unit's own write must be idempotent or atomic (the
+engine's sinks are: overwrite-per-partition, merge, or the two-rename swap).
+
+Driver-loop note (100 TB): like the reference's batch retry loop, the units
+iterate on the driver — each iteration launches one DISTRIBUTED job and
+appends one bookmark row; the driver holds unit ids only, never data. Run
+units serially for ordered sinks or fan out externally for independent ones.
+"""
+
+from __future__ import annotations
+
+import time
+from collections.abc import Callable, Sequence
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+STATE_SCHEMA = "unit string, status string, rows bigint, processed_at double"
+
+
+def completed_units(spark: SparkSession, state_location: str) -> set[str]:
+    """Units with a committed 'done' bookmark (empty on first run)."""
+    try:
+        state = spark.read.parquet(state_location)
+    except Exception:
+        return set()
+    return {
+        r["unit"]
+        for r in state.where(F.col("status") == "done").select("unit").collect()
+    }
+
+
+def run_backfill(
+    spark: SparkSession,
+    units: Sequence[str],
+    process_fn: Callable[[SparkSession, str], int],
+    state_location: str,
+    continue_on_error: bool = False,
+) -> dict:
+    """Process each unit exactly once across any number of invocations.
+
+    ``process_fn(spark, unit) -> row_count`` must write its own output
+    idempotently (overwrite its partition / merge / atomic swap) — the
+    bookmark commits AFTER it returns, so a crash between write and
+    bookmark re-runs that one unit (idempotent write makes that safe:
+    at-least-once execution, exactly-once effect). Already-bookmarked
+    units are skipped, making re-invocation the resume mechanism — no
+    separate recovery path. Returns {processed, skipped, failed}.
+    """
+    done = completed_units(spark, state_location)
+    processed = skipped = failed = 0
+    for unit in units:
+        if unit in done:
+            skipped += 1
+            continue
+        try:
+            n_rows = process_fn(spark, unit)
+        except Exception:
+            failed += 1
+            if continue_on_error:
+                continue
+            raise
+        bookmark = spark.createDataFrame(
+            [(unit, "done", int(n_rows), time.time())], STATE_SCHEMA
+        )
+        bookmark.write.mode("append").parquet(state_location)
+        processed += 1
+    return {"processed": processed, "skipped": skipped, "failed": failed}

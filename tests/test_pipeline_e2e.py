@@ -299,3 +299,48 @@ def test_corpus_curation_pipeline_end_to_end(spark, sf_dir):
     a = {r["doc_id"]: r["shard"] for r in sharded.collect()}
     b = {r["doc_id"]: r["shard"] for r in sharded2.collect()}
     assert a == b
+
+
+def test_backfill_resumes_after_failure_exactly_once(spark, tmp_path):
+    """Crash mid-backfill -> re-invoke -> completed units skipped, the
+    failed unit re-runs, every unit's effect lands exactly once."""
+    import pytest
+
+    from distributed_api_etl_spark.orchestration.backfill import (
+        completed_units,
+        run_backfill,
+    )
+
+    state = str(tmp_path / "bookmarks")
+    out_dir = tmp_path / "out"
+    out_dir.mkdir()
+    calls: list[str] = []
+    fail_once = {"2024-01-03"}
+
+    def process(sp, unit):
+        calls.append(unit)
+        if unit in fail_once:
+            fail_once.discard(unit)
+            raise RuntimeError(f"transient failure in {unit}")
+        # idempotent write: overwrite the unit's own partition
+        sp.range(3).withColumn("unit", F.lit(unit)).write.mode("overwrite").parquet(
+            str(out_dir / unit)
+        )
+        return 3
+
+    units = [f"2024-01-0{i}" for i in range(1, 6)]
+    with pytest.raises(RuntimeError, match="2024-01-03"):
+        run_backfill(spark, units, process, state)
+    assert completed_units(spark, state) == {"2024-01-01", "2024-01-02"}
+
+    stats = run_backfill(spark, units, process, state)
+    assert stats == {"processed": 3, "skipped": 2, "failed": 0}
+    assert completed_units(spark, state) == set(units)
+    # each unit attempted at most twice (the failed one), none re-processed
+    # after bookmarking
+    assert calls.count("2024-01-01") == 1 and calls.count("2024-01-03") == 2
+    total = spark.read.parquet(str(out_dir / "*")).count()
+    assert total == 15  # 5 units x 3 rows, exactly once each
+
+    # third invocation is a no-op
+    assert run_backfill(spark, units, process, state)["processed"] == 0
