@@ -189,3 +189,59 @@ def events_hll_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return footprint.crossJoin(est).select(
         "n_daily_registers", "n_days", "zero_registers", "est_distinct"
     )
+
+
+def _hll_hourly_oracle() -> str:
+    """Per-hour HLL distinct users — the windowed sketch table a streaming
+    rollup would persist; same register arithmetic grouped by hour."""
+    est_raw = f"({SK.HLL_ALPHA_EXPR}) * {SK.HLL_M} * {SK.HLL_M} / denom"
+    corrected = SK._hll_correction_sql(est_raw)
+    w = SK.HLL_W
+    return f"""
+    WITH hashed AS (
+      SELECT strftime(date_trunc('hour', CAST(ts AS TIMESTAMP)),
+                      '%Y-%m-%d %H:%M:%S') AS window_start,
+             {SK.portable_hash32_sql("user_id")} AS h32
+      FROM events),
+    bucketed AS (
+      SELECT window_start, h32 // {1 << w} AS bucket,
+             CASE WHEN h32 % {1 << w} = 0 THEN {w + 1}
+                  ELSE {w + 1} - length(bin(h32 % {1 << w})) END AS rho
+      FROM hashed),
+    regs AS (SELECT window_start, bucket, max(rho) AS max_rho
+             FROM bucketed GROUP BY window_start, bucket),
+    est AS (
+      SELECT window_start,
+             CAST({SK.HLL_M} - count(*) AS BIGINT) AS zero_registers,
+             sum(CAST(1.0 AS DOUBLE) / (1::BIGINT << max_rho)) AS inv_sum
+      FROM regs GROUP BY window_start),
+    final AS (SELECT window_start, zero_registers,
+                     zero_registers + inv_sum AS denom FROM est)
+    SELECT window_start, zero_registers,
+           floor(({corrected}) * 1e4 + 0.5) / 1e4 AS est_distinct
+    FROM final
+    """
+
+
+@register(
+    "events_hll_hourly_users",
+    oracle=_hll_hourly_oracle(),
+    tags=("sketch", "events", "window"),
+    # graded=False: local oracle evidence at zero driver-window cost
+    graded=False,
+)
+def events_hll_hourly_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed sketch rollup: distinct users PER HOUR via HLL registers
+    grouped by the tumbling window — the table a streaming pipeline
+    persists so any dashboard range-query merges hour sketches instead of
+    re-scanning events (hours roll to days to months by register max,
+    events_hll_daily_rollup grades that merge)."""
+    ev = table(spark, sf_dir, "events").withColumn(
+        "window_start",
+        F.date_format(
+            F.date_trunc("hour", F.col("ts").cast("timestamp")),
+            "yyyy-MM-dd HH:mm:ss",
+        ),
+    )
+    regs = SK.hll_registers(ev, "user_id", ["window_start"])
+    return SK.hll_estimate(regs, ["window_start"])
