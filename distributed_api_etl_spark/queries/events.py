@@ -1008,3 +1008,73 @@ def events_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("percentile(gap_ms, 0.5)").cast("double").alias("median_gap_ms"),
         F.max("gap_ms").alias("max_gap_ms"),
     )
+
+
+@register(
+    "events_user_value_trend",
+    oracle="""
+    WITH base AS (
+      SELECT user_id,
+             (epoch_ms(ts) - min(epoch_ms(ts)) OVER (PARTITION BY user_id))
+               // 60000 AS x,
+             CAST(value AS DECIMAL(14,2)) AS y
+      FROM events),
+    sums AS (
+      SELECT CAST(user_id AS BIGINT) AS user_id,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS DECIMAL(38,0)) AS sx,
+             CAST(sum(CAST(x AS DECIMAL(38,0)) * x) AS DECIMAL(38,0)) AS sxx,
+             CAST(sum(y) AS DECIMAL(38,2)) AS sy,
+             CAST(sum(CAST(x AS DECIMAL(24,2)) * y) AS DECIMAL(38,2)) AS sxy
+      FROM base GROUP BY user_id)
+    SELECT user_id, n,
+           CASE WHEN n * sxx - sx * sx = 0 THEN 0.0
+                ELSE CAST(n * sxy - sx * sy AS DOUBLE)
+                     / CAST(n * sxx - sx * sx AS DOUBLE) END AS slope_per_min
+    FROM sums
+    """,
+    tags=("events", "stats", "ml"),
+    # graded=False: local oracle evidence at zero driver-window cost
+    graded=False,
+)
+def events_user_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user value trend (regr_slope semantics) with EXACT-decimal
+    moment sums: x = minutes since the user's first event (small integers
+    after the per-user re-basing window), y = cent-exact decimal value —
+    every Σx, Σx², Σy, Σxy is exact integer/decimal arithmetic, so the
+    closed-form slope's single double division is bit-identical on both
+    engines. Float regr_slope/covar aggregates are aggregation-order
+    dependent and can never hash-grade; this is the portable form, and the
+    same two-shuffle plan (per-user min window + one groupBy) holds at any
+    scale."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    base = ev.select(
+        F.col("user_id").cast("bigint").alias("user_id"),
+        F.expr(
+            "div(unix_millis(cast(ts as timestamp)) "
+            "- min(unix_millis(cast(ts as timestamp))) OVER "
+            "(PARTITION BY user_id), 60000)"
+        ).alias("x"),
+        F.col("value").cast(DecimalType(14, 2)).alias("y"),
+    )
+    sums = base.groupBy("user_id").agg(
+        F.count("*").alias("n"),
+        F.sum("x").cast(DecimalType(38, 0)).alias("sx"),
+        F.sum(F.col("x").cast(DecimalType(38, 0)) * F.col("x"))
+        .cast(DecimalType(38, 0))
+        .alias("sxx"),
+        F.sum("y").cast(DecimalType(38, 2)).alias("sy"),
+        F.sum(F.col("x").cast(DecimalType(24, 2)) * F.col("y"))
+        .cast(DecimalType(38, 2))
+        .alias("sxy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return sums.select(
+        "user_id",
+        "n",
+        F.when(den == 0, F.lit(0.0))
+        .otherwise(num.cast("double") / den.cast("double"))
+        .alias("slope_per_min"),
+    )
