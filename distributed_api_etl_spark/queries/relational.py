@@ -1033,3 +1033,58 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("m_score"),
     )
+
+
+@register(
+    "lineitem_qty_discount_corr",
+    oracle="""
+    WITH base AS (
+      SELECT CAST(l_quantity AS DECIMAL(14,2)) AS x,
+             CAST(l_discount AS DECIMAL(14,2)) AS y
+      FROM lineitem),
+    sums AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS DECIMAL(38,2)) AS sx,
+             CAST(sum(y) AS DECIMAL(38,2)) AS sy,
+             CAST(sum(x * x) AS DECIMAL(38,4)) AS sxx,
+             CAST(sum(y * y) AS DECIMAL(38,4)) AS syy,
+             CAST(sum(x * y) AS DECIMAL(38,4)) AS sxy
+      FROM base)
+    SELECT n,
+           CAST(n * sxy - sx * sy AS DOUBLE)
+             / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                    * CAST(n * syy - sy * sy AS DOUBLE)) AS pearson_r
+    FROM sums
+    """,
+    tags=("relational", "stats", "ml"),
+    # graded=False: local oracle evidence at zero driver-window cost
+    graded=False,
+)
+def lineitem_qty_discount_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation with hash-gradable arithmetic (quantity vs
+    discount): every moment sum is exact DECIMAL, so the final
+    numerator/denominator doubles are bit-identical and the one
+    multiply + sqrt + divide after them are correctly-rounded IEEE —
+    where corr()'s float covariance accumulators are aggregation-order
+    dependent and can never hash-match across engines. One map-side-
+    combinable aggregation; the at-scale plan shape of any moment
+    statistic."""
+    li = table(spark, sf_dir, "lineitem")
+    base = li.select(
+        F.col("l_quantity").cast(DecimalType(14, 2)).alias("x"),
+        F.col("l_discount").cast(DecimalType(14, 2)).alias("y"),
+    )
+    sums = base.agg(
+        F.count("*").alias("n"),
+        F.sum("x").cast(DecimalType(38, 2)).alias("sx"),
+        F.sum("y").cast(DecimalType(38, 2)).alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast(DecimalType(38, 4)).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast(DecimalType(38, 4)).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).cast(DecimalType(38, 4)).alias("sxy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = F.sqrt(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+        * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    )
+    return sums.select("n", (num / den).alias("pearson_r"))
