@@ -363,3 +363,51 @@ def test_streaming_hll_state_equals_batch_sketch(spark, tmp_path, sf_dir):
     # streaming emits ALL m registers (zeros included); compare non-zero
     stream_nonzero = {k: v for k, v in final.items() if v > 0}
     assert stream_nonzero == batch
+
+
+def test_streaming_pipeline_incremental_after_restart(spark, tmp_path):
+    """The other half of checkpoint semantics: new files arriving BETWEEN
+    runs are processed incrementally — drain, land a second file, drain
+    again with the same checkpoint: only the new rows flow (no reprocess
+    of batch 1, no loss of batch 2), and the bronze ids partition exactly."""
+    import os
+
+    from distributed_api_etl_spark.streaming import run_streaming_pipeline
+
+    src = str(tmp_path / "inc_src")
+    os.makedirs(src)
+    sink = str(tmp_path / "bronze")
+    ckpt = str(tmp_path / "ckpt")
+
+    def land(tag, lo, hi):
+        spark.range(lo, hi).select(
+            F.col("id").cast("string").alias("tracking_id")
+        ).coalesce(1).write.parquet(f"{src}/{tag}")
+
+    land("a", 0, 30)
+    stream = lambda: spark.readStream.schema("tracking_id string").parquet(f"{src}/*")  # noqa: E731
+    cfg = {
+        "endpoint": {
+            "method": "GET",
+            "url": "http://mock.local/api/things",
+            "param_mapping": [{"endpoint_param": "id", "source_column": "request_id"}],
+        },
+        "transport": {"engine": "mock"},
+        "execution": {"num_partitions": 4, "max_concurrent_requests": 8},
+        "tables": {"sink": {"location": sink, "format": "parquet"}},
+    }
+    q = run_streaming_pipeline(
+        spark, cfg, stream(), source_id="tracking_id", checkpoint_dir=ckpt
+    )
+    assert q.awaitTermination(120)
+    assert spark.read.parquet(sink).count() == 30
+
+    land("b", 30, 75)
+    q2 = run_streaming_pipeline(
+        spark, cfg, stream(), source_id="tracking_id", checkpoint_dir=ckpt
+    )
+    assert q2.awaitTermination(120)
+    bronze = spark.read.parquet(sink)
+    assert bronze.count() == 75  # 30 + 45, nothing duplicated or dropped
+    ids = sorted(int(r["request_id"]) for r in bronze.select("request_id").collect())
+    assert ids == list(range(75))
