@@ -155,3 +155,45 @@ def optimize_zorder(
         "files_after": files_after,
         "bytes": int(total_bytes),
     }
+
+
+def file_bounding_boxes(spark, location: str, cols: list[str]) -> DataFrame:
+    """Per-file min/max manifest for the given columns — the data-skipping
+    statistics a scan planner consults (parquet keeps these per row group;
+    this surfaces them per FILE for layout auditing and external indexes).
+
+    One aggregation grouped by ``input_file_name()`` (map-side combinable;
+    no shuffle of data columns beyond the audited ones). The quality of a
+    layout is literally visible here: after ``write_zordered`` each file's
+    box covers a small rectangle of the clustered dimensions, while a
+    single-column sort leaves the other dimension's boxes spanning the
+    whole domain — quantified as ``coverage`` (box width / global width,
+    averaged over files; lower prunes better).
+    """
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(location)
+    aggs = []
+    for c in cols:
+        aggs += [F.min(c).alias(f"min_{c}"), F.max(c).alias(f"max_{c}")]
+    per_file = (
+        df.withColumn("_file", F.input_file_name()).groupBy("_file").agg(*aggs)
+    )
+    bounds = df.agg(
+        *[
+            a
+            for c in cols
+            for a in (F.min(c).alias(f"gmin_{c}"), F.max(c).alias(f"gmax_{c}"))
+        ]
+    )
+    out = per_file.crossJoin(F.broadcast(bounds))
+    for c in cols:
+        out = out.withColumn(
+            f"coverage_{c}",
+            (F.col(f"max_{c}") - F.col(f"min_{c}"))
+            / (F.col(f"gmax_{c}") - F.col(f"gmin_{c}")),
+        )
+    return out.select(
+        F.col("_file").alias("file"),
+        *[x for c in cols for x in (f"min_{c}", f"max_{c}", f"coverage_{c}")],
+    )

@@ -984,3 +984,32 @@ def test_round4_operators_tolerate_empty_input(spark):
     assert boilerplate_ngram_stats(empty_docs, "doc_id", "text").count() == 0
     out = winsorize_normalize(empty_kv, "v")
     assert out.count() == 0 and "v_norm" in out.columns
+
+
+def test_file_bounding_boxes_quantify_zorder_layout(spark, tmp_path, sf_dir):
+    """Z-order layout => BOTH dimensions' per-file coverage is a fraction
+    of the domain; a time-only sort leaves user_id coverage ~1 per file."""
+    from pyspark.sql import functions as F
+
+    from distributed_api_etl_spark.operators.layout import (
+        file_bounding_boxes,
+        write_zordered,
+    )
+    from distributed_api_etl_spark.queries.registry import table
+
+    ev = table(spark, sf_dir, "events").withColumn(
+        "minute_idx", F.expr("div(unix_millis(cast(ts as timestamp)), 60000)")
+    )
+    zloc, tloc = str(tmp_path / "z"), str(tmp_path / "t")
+    write_zordered(ev, zloc, "user_id", "minute_idx", n_files=8)
+    (ev.repartitionByRange(8, "minute_idx").sortWithinPartitions("minute_idx")
+       .write.parquet(tloc))
+
+    def mean_cov(loc, col):
+        rows = file_bounding_boxes(spark, loc, ["user_id", "minute_idx"]).collect()
+        return sum(r[f"coverage_{col}"] for r in rows) / len(rows)
+
+    z_user, t_user = mean_cov(zloc, "user_id"), mean_cov(tloc, "user_id")
+    assert z_user < t_user * 0.8, (z_user, t_user)
+    # and the z layout still bounds time decently (it trades, not discards)
+    assert mean_cov(zloc, "minute_idx") < 1.0
