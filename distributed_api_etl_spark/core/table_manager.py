@@ -367,3 +367,44 @@ def read_with_evolution(
                 cols.append(F.lit(None).cast(f.dataType).alias(f.name))
         df = df.select(*cols)
     return df
+
+
+SCRATCH_SUFFIXES = (
+    "__compact_tmp", "__compact_old",
+    "__upsert_tmp", "__upsert_old",
+    "__zorder_tmp", "__zorder_old",
+)
+
+
+def recover_scratch(spark: SparkSession, location: str) -> dict:
+    """Resolve leftovers of a crashed two-rename swap at ``location``.
+
+    Every atomic-swap writer here (compact_files, upsert_parquet,
+    optimize_zorder) parks state at ``<location>__<op>_tmp/old`` during the
+    swap; a crash can leave (a) scratch beside a live table — delete the
+    scratch, or (b) NO live table with a complete ``__old`` snapshot — the
+    crash hit between the two renames, so restore ``__old`` as the table.
+    A ``__tmp`` without a live table also restores (it is the complete new
+    layout). Run before reading a location that might have died mid-
+    maintenance; idempotent. Returns {restored, deleted}.
+    """
+    sc = spark.sparkContext
+    jvm_path = sc._jvm.org.apache.hadoop.fs.Path  # noqa: SLF001
+    fs = jvm_path(location).getFileSystem(sc._jsc.hadoopConfiguration())  # noqa: SLF001
+    base = location.rstrip("/")
+    live = fs.exists(jvm_path(base))
+    restored, deleted = [], []
+    # prefer __old (the pre-swap snapshot) over __tmp when both could restore
+    for suffix in sorted(SCRATCH_SUFFIXES, key=lambda s: not s.endswith("_old")):
+        scratch = base + suffix
+        if not fs.exists(jvm_path(scratch)):
+            continue
+        if not live:
+            if not fs.rename(jvm_path(scratch), jvm_path(base)):
+                raise OSError(f"recover_scratch: rename {scratch} -> {base} failed")
+            restored.append(suffix)
+            live = True
+        else:
+            fs.delete(jvm_path(scratch), True)
+            deleted.append(suffix)
+    return {"restored": restored, "deleted": deleted}

@@ -331,3 +331,28 @@ def test_read_with_evolution_merges_schema_versions(spark, tmp_path):
     assert pinned.columns == ["id", "name", "score", "source"]
     assert pinned.schema["source"].dataType == T.StringType()
     assert all(r["source"] is None for r in pinned.collect())
+
+
+def test_recover_scratch_restores_or_cleans(spark, tmp_path):
+    import os
+
+    from distributed_api_etl_spark.core.table_manager import recover_scratch
+
+    loc = str(tmp_path / "tbl")
+    df = spark.range(10).withColumnRenamed("id", "k")
+
+    # case 1: crash BETWEEN renames — only __old exists -> restore it
+    df.write.parquet(loc + "__upsert_old")
+    stats = recover_scratch(spark, loc)
+    assert stats["restored"] == ["__upsert_old"] and stats["deleted"] == []
+    assert spark.read.parquet(loc).count() == 10
+
+    # case 2: crash BEFORE the first rename — live table + stale __tmp
+    df.write.parquet(loc + "__zorder_tmp")
+    stats = recover_scratch(spark, loc)
+    assert stats["deleted"] == ["__zorder_tmp"] and stats["restored"] == []
+    assert not os.path.exists(loc + "__zorder_tmp")
+    assert spark.read.parquet(loc).count() == 10
+
+    # idempotent no-op afterwards
+    assert recover_scratch(spark, loc) == {"restored": [], "deleted": []}
