@@ -295,9 +295,8 @@ def upsert_parquet(
     ``updates`` must be unique on ``key_col`` (asserted — duplicate update
     keys would write duplicate rows and corrupt the stats). Crash recovery:
     a failure between the two renames leaves the data parked at
-    ``<location>__upsert_old`` with no live ``location``; recover by
-    renaming ``__upsert_old`` back (old layout) or ``__upsert_tmp`` in
-    (new layout) — both are complete snapshots, never a mix.
+    ``<location>__upsert_old`` with no live ``location`` — run
+    :func:`recover_scratch` (both snapshots are complete, never a mix).
     """
     sc = spark.sparkContext
     jvm_path = sc._jvm.org.apache.hadoop.fs.Path  # noqa: SLF001
