@@ -1078,3 +1078,59 @@ def events_user_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(num.cast("double") / den.cast("double"))
         .alias("slope_per_min"),
     )
+
+
+def _entropy_terms(count_expr, total_expr: str, types: tuple = EVENT_TYPES) -> str:
+    """-sum p*log2(p) as FIVE EXPLICIT TERMS in literal type order: the
+    addition order is fixed by the expression tree, so both engines run
+    the identical IEEE sequence (a fold over a groupBy's output would be
+    engine-order dependent)."""
+    terms = []
+    for t in types:
+        c = count_expr(t)
+        p = f"(CAST({c} AS DOUBLE) / {total_expr})"
+        terms.append(f"(CASE WHEN {c} > 0 THEN -{p} * log2({p}) ELSE 0.0 END)")
+    return " + ".join(terms)
+
+
+@register(
+    "events_user_type_entropy",
+    oracle=f"""
+    WITH counts AS (
+      SELECT CAST(user_id AS BIGINT) AS user_id,
+             {", ".join(f"CAST(count(*) FILTER (event_type = '{t}') AS BIGINT) AS n_{t}" for t in EVENT_TYPES)},
+             CAST(count(*) AS BIGINT) AS n_total
+      FROM events GROUP BY user_id)
+    SELECT user_id, n_total,
+           floor(({_entropy_terms(lambda t: f"n_{t}", "n_total")}) * 1e6 + 0.5) / 1e6
+             AS type_entropy_bits
+    FROM counts
+    """,
+    tags=("events", "stats"),
+    # graded=False: local oracle evidence at zero driver-window cost
+    graded=False,
+)
+def events_user_type_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of each user's event-type mix (0 = monomaniac bot,
+    log2(5) ~ 2.32 = uniform browser) — the diversity feature behind
+    engagement scoring and bot heuristics. The five -p*log2(p) terms are
+    summed in LITERAL type order on both engines (expression-tree order,
+    not aggregation order), then portable-rounded — the pattern for
+    hash-grading any fixed-arity float formula."""
+    ev = table(spark, sf_dir, "events")
+    counts = (
+        ev.groupBy(F.col("user_id").cast("bigint").alias("user_id"))
+        .pivot("event_type", list(EVENT_TYPES))
+        .agg(F.count(F.lit(1)))
+    )
+    for t in EVENT_TYPES:
+        counts = counts.withColumn(
+            f"n_{t}", F.coalesce(F.col(t), F.lit(0)).cast("bigint")
+        )
+    counts = counts.withColumn(
+        "n_total", sum(F.col(f"n_{t}") for t in EVENT_TYPES).cast("bigint")
+    )
+    entropy = F.expr(
+        f"floor(({_entropy_terms(lambda t: f'n_{t}', 'n_total')}) * 1e6 + 0.5) / 1e6"
+    )
+    return counts.select("user_id", "n_total", entropy.alias("type_entropy_bits"))
