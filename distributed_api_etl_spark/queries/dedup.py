@@ -453,3 +453,50 @@ def dedup_lsh_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         exact_n.crossJoin(lsh_n)
         .withColumn("recall_ppm", F.expr("div(1000000 * n_lsh, n_exact)"))
     )
+
+
+@register(
+    "dedup_source_overlap_matrix",
+    oracle=f"""
+    WITH {SHINGLE_CTES}, {_minhash_sig_sql()}, {_lsh_cand_sql()}, {PAIRS_CTE},
+    dup_pairs AS (
+      SELECT p.d1, p.d2
+      FROM pairs p
+      JOIN cands c ON c.d1 = p.d1 AND c.d2 = p.d2
+      JOIN sizes s1 ON s1.doc_id = p.d1
+      JOIN sizes s2 ON s2.doc_id = p.d2
+      WHERE 100 * p.inter >= 70 * (s1.sz + s2.sz - p.inter)),
+    srcd AS (
+      SELECT least(da.source, db.source) AS source_a,
+             greatest(da.source, db.source) AS source_b
+      FROM dup_pairs
+      JOIN documents da ON da.doc_id = d1
+      JOIN documents db ON db.doc_id = d2)
+    SELECT source_a, source_b, CAST(count(*) AS BIGINT) AS n_dup_pairs
+    FROM srcd GROUP BY source_a, source_b
+    """,
+    tags=("dedup", "pipeline"),
+    # graded=False: local oracle evidence at zero driver-window cost
+    graded=False,
+)
+def dedup_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which sources duplicate which: near-dup pair counts per unordered
+    source pair — the provenance view that tells a curation team whether
+    cross-source mirroring (drop one feed) or within-source churn (fix
+    the crawler) dominates. Pure composition: the MinHash+LSH pair graph
+    joined back to the documents' source column (two broadcast-sized
+    lookups against the tiny pair set), then a tiny matrix aggregation."""
+    docs = fan_out(table(spark, sf_dir, "documents"))
+    pairs = D.minhash_lsh_pairs(docs, "doc_id", "text", 3, 70).select("d1", "d2")
+    src = docs.select("doc_id", "source")
+    joined = (
+        pairs.join(src.select(F.col("doc_id").alias("d1"), F.col("source").alias("sa")), "d1")
+        .join(src.select(F.col("doc_id").alias("d2"), F.col("source").alias("sb")), "d2")
+        .select(
+            F.least("sa", "sb").alias("source_a"),
+            F.greatest("sa", "sb").alias("source_b"),
+        )
+    )
+    return joined.groupBy("source_a", "source_b").agg(
+        F.count("*").alias("n_dup_pairs")
+    )
