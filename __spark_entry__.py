@@ -58,18 +58,45 @@ def _last_green_round() -> dict[str, int]:
     return last
 
 
+# Queries VERDICT.md r3 explicitly called out as never driver-graded in any
+# round ("Next round #1/#2"): guaranteed to lead the never-green tier so the
+# bounded window cannot alphabetically starve them even as the registry grows.
+# Inert once they earn a green row (last-green round then dominates the sort).
+_VERDICT_PRIORITY = frozenset(
+    {
+        "streaming_click_purchase_join",
+        "streaming_api_pipeline_bronze",
+        "streaming_sessionize",
+        "streaming_static_enrich",
+        "streaming_dedup_within_watermark",
+        "text_decontaminate",
+        "text_pii_redact",
+        "text_repetition_ratio",
+        "text_tfidf_topk",
+        "training_mix_selection",
+        "q6_forecast_revenue",
+        "q7_volume_shipping",
+        "q8_market_share",
+        "q9_product_type_revenue",
+        "q19_disjunctive_revenue",
+    }
+)
+
+
 def _grading_order(names: list[str]) -> list[str]:
     """Priority order for the driver's bounded grading window.
 
     The driver grades the first N entries of ``queries()`` per round, so
-    ordering IS the rotation policy: never-driver-green queries first, then
-    least-recently-green, alphabetical within a tier. Each round's new
-    CORRECTNESS file automatically pushes freshly-graded queries to the
-    back, so the window sweeps the whole registry across rounds with no
-    manual bookkeeping.
+    ordering IS the rotation policy: never-driver-green queries first
+    (VERDICT-named backlog ahead of the rest), then least-recently-green,
+    alphabetical within a tier. Each round's new CORRECTNESS file
+    automatically pushes freshly-graded queries to the back, so the window
+    sweeps the whole registry across rounds with no manual bookkeeping.
     """
     last = _last_green_round()
-    return sorted(names, key=lambda n: (last.get(n, -1), n))
+    return sorted(
+        names, key=lambda n: (last.get(n, -1), n not in _VERDICT_PRIORITY, n)
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:

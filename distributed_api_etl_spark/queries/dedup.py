@@ -476,8 +476,6 @@ def dedup_lsh_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM srcd GROUP BY source_a, source_b
     """,
     tags=("dedup", "pipeline"),
-    # graded=False: local oracle evidence at zero driver-window cost
-    graded=False,
 )
 def dedup_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Which sources duplicate which: near-dup pair counts per unordered

@@ -819,8 +819,6 @@ def lineitem_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY prev_type, event_type
     """,
     tags=("events", "sequence"),
-    # graded=False: local oracle evidence at zero driver-window cost
-    graded=False,
 )
 def events_type_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-order event-type transition matrix (the Markov-feature shape
@@ -851,8 +849,6 @@ def events_type_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM dev GROUP BY event_type
     """,
     tags=("events", "stats"),
-    # graded=False: local oracle evidence at zero driver-window cost
-    graded=False,
 )
 def events_value_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Robust outlier counts via median/MAD (the 3-sigma dual that a few
@@ -889,8 +885,6 @@ def events_value_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM events GROUP BY 1, 2
     """,
     tags=("events", "calendar"),
-    # graded=False: local oracle evidence at zero driver-window cost
-    graded=False,
 )
 def events_dow_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Day-of-week activity matrix with ENGINE-PORTABLE dow: Spark's
@@ -931,8 +925,6 @@ def events_dow_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM split GROUP BY click_id
     """,
     tags=("events", "attribution"),
-    # graded=False: local oracle evidence at zero driver-window cost
-    graded=False,
 )
 def events_linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Linear (equal-split) marketing attribution: each purchase's credit
@@ -983,8 +975,6 @@ def events_linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM gaps WHERE gap_ms IS NOT NULL GROUP BY user_id
     """,
     tags=("events", "sequence", "stats"),
-    # graded=False: local oracle evidence at zero driver-window cost
-    graded=False,
 )
 def events_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user activity cadence: inter-event gap stats from one lag window
@@ -1034,8 +1024,6 @@ def events_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM sums
     """,
     tags=("events", "stats", "ml"),
-    # graded=False: local oracle evidence at zero driver-window cost
-    graded=False,
 )
 def events_user_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user value trend (regr_slope semantics) with EXACT-decimal
@@ -1107,8 +1095,6 @@ def _entropy_terms(count_expr, total_expr: str, types: tuple = EVENT_TYPES) -> s
     FROM counts
     """,
     tags=("events", "stats"),
-    # graded=False: local oracle evidence at zero driver-window cost
-    graded=False,
 )
 def events_user_type_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shannon entropy of each user's event-type mix (0 = monomaniac bot,

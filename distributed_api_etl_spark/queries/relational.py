@@ -989,8 +989,6 @@ def bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM rfm
     """,
     tags=("relational", "ml"),
-    # graded=False: local oracle evidence at zero driver-window cost
-    graded=False,
 )
 def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM customer segmentation (recency/frequency/monetary scores with
@@ -1057,8 +1055,6 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM sums
     """,
     tags=("relational", "stats", "ml"),
-    # graded=False: local oracle evidence at zero driver-window cost
-    graded=False,
 )
 def lineitem_qty_discount_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pearson correlation with hash-gradable arithmetic (quantity vs

@@ -346,8 +346,6 @@ def streaming_click_purchase_left_outer(spark: SparkSession, sf_dir: str) -> Dat
     "streaming_hll_user_cardinality",
     oracle=None,  # patched below: reuse the batch HLL oracle (same registers)
     tags=("streaming", "sketch"),
-    # graded=False: local oracle evidence at zero driver-window cost
-    graded=False,
 )
 def streaming_hll_user_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bounded-state streaming distinct-count: per-type HLL registers held

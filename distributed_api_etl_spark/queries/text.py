@@ -854,10 +854,6 @@ MIX_BUDGET = 300
     FROM raised
     """,
     tags=("text", "sampling", "ml"),
-    # graded=False: local oracle evidence at zero driver-window cost while
-    # the round-4 grading backlog drains; flip to graded once rotation
-    # catches up.
-    graded=False,
 )
 def documents_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-based multilingual mixture (the UniMax / alpha-sampling
@@ -921,8 +917,6 @@ PMI_MIN_COUNT = 5
     ORDER BY pmi_bits DESC, bigram LIMIT 50
     """,
     tags=("text", "nlp"),
-    # graded=False: local oracle evidence at zero driver-window cost
-    graded=False,
 )
 def corpus_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Collocation extraction: top bigrams by pointwise mutual information

@@ -197,3 +197,17 @@ def test_grading_order_prioritizes_never_then_stale(tmp_path, monkeypatch):
     out = E._grading_order(sorted(names))
     # fails/errors carry NO green history: graded first, with never-run
     assert out == ["q_errored", "q_failed_only", "q_never", "q_old_green", "q_refreshed"]
+
+    # VERDICT-named backlog leads the never-green tier whatever its
+    # alphabetical position, and the priority is inert once green
+    pri = next(iter(E._VERDICT_PRIORITY))
+    out = E._grading_order(sorted([*names, pri]))
+    assert out[0] == pri
+    hist["CORRECTNESS_r1.json"][pri] = {
+        "rows_match": True, "schema_match": True, "hash_match": True, "err": None
+    }
+    (tmp_path / "CORRECTNESS_r1.json").write_text(
+        json.dumps(hist["CORRECTNESS_r1.json"])
+    )
+    out = E._grading_order(sorted([*names, pri]))
+    assert out[:3] == ["q_errored", "q_failed_only", "q_never"]

@@ -354,3 +354,47 @@ def test_bloom_bitmap_or_merge(spark_global, ka, kb):
     a, b, u = bm(ka), bm(kb), bm(ka + kb)
     merged = {w: a.get(w, 0) | b.get(w, 0) for w in set(a) | set(b)}
     assert merged == u
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch: never underestimates, and counter tables from disjoint
+# inputs SUM-merge to the whole-stream counters (the rollup algebra)
+# ---------------------------------------------------------------------------
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    st.lists(st.integers(min_value=0, max_value=30), min_size=1, max_size=150),
+    st.integers(min_value=2, max_value=4),
+)
+def test_cms_overestimates_and_sum_merges(spark_global, keys, n_parts):
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    from distributed_api_etl_spark.operators.sketch import cms_counters, cms_estimate
+
+    df = spark_global.createDataFrame([(k,) for k in keys], "k bigint")
+    whole = cms_counters(df, "k", width=16)
+    cands = df.distinct()
+    est = {
+        r["k"]: r["est_count"]
+        for r in cms_estimate(cands, "k", whole, width=16).collect()
+    }
+    exact = Counter(keys)
+    # CMS one-sided error: collisions only ADD, so est >= exact for every key
+    assert all(est[k] >= c for k, c in exact.items())
+
+    # split the stream arbitrarily, sketch each part, merge with SUM
+    parts = [
+        cms_counters(df.where(F.pmod(F.col("k"), F.lit(n_parts)) == i), "k", width=16)
+        for i in range(n_parts)
+    ]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    merged = {
+        (r["r"], r["bucket"]): r["cnt"]
+        for r in u.groupBy("r", "bucket").agg(F.sum("cnt").alias("cnt")).collect()
+    }
+    assert merged == {
+        (r["r"], r["bucket"]): r["cnt"] for r in whole.collect()
+    }
