@@ -1,0 +1,56 @@
+"""Time-series densification: sparse per-key aggregates -> gap-filled grid.
+
+The feature-engineering step every training pipeline hits: raw event
+aggregates are SPARSE (no row for a day with no events), but trailing-mean
+/ lag features computed with ROWS frames are only time-correct on a DENSE
+series — on a sparse one, ``ROWS 6 PRECEDING`` silently reaches back
+further than 7 days across gaps. Densify first, then ROWS frames are both
+correct and cheaper than per-row RANGE rescans.
+
+Scale shape: the spine is built per key from its own [min, max] activity
+span via ``sequence()`` + ``explode`` — pure whole-stage codegen, no
+driver-side date loop, no global calendar cross join (a global span x keys
+cross join would manufacture rows for keys long inactive). Output size is
+sum-of-active-spans, bounded by keys x horizon whatever the raw event
+volume; the join back to the sparse aggregates is co-keyed on
+(key, bucket).
+
+The reference engine has no time-series surface; this generalizes the
+rollup/window family (SURVEY.md section 2) the way a feature store needs it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def densify_daily(
+    sparse: DataFrame,
+    key_cols: list[str],
+    day_col: str,
+    fill: dict[str, Column] | None = None,
+) -> DataFrame:
+    """Gap-fill a per-(key, day) aggregate table to one row per key per day
+    of that key's own [min(day), max(day)] span.
+
+    ``fill`` maps aggregate column names to their gap value (default 0 for
+    every non-key, non-day column). Adds ``is_gap`` (1 on manufactured
+    rows). The spine explode is map-only; the left join is the only
+    shuffle beyond the input's own aggregation.
+    """
+    agg_cols = [c for c in sparse.columns if c not in {*key_cols, day_col}]
+    fill = fill or {}
+    bounds = sparse.groupBy(*key_cols).agg(
+        F.min(day_col).alias("_dmin"), F.max(day_col).alias("_dmax")
+    )
+    spine = bounds.select(
+        *key_cols,
+        F.explode(F.expr("sequence(_dmin, _dmax, interval 1 day)")).alias(day_col),
+    )
+    dense = spine.join(sparse, [*key_cols, day_col], "left")
+    is_gap = F.when(F.col(agg_cols[0]).isNull(), F.lit(1)).otherwise(F.lit(0))
+    out = dense.withColumn("is_gap", is_gap.cast("bigint"))
+    for c in agg_cols:
+        out = out.withColumn(c, F.coalesce(F.col(c), fill.get(c, F.lit(0))))
+    return out

@@ -1120,3 +1120,77 @@ def events_user_type_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"floor(({_entropy_terms(lambda t: f'n_{t}', 'n_total')}) * 1e6 + 0.5) / 1e6"
     )
     return counts.select("user_id", "n_total", entropy.alias("type_entropy_bits"))
+
+
+@register(
+    "events_daily_dense_features",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(user_id AS BIGINT) AS user_id,
+             CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+             CAST(count(*) AS BIGINT) AS n_events,
+             sum(CAST(value AS DECIMAL(14,2))) AS vsum
+      FROM events GROUP BY 1, 2),
+    bounds AS (SELECT user_id, min(day) AS dmin, max(day) AS dmax
+               FROM daily GROUP BY user_id),
+    spine AS (
+      SELECT b.user_id, CAST(g.d AS DATE) AS day
+      FROM bounds b,
+           LATERAL (SELECT unnest(generate_series(CAST(b.dmin AS TIMESTAMP),
+                                                  CAST(b.dmax AS TIMESTAMP),
+                                                  INTERVAL 1 DAY)) AS d) g),
+    dense AS (
+      SELECT s.user_id, s.day,
+             COALESCE(d.n_events, 0) AS n_events,
+             COALESCE(d.vsum, 0) AS vsum,
+             CASE WHEN d.n_events IS NULL THEN 1 ELSE 0 END AS is_gap
+      FROM spine s LEFT JOIN daily d ON s.user_id = d.user_id AND s.day = d.day)
+    SELECT user_id,
+           strftime(day, '%Y-%m-%d') AS day,
+           n_events,
+           CAST(round(vsum, 2) AS DOUBLE) AS value_sum,
+           CAST(is_gap AS BIGINT) AS is_gap,
+           CAST(sum(n_events) OVER (PARTITION BY user_id ORDER BY day
+                ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS trail7_events
+    FROM dense
+    """,
+    tags=("events", "timeseries", "window"),
+)
+def events_daily_dense_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse-to-dense time-series features: per-user DAILY aggregates
+    gap-filled over each user's own activity span, then a trailing-7-day
+    event count on the dense grid.
+
+    Why densify at all: on the raw sparse aggregates a ``ROWS 6
+    PRECEDING`` frame silently spans MORE than 7 calendar days across gap
+    days — the classic wrong-features bug; on the dense grid the cheap
+    ROWS frame is time-correct (and gap days carry explicit zeros, which
+    models need to see). Why it scales: the spine comes from
+    ``sequence(min_day, max_day)`` exploded per user — map-only codegen,
+    no global calendar cross join (which would manufacture rows for users
+    outside their activity horizon); output is sum-of-active-spans,
+    independent of raw event volume. One co-keyed left join + one
+    user-partitioned window are the only shuffles. Decimal-sum-then-round
+    keeps value_sum engine-exact (operators/timeseries.py).
+    """
+    from distributed_api_etl_spark.operators.timeseries import densify_daily
+
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.col("user_id").cast("bigint").alias("user_id"),
+        F.col("ts").cast("timestamp").cast("date").alias("day"),
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col("value").cast(DecimalType(14, 2))).alias("vsum"),
+    )
+    dense = densify_daily(daily, ["user_id"], "day")
+    w = Window.partitionBy("user_id").orderBy("day").rowsBetween(-6, 0)
+    return dense.select(
+        "user_id",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.col("n_events").cast("bigint").alias("n_events"),
+        F.round(F.col("vsum"), 2).cast("double").alias("value_sum"),
+        "is_gap",
+        F.sum("n_events").over(w).cast("bigint").alias("trail7_events"),
+    )

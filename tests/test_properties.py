@@ -398,3 +398,45 @@ def test_cms_overestimates_and_sum_merges(spark_global, keys, n_parts):
     assert merged == {
         (r["r"], r["bucket"]): r["cnt"] for r in whole.collect()
     }
+
+
+# ---------------------------------------------------------------------------
+# densify_daily: one row per key per day of its span, originals intact,
+# gaps zero-filled and flagged
+# ---------------------------------------------------------------------------
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    st.dictionaries(
+        st.integers(min_value=0, max_value=3),  # key
+        st.sets(st.integers(min_value=0, max_value=40), min_size=1, max_size=12),
+        min_size=1,
+        max_size=4,
+    )
+)
+def test_densify_daily_spans_and_preserves(spark_global, per_key_days):
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from distributed_api_etl_spark.operators.timeseries import densify_daily
+
+    base = dt.date(2024, 1, 1)
+    rows = [
+        (k, base + dt.timedelta(days=d), d + 1)
+        for k, days in per_key_days.items()
+        for d in days
+    ]
+    sparse = spark_global.createDataFrame(rows, "k bigint, day date, n bigint")
+    dense = densify_daily(sparse, ["k"], "day").collect()
+
+    expect_rows = sum(max(ds) - min(ds) + 1 for ds in per_key_days.values())
+    assert len(dense) == expect_rows
+    by_kd = {(r["k"], r["day"]): r for r in dense}
+    assert len(by_kd) == expect_rows  # no duplicate (key, day)
+    for k, days in per_key_days.items():
+        for d in range(min(days), max(days) + 1):
+            r = by_kd[(k, base + dt.timedelta(days=d))]
+            if d in days:  # original rows survive untouched
+                assert (r["n"], r["is_gap"]) == (d + 1, 0)
+            else:  # manufactured rows: zero-filled + flagged
+                assert (r["n"], r["is_gap"]) == (0, 1)
