@@ -267,6 +267,166 @@ def bloom_oracle_ctes(build_sql: str, m_bits: int = BLOOM_BITS) -> str:
     """
 
 
+# --- Equi-width histogram (quantile sketch) ---------------------------------
+#: Fixed-bin histogram: the deterministic, mergeable quantile structure.
+#: Randomized sketches (KLL, t-digest) can never hash-grade cross-engine;
+#: an equi-width histogram over [lo, hi] is pure integer counting once the
+#: bounds are fixed, per-partition histograms merge by vector SUM (same
+#: algebra as CMS), and a B-bin table answers any quantile to within one
+#: bin width. B = 64 keeps the per-group state 64 rows whatever the input.
+HIST_BINS = 64
+
+
+def _hist_bin(value: Column, lo: Column, hi: Column, n_bins: int) -> Column:
+    """Bin index in [0, n_bins-1]; a degenerate [lo, lo] range maps to 0.
+
+    The float expression is the same IEEE op sequence on both engines:
+    (value - lo) * B / (hi - lo), floored, clamped.
+    """
+    raw = F.floor(
+        (value - lo) * F.lit(float(n_bins)) / (hi - lo)
+    ).cast("bigint")
+    clamped = F.least(F.lit(n_bins - 1), F.greatest(F.lit(0), raw))
+    return F.when(hi == lo, F.lit(0)).otherwise(clamped)
+
+
+def _hist_bin_sql(value: str, lo: str, hi: str, n_bins: int) -> str:
+    return (
+        f"CASE WHEN {hi} = {lo} THEN 0 ELSE "
+        f"least({n_bins - 1}, greatest(0, CAST(floor(({value} - {lo}) * "
+        f"CAST({n_bins} AS DOUBLE) / ({hi} - {lo})) AS BIGINT))) END"
+    )
+
+
+def histogram_sketch(
+    df: DataFrame, value_col: str, group_cols: list[str], n_bins: int = HIST_BINS
+) -> tuple[DataFrame, DataFrame]:
+    """(bounds, hist): per-group (lo, hi, n) and the (group, bin, cnt) table.
+
+    Two map-side-combinable aggregations; the histogram is <= n_bins rows
+    per group regardless of input size and histograms from disjoint inputs
+    merge by ``sum(cnt)`` (bounds merge by min/max) — per-day histograms
+    roll up to any range. In production the bounds come from a first pass
+    or are fixed a priori; both passes are cheap scans with no wide state.
+    """
+    v = F.col(value_col)
+    bounds = df.groupBy(*group_cols).agg(
+        F.min(v).alias("lo"), F.max(v).alias("hi"), F.count("*").alias("n")
+    )
+    # group_cols == [] => global histogram: bounds is ONE row, bounded cross join
+    joined = df.join(bounds, group_cols) if group_cols else df.crossJoin(bounds)
+    binned = joined.select(
+        *group_cols, _hist_bin(v, F.col("lo"), F.col("hi"), n_bins).alias("bin")
+    )
+    hist = binned.groupBy(*group_cols, "bin").agg(F.count("*").alias("cnt"))
+    return bounds, hist
+
+
+def histogram_quantile(
+    bounds: DataFrame,
+    hist: DataFrame,
+    group_cols: list[str],
+    q_num: int,
+    q_den: int,
+    out_col: str,
+    n_bins: int = HIST_BINS,
+) -> DataFrame:
+    """Per-group quantile estimate from the histogram: (group..., out_col).
+
+    target rank = ceil(q*n) in INTEGER arithmetic ((q_num*n + q_den - 1)
+    div q_den — no float rank); the answering bin is the first whose
+    cumulative count reaches it (a <=n_bins-row window per group, selected
+    with one ``min_by`` — no second shuffle of the data). Within-bin linear
+    interpolation is a fixed IEEE op sequence, rounded via floor(x*1e4+.5)
+    so the graded value is engine-exact.
+    """
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(*group_cols)
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    def _with_bounds(df: DataFrame) -> DataFrame:
+        # group_cols == [] is the global-histogram case: bounds is ONE row,
+        # so the join degenerates to a (bounded) cross join
+        return df.join(bounds, group_cols) if group_cols else df.crossJoin(bounds)
+
+    cum = hist.withColumn("cum", F.sum("cnt").over(w))
+    j = _with_bounds(cum).withColumn(
+        "target", F.expr(f"div({q_num} * n + {q_den} - 1, {q_den})")
+    )
+    hit = _with_bounds(
+        j.where(F.col("cum") >= F.col("target"))
+        .groupBy(*group_cols)
+        .agg(F.min_by(F.struct("bin", "cnt", "cum"), F.col("bin")).alias("h"))
+        .select(*group_cols, "h.bin", "h.cnt", "h.cum")
+    ).withColumn("target", F.expr(f"div({q_num} * n + {q_den} - 1, {q_den})"))
+    est = (
+        F.col("lo")
+        + (
+            F.col("bin")
+            + (F.col("target") - (F.col("cum") - F.col("cnt"))) / F.col("cnt")
+        )
+        * (F.col("hi") - F.col("lo"))
+        / F.lit(float(n_bins))
+    )
+    return hit.select(
+        *group_cols,
+        (F.floor(est * F.lit(1e4) + F.lit(0.5)) / F.lit(1e4)).alias(out_col),
+    )
+
+
+def histogram_quantile_oracle_ctes(
+    value: str,
+    source_table: str,
+    group_col: str,
+    quantiles: list[tuple[str, int, int]],
+    n_bins: int = HIST_BINS,
+) -> str:
+    """DuckDB CTE chain ending in ``hq AS (group_col, <name> ...)`` — one
+    column per (name, q_num, q_den)."""
+    bin_expr = _hist_bin_sql(value, "b.lo", "b.hi", n_bins)
+    per_q = []
+    for name, q_num, q_den in quantiles:
+        per_q.append(
+            f"""hq_{name} AS (
+      SELECT {group_col},
+             floor((lo + (bin + CAST(target - (cum - cnt) AS DOUBLE) / cnt)
+                    * (hi - lo) / CAST({n_bins} AS DOUBLE)) * 1e4 + 0.5) / 1e4
+               AS {name}
+      FROM (
+        SELECT c.{group_col}, c.bin, c.cnt, c.cum, b.lo, b.hi,
+               ({q_num} * b.n + {q_den} - 1) // {q_den} AS target,
+               row_number() OVER (PARTITION BY c.{group_col} ORDER BY c.bin)
+                 AS rn
+        FROM hcum c JOIN hbounds b USING ({group_col})
+        WHERE c.cum >= ({q_num} * b.n + {q_den} - 1) // {q_den})
+      WHERE rn = 1)"""
+        )
+    joins = " ".join(f"JOIN hq_{name} USING ({group_col})" for name, _, _ in quantiles)
+    cols = ", ".join(name for name, _, _ in quantiles)
+    return f"""
+    hbounds AS (
+      SELECT {group_col}, min({value}) AS lo, max({value}) AS hi,
+             CAST(count(*) AS BIGINT) AS n
+      FROM {source_table} GROUP BY {group_col}),
+    hbins AS (
+      SELECT t.{group_col}, {bin_expr} AS bin
+      FROM {source_table} t JOIN hbounds b USING ({group_col})),
+    hhist AS (SELECT {group_col}, bin, CAST(count(*) AS BIGINT) AS cnt
+              FROM hbins GROUP BY {group_col}, bin),
+    hcum AS (
+      SELECT {group_col}, bin, cnt,
+             CAST(sum(cnt) OVER (PARTITION BY {group_col} ORDER BY bin) AS BIGINT)
+               AS cum
+      FROM hhist),
+    {", ".join(per_q)},
+    hq AS (SELECT {group_col}, {cols}
+           FROM (SELECT DISTINCT {group_col} FROM hbounds) g {joins})
+    """
+
+
 # --- Count-min sketch -------------------------------------------------------
 #: depth d salted hash rows x width w counters. Estimate = min over rows of
 #: the key's counter — always an OVERestimate (collisions only add), error

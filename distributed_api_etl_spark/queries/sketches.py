@@ -191,6 +191,64 @@ def events_hll_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _hist_quantile_oracle() -> str:
+    cte = SK.histogram_quantile_oracle_ctes(
+        "value", "events", "event_type", [("p50_est", 1, 2), ("p95_est", 19, 20)]
+    )
+    return f"""
+    WITH {cte.strip()},
+    ex AS (SELECT event_type,
+                  quantile_cont(value, 0.5) AS p50_exact,
+                  quantile_cont(value, 0.95) AS p95_exact,
+                  CAST(count(*) AS BIGINT) AS n
+           FROM events GROUP BY event_type)
+    SELECT event_type, n, p50_est, p50_exact, p95_est, p95_exact
+    FROM hq JOIN ex USING (event_type)
+    """
+
+
+@register(
+    "events_value_hist_quantiles",
+    oracle=_hist_quantile_oracle(),
+    tags=("sketch", "events", "stats"),
+)
+def events_value_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantiles from a mergeable 64-bin equi-width histogram — the
+    deterministic quantile sketch completing the family (HLL = distinct,
+    CMS = frequency, Bloom = membership, histogram = quantiles), with the
+    exact quantiles in-row as the error-accounting tier.
+
+    Why this shape at 100 TB: exact percentiles need a per-group sort (or
+    the full two-pass exact machinery of events_value_percentiles);
+    randomized sketches (t-digest/KLL) can't hash-grade. The histogram is
+    <= 64 rows per group whatever the input, per-partition/per-day tables
+    merge by vector SUM like CMS counters (bounds by min/max), and any
+    quantile is answered from the cumulative table to within one bin
+    width. Rank targets are computed in pure integer arithmetic
+    (ceil(q*n) = (q_num*n + q_den - 1) div q_den) and the within-bin
+    interpolation is a fixed IEEE sequence rounded via floor(x*1e4+0.5) —
+    engine-exact on both sides.
+    """
+    ev = table(spark, sf_dir, "events").select("event_type", "value")
+    bounds, hist = SK.histogram_sketch(ev, "value", ["event_type"])
+    from distributed_api_etl_spark.session import scoped_persist
+
+    bounds = scoped_persist(bounds)  # feeds binning + both quantile picks
+    hist = scoped_persist(hist)
+    p50 = SK.histogram_quantile(bounds, hist, ["event_type"], 1, 2, "p50_est")
+    p95 = SK.histogram_quantile(bounds, hist, ["event_type"], 19, 20, "p95_est")
+    exact = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, CAST(0.5 AS DOUBLE))").alias("p50_exact"),
+        F.expr("percentile(value, CAST(0.95 AS DOUBLE))").alias("p95_exact"),
+        F.count("*").alias("n"),
+    )
+    return (
+        p50.join(p95, "event_type")
+        .join(exact, "event_type")
+        .select("event_type", "n", "p50_est", "p50_exact", "p95_est", "p95_exact")
+    )
+
+
 def _cms_oracle() -> str:
     cte = SK.cms_oracle_sql("user_id", "events")
     return f"""

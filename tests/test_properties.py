@@ -440,3 +440,56 @@ def test_densify_daily_spans_and_preserves(spark_global, per_key_days):
                 assert (r["n"], r["is_gap"]) == (d + 1, 0)
             else:  # manufactured rows: zero-filled + flagged
                 assert (r["n"], r["is_gap"]) == (0, 1)
+
+
+# ---------------------------------------------------------------------------
+# Histogram sketch: disjoint-input histograms SUM-merge to the whole-input
+# histogram, and the quantile estimate lands within one bin width of exact
+# ---------------------------------------------------------------------------
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    st.lists(
+        st.floats(min_value=0.0, max_value=100.0, allow_nan=False, width=32),
+        min_size=2,
+        max_size=120,
+    ),
+    st.integers(min_value=2, max_value=4),
+)
+def test_histogram_sum_merge_and_quantile_bound(spark_global, values, n_parts):
+    from pyspark.sql import functions as F
+
+    from distributed_api_etl_spark.operators.sketch import (
+        histogram_quantile,
+        histogram_sketch,
+    )
+
+    rows = [(i, float(v)) for i, v in enumerate(values)]
+    df = spark_global.createDataFrame(rows, "i bigint, v double")
+    bounds, hist = histogram_sketch(df, "v", [], n_bins=16)
+    whole = {r["bin"]: r["cnt"] for r in hist.collect()}
+
+    # disjoint splits sketch independently; counts merge by SUM given the
+    # SAME bounds (production: bounds from a first pass or fixed a priori)
+    parts = [
+        df.where(F.pmod(F.col("i"), F.lit(n_parts)) == p).crossJoin(bounds)
+        for p in range(n_parts)
+    ]
+    from distributed_api_etl_spark.operators.sketch import _hist_bin
+
+    merged: dict[int, int] = {}
+    for part in parts:
+        binned = part.select(
+            _hist_bin(F.col("v"), F.col("lo"), F.col("hi"), 16).alias("bin")
+        )
+        for r in binned.groupBy("bin").agg(F.count("*").alias("cnt")).collect():
+            merged[r["bin"]] = merged.get(r["bin"], 0) + r["cnt"]
+    assert merged == whole
+
+    # estimate within one bin width of the true median
+    est = histogram_quantile(bounds, hist, [], 1, 2, "p50", n_bins=16).collect()[0][
+        "p50"
+    ]
+    svals = sorted(values)
+    exact = svals[(len(svals) + 1) // 2 - 1]  # lower discrete median
+    bin_w = (max(values) - min(values)) / 16 if max(values) > min(values) else 0.0
+    assert abs(est - exact) <= bin_w + 1e-4
