@@ -211,3 +211,17 @@ def test_grading_order_prioritizes_never_then_stale(tmp_path, monkeypatch):
     )
     out = E._grading_order(sorted([*names, pri]))
     assert out[:3] == ["q_errored", "q_failed_only", "q_never"]
+
+
+def test_verdict_priority_names_exist_and_graded():
+    """Every VERDICT-pinned backlog name must stay a registered, graded
+    query — a rename or retirement would silently un-pin it from the
+    grading window's head."""
+    import __spark_entry__ as E
+    from distributed_api_etl_spark.queries import load_all
+
+    reg = load_all()
+    for name in E._VERDICT_PRIORITY:
+        assert name in reg, f"{name} missing from registry"
+        assert reg[name].graded, f"{name} no longer graded"
+        assert reg[name].oracle, f"{name} lost its oracle"
