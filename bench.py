@@ -70,8 +70,11 @@ def main() -> None:
     # a shared box conflate the query's cost with GC pauses / first-touch
     # page faults / neighbor load; min-of-2 is the standard steady-state
     # estimator (JMH-style) and is declared in the output JSON.
+    from distributed_api_etl_spark.session import shuffle_bytes_snapshot
+
     RUNS = 2
     timings: dict[str, float] = {}
+    shuffle_mb: dict[str, float] = {}
     total = 0.0
     for name, spec in bench_specs.items():
         best = None
@@ -84,11 +87,15 @@ def main() -> None:
             # build inside the timed region: some operators (the API
             # pipeline) execute eagerly during build, and plan construction
             # is cheap anyway
+            w0, _ = shuffle_bytes_snapshot(spark)
             t0 = time.perf_counter()
             df = spec.build(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
             dt = time.perf_counter() - t0
+            w1, _ = shuffle_bytes_snapshot(spark)
             best = dt if best is None else min(best, dt)
+        # bytes from the LAST run (deterministic modulo AQE; runs agree)
+        shuffle_mb[name] = round((w1 - w0) / 1e6, 2)
         timings[name] = round(best, 3)
         total += best
 
@@ -101,6 +108,7 @@ def main() -> None:
                 "queries": timings,
                 "sf": float(sf),
                 "runs_per_query": RUNS,
+                "shuffle_write_mb": shuffle_mb,
                 "agg": "min",
             }
         )

@@ -116,3 +116,23 @@ def apply_runtime_conf(spark: SparkSession) -> SparkSession:
         except Exception:  # pragma: no cover - conf may be static
             pass
     return spark
+
+
+def shuffle_bytes_snapshot(spark) -> tuple[int, int]:
+    """(total_shuffle_write, total_shuffle_read) bytes since JVM start.
+
+    Read from the driver's AppStatusStore executor summaries (populated
+    with the UI disabled too) — diff two snapshots around a job to measure
+    what a query ACTUALLY shuffled, instead of inferring it from the plan.
+    bench.py reports the per-query diff; SCALE.md's shuffle census cites
+    those measurements. Cumulative monotonic counters: cheap (one py4j
+    round trip), safe to call between queries, meaningless mid-job.
+    """
+    store = spark.sparkContext._jsc.sc().statusStore()
+    ex = store.executorList(False)
+    w = r = 0
+    for i in range(ex.size()):
+        e = ex.apply(i)
+        w += e.totalShuffleWrite()
+        r += e.totalShuffleRead()
+    return w, r

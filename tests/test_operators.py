@@ -1013,3 +1013,26 @@ def test_file_bounding_boxes_quantify_zorder_layout(spark, tmp_path, sf_dir):
     assert z_user < t_user * 0.8, (z_user, t_user)
     # and the z layout still bounds time decently (it trades, not discards)
     assert mean_cov(zloc, "minute_idx") < 1.0
+
+
+def test_shuffle_bytes_snapshot_monotonic_and_sensitive(spark):
+    """The measured-shuffle instrument: counters are monotonic, and a
+    real exchange moves them while a map-only job does not."""
+    from pyspark.sql import functions as F
+
+    from distributed_api_etl_spark.session import shuffle_bytes_snapshot
+
+    w0, r0 = shuffle_bytes_snapshot(spark)
+    df = spark.range(0, 20000, 1, 4)
+    # map-only: no exchange
+    df.select((F.col("id") * 2).alias("x")).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    w1, r1 = shuffle_bytes_snapshot(spark)
+    assert (w1 - w0, r1 - r0) == (0, 0)
+    # groupBy on a wide key: real exchange
+    df.groupBy((F.col("id") % 1000).alias("k")).count().write.format("noop").mode(
+        "overwrite"
+    ).save()
+    w2, r2 = shuffle_bytes_snapshot(spark)
+    assert w2 > w1 and r2 >= r1
