@@ -43,10 +43,13 @@ def connected_components(
     sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).unionByName(
         edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
     )
-    # distinct + repartition on the join key: the persisted frame is already
-    # hash-partitioned on ``a``, so every round's propagation join shuffles
-    # only the (smaller) label side, never the edges again
-    sym = sym.distinct().repartition("a").persist()
+    # repartition FIRST, then dedup: HashPartitioning(a) satisfies the
+    # clustered distribution dropDuplicates(a, b) needs, so the dedup runs
+    # in place — ONE |E| exchange where distinct-then-repartition paid two
+    # (confirmed by plan: 2 Exchanges -> 1). The persisted frame is hash-
+    # partitioned on ``a``, so every round's propagation join shuffles only
+    # the (smaller) label side, never the edges again
+    sym = sym.repartition("a").dropDuplicates(["a", "b"]).persist()
     # iterative lineage MUST be truncated every round: ``labels`` appears
     # twice per iteration, so without a checkpoint the logical plan doubles
     # each round (2^iters nodes -> driver OOM just *printing* the plan).
@@ -257,10 +260,12 @@ def pagerank_fixed_point(
     portable).
     """
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    # repartition-then-dedup: one |E| exchange, not two (see
+    # connected_components for the distribution argument)
     sym = (
         e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
-        .distinct()
         .repartition("a")
+        .dropDuplicates(["a", "b"])
     )
     deg = sym.groupBy("a").agg(F.count("*").alias("deg_a"))
     linked = sym.join(deg, "a").persist()
