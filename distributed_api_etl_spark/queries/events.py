@@ -1124,6 +1124,7 @@ def events_user_type_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "events_daily_dense_features",
+    bench=True,
     oracle="""
     WITH daily AS (
       SELECT CAST(user_id AS BIGINT) AS user_id,

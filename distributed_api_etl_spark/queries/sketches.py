@@ -209,6 +209,7 @@ def _hist_quantile_oracle() -> str:
 
 @register(
     "events_value_hist_quantiles",
+    bench=True,
     oracle=_hist_quantile_oracle(),
     tags=("sketch", "events", "stats"),
 )
@@ -265,6 +266,7 @@ def _cms_oracle() -> str:
 
 @register(
     "events_cms_heavy_hitters",
+    bench=True,
     oracle=_cms_oracle(),
     tags=("sketch", "events"),
 )
