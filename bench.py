@@ -29,6 +29,13 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     registry = load_all()
     bench_specs = {n: s for n, s in sorted(registry.items()) if s.bench}
+    # dev knob: SPARK_GRAFT_BENCH_ONLY=q1_pricing_summary,dedup_minhash_lsh
+    # times just those queries (any registered name, bench-tagged or not) —
+    # the tuning loop shouldn't pay the whole headline set per iteration
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
+    if only:
+        names = [n.strip() for n in only.split(",") if n.strip()]
+        bench_specs = {n: registry[n] for n in names}
 
     # JVM warmup outside the timed region: first parquet read (Hadoop FS +
     # footer machinery), a shuffle agg, a window, and a broadcast join —
