@@ -40,6 +40,11 @@ def densify_daily(
     shuffle beyond the input's own aggregation.
     """
     agg_cols = [c for c in sparse.columns if c not in {*key_cols, day_col}]
+    if not agg_cols:
+        raise ValueError(
+            "densify_daily: sparse frame needs at least one aggregate column "
+            "beyond the keys and the day column (is_gap is derived from it)"
+        )
     fill = fill or {}
     bounds = sparse.groupBy(*key_cols).agg(
         F.min(day_col).alias("_dmin"), F.max(day_col).alias("_dmax")
