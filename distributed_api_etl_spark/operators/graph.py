@@ -276,7 +276,10 @@ def pagerank_fixed_point(
         return spark.createDataFrame(
             [], "node bigint, pr_fp bigint, pr double"
         )
-    base = (15 * scale) // (100 * n_nodes)
+    # teleport term derives from the SAME damping params as the propagation
+    # term ((1-d)/N with d = damping_num/damping_den); hardcoding 15/100
+    # here would silently break any non-default damping (caught in review)
+    base = ((damping_den - damping_num) * scale) // (damping_den * n_nodes)
     pr = (
         linked.select(F.col("a").alias("node"))
         .distinct()

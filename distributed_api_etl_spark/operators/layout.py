@@ -66,9 +66,18 @@ def _rank_bucket(df: DataFrame, col: str, bits: int, out_col: str) -> DataFrame:
     bucket assignment is then a codegen fold over the literal cut array —
     no window, no global sort, scale-independent.
     """
+    import math
+
     n = 1 << bits
     cuts = df.approxQuantile(col, [i / n for i in range(1, n)], 0.001)
-    arr = ", ".join(f"CAST({c!r} AS DOUBLE)" for c in cuts)
+    # approxQuantile sorts NaN greatest and returns [] on an empty/all-null
+    # column; `repr(nan)` is not a SQL literal and `array()` is VOID-typed —
+    # both crash at analysis. Drop non-finite cuts (rows above the last
+    # finite cut share the top bucket) and degrade to bucket 0 with no cuts.
+    finite = [c for c in cuts if c is not None and math.isfinite(c)]
+    if not finite:
+        return df.withColumn(out_col, F.lit(0).cast("bigint"))
+    arr = ", ".join(f"CAST({c!r} AS DOUBLE)" for c in finite)
     return df.withColumn(
         out_col,
         F.expr(
@@ -190,8 +199,14 @@ def file_bounding_boxes(spark, location: str, cols: list[str]) -> DataFrame:
     for c in cols:
         out = out.withColumn(
             f"coverage_{c}",
-            (F.col(f"max_{c}") - F.col(f"min_{c}"))
-            / (F.col(f"gmax_{c}") - F.col(f"gmin_{c}")),
+            # a constant column has a zero-width global range: every file
+            # trivially spans it — 1.0, not a NULL that poisons averages
+            F.when(
+                F.col(f"gmax_{c}") == F.col(f"gmin_{c}"), F.lit(1.0)
+            ).otherwise(
+                (F.col(f"max_{c}") - F.col(f"min_{c}"))
+                / (F.col(f"gmax_{c}") - F.col(f"gmin_{c}"))
+            ),
         )
     return out.select(
         F.col("_file").alias("file"),

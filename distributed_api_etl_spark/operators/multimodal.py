@@ -287,7 +287,11 @@ def resize_media(
                 n = len(raw)
                 stride = max(1, n // target_bytes)
                 resized = raw[::stride][:target_bytes]
-                w, h, _, _ = _fake_decode(raw)
+                # geometry only — the histogram _fake_decode also computes
+                # is a per-byte Python loop over the FULL payload and this
+                # stage discards it (review finding: it dominated wall time
+                # on large media); same w/h formula as _fake_decode
+                w, h = (n % 64) + 1, (n // 64) + 1
                 rows.append(
                     {
                         "doc_id": doc_id,

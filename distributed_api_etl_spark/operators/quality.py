@@ -14,10 +14,16 @@ referenced table, and report through the same schema.
 
 from __future__ import annotations
 
+import re
 from dataclasses import dataclass
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+#: Rule names feed generated column names and expression strings; anything
+#: outside identifier characters would silently re-parse (``price-pos`` ->
+#: ``price - pos``) or fail analysis, so reject it eagerly.
+_RULE_NAME_RE = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
 
 
 @dataclass(frozen=True)
@@ -27,6 +33,14 @@ class Rule:
 
     name: str
     cond: Column
+
+    def __post_init__(self) -> None:
+        if not _RULE_NAME_RE.match(self.name):
+            raise ValueError(
+                f"rule name {self.name!r} must be a plain identifier "
+                "([A-Za-z_][A-Za-z0-9_]*): it becomes a generated column "
+                "name inside the report aggregation"
+            )
 
 
 def rule(name: str, cond: Column | str) -> Rule:
@@ -42,8 +56,10 @@ def dq_report(df: DataFrame, rules: list[Rule]) -> DataFrame:
     aggs = [F.count("*").alias("_n")]
     for r in rules:
         aggs.append(
-            F.sum(
-                F.when(r.cond.isNull() | ~r.cond, 1).otherwise(0)
+            # coalesce: sum() over an EMPTY frame is NULL, not 0
+            F.coalesce(
+                F.sum(F.when(r.cond.isNull() | ~r.cond, 1).otherwise(0)),
+                F.lit(0),
             ).alias(f"_v_{r.name}")
         )
     wide = df.agg(*aggs)
@@ -52,7 +68,10 @@ def dq_report(df: DataFrame, rules: list[Rule]) -> DataFrame:
             F.lit(r.name).alias("rule_name"),
             F.col("_n").alias("n_rows"),
             F.col(f"_v_{r.name}").cast("bigint").alias("n_violations"),
-            F.expr(f"div(1000000 * _v_{r.name}, _n)").alias("violation_ppm"),
+            # empty input: _n = 0 would make div() return NULL — report 0
+            F.when(F.col("_n") == 0, F.lit(0).cast("bigint"))
+            .otherwise(F.expr(f"div(1000000 * _v_{r.name}, _n)"))
+            .alias("violation_ppm"),
         )
         for r in rules
     ]
@@ -69,11 +88,18 @@ def fk_violations(
     viol = df.select(F.col(fk_col)).join(
         ref.select(F.col(ref_col).alias(fk_col)).distinct(), fk_col, "left_anti"
     )
+    # an empty fact table divides by zero: div() returns NULL (non-ANSI) and
+    # a ppm<=limit gate would silently pass unknown — report 0 explicitly
+    ppm = (
+        F.lit(0).cast("bigint")
+        if n_rows == 0
+        else F.expr(f"div(1000000 * count(*), {n_rows})")
+    )
     return viol.agg(
         F.lit(rule_name).alias("rule_name"),
         F.lit(n_rows).cast("bigint").alias("n_rows"),
         F.count("*").cast("bigint").alias("n_violations"),
-        F.expr(f"div(1000000 * count(*), {n_rows})").alias("violation_ppm"),
+        ppm.alias("violation_ppm"),
     )
 
 

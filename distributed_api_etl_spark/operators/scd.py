@@ -74,7 +74,10 @@ def scd2_apply(
         F.col(key_col),
         *[F.col(f"_u_{c}").alias(c) for c in tracked_cols],
         F.col("_u_eff").alias(valid_from_col),
-        F.lit(OPEN_END).cast("timestamp_ntz").alias(valid_to_col),
+        # the open-end NULL takes the DIMENSION's own valid_to type — a
+        # hardcoded timestamp_ntz would mis-union (or tz-shift) against a
+        # dimension declared with plain TIMESTAMP validity columns
+        F.lit(OPEN_END).cast(dim.schema[valid_to_col].dataType).alias(valid_to_col),
     )
     carried = joined.where(has_cur & (~has_upd | ~changed)).select(*out_cols)
 

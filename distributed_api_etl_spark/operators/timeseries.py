@@ -53,9 +53,20 @@ def densify_daily(
         *key_cols,
         F.explode(F.expr("sequence(_dmin, _dmax, interval 1 day)")).alias(day_col),
     )
-    dense = spine.join(sparse, [*key_cols, day_col], "left")
-    is_gap = F.when(F.col(agg_cols[0]).isNull(), F.lit(1)).otherwise(F.lit(0))
-    out = dense.withColumn("is_gap", is_gap.cast("bigint"))
+    # explicit join marker: inferring gaps from agg_cols[0] IS NULL would
+    # misclassify a REAL row whose first aggregate is legitimately NULL
+    # (e.g. avg over all-null values) and zero-fill its data
+    marked = sparse.withColumn("_present", F.lit(1))
+    dense = spine.join(marked, [*key_cols, day_col], "left")
+    is_gap = F.when(F.col("_present").isNull(), F.lit(1)).otherwise(F.lit(0))
+    out = dense.withColumn("is_gap", is_gap.cast("bigint")).drop("_present")
     for c in agg_cols:
-        out = out.withColumn(c, F.coalesce(F.col(c), fill.get(c, F.lit(0))))
+        # fill ONLY manufactured rows; a real row keeps its value even when
+        # that value is legitimately NULL
+        out = out.withColumn(
+            c,
+            F.when(F.col("is_gap") == 1, fill.get(c, F.lit(0))).otherwise(
+                F.col(c)
+            ),
+        )
     return out

@@ -1087,7 +1087,8 @@ def _entropy_terms(count_expr, total_expr: str, types: tuple = EVENT_TYPES) -> s
     WITH counts AS (
       SELECT CAST(user_id AS BIGINT) AS user_id,
              {", ".join(f"CAST(count(*) FILTER (event_type = '{t}') AS BIGINT) AS n_{t}" for t in EVENT_TYPES)},
-             CAST(count(*) AS BIGINT) AS n_total
+             CAST(count(*) FILTER (event_type IN ({", ".join(chr(39) + t + chr(39) for t in EVENT_TYPES)}))
+               AS BIGINT) AS n_total
       FROM events GROUP BY user_id)
     SELECT user_id, n_total,
            floor(({_entropy_terms(lambda t: f"n_{t}", "n_total")}) * 1e6 + 0.5) / 1e6
@@ -1097,8 +1098,10 @@ def _entropy_terms(count_expr, total_expr: str, types: tuple = EVENT_TYPES) -> s
     tags=("events", "stats"),
 )
 def events_user_type_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Shannon entropy of each user's event-type mix (0 = monomaniac bot,
-    log2(5) ~ 2.32 = uniform browser) — the diversity feature behind
+    """Shannon entropy of each user's event-type mix over the DECLARED
+    taxonomy (n_total counts declared types only, on both engines — a row
+    with an undeclared type changes neither side; 0 = monomaniac bot,
+    log2(5) ~ 2.32 = uniform browser) is the diversity feature behind
     engagement scoring and bot heuristics. The five -p*log2(p) terms are
     summed in LITERAL type order on both engines (expression-tree order,
     not aggregation order), then portable-rounded — the pattern for

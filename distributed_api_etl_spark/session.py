@@ -56,6 +56,7 @@ def get_spark(
 
 
 _SCOPED_CACHES: list = []
+_SCOPED_CACHES_LOCK = __import__("threading").Lock()
 
 
 def scoped_persist(df):
@@ -69,7 +70,8 @@ def scoped_persist(df):
     in executor memory. Direct library callers own cleanup the same way.
     """
     df = df.persist()
-    _SCOPED_CACHES.append(df)
+    with _SCOPED_CACHES_LOCK:
+        _SCOPED_CACHES.append(df)
     return df
 
 
@@ -80,9 +82,13 @@ def release_caches() -> int:
     still depends on a tracked cache (i.e. between queries). Returns the
     number of caches released.
     """
+    # swap the list out under the lock, unpersist outside it: concurrent
+    # drivers (threaded grading harnesses) must never double-pop or race a
+    # release against another thread's registration
+    with _SCOPED_CACHES_LOCK:
+        drained, _SCOPED_CACHES[:] = _SCOPED_CACHES[:], []
     n = 0
-    while _SCOPED_CACHES:
-        df = _SCOPED_CACHES.pop()
+    for df in drained:
         try:
             df.unpersist()
             n += 1

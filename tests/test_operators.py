@@ -1036,3 +1036,15 @@ def test_shuffle_bytes_snapshot_monotonic_and_sensitive(spark):
     ).save()
     w2, r2 = shuffle_bytes_snapshot(spark)
     assert w2 > w1 and r2 >= r1
+
+
+def test_pagerank_damping_params_respected(spark):
+    """d=0 (pure teleport) must give every node exactly scale//N whatever
+    the graph shape — pins the teleport term to the damping params (a
+    hardcoded 15/100 base made any non-default damping silently wrong)."""
+    from distributed_api_etl_spark.operators.graph import PR_SCALE, pagerank_fixed_point
+
+    edges = spark.createDataFrame([(1, 2), (2, 3), (1, 3)], "d1 bigint, d2 bigint")
+    rows = pagerank_fixed_point(edges, iters=2, damping_num=0, damping_den=100).collect()
+    assert len(rows) == 3
+    assert {r["pr_fp"] for r in rows} == {PR_SCALE // 3}

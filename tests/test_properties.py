@@ -493,3 +493,22 @@ def test_histogram_sum_merge_and_quantile_bound(spark_global, values, n_parts):
     exact = svals[(len(svals) + 1) // 2 - 1]  # lower discrete median
     bin_w = (max(values) - min(values)) / 16 if max(values) > min(values) else 0.0
     assert abs(est - exact) <= bin_w + 1e-4
+
+
+def test_densify_preserves_real_null_aggregates(spark_global):
+    """A real row whose aggregate is legitimately NULL must NOT be flagged
+    as a gap or zero-filled (pinned after review: the old first-agg-NULL
+    inference misclassified exactly this case)."""
+    import datetime as dt
+
+    from distributed_api_etl_spark.operators.timeseries import densify_daily
+
+    d = dt.date(2024, 1, 1)
+    sparse = spark_global.createDataFrame(
+        [(1, d, None, 7), (1, d + dt.timedelta(days=2), 5, 9)],
+        "k bigint, day date, a bigint, b bigint",
+    )
+    rows = {r["day"].day: r for r in densify_daily(sparse, ["k"], "day").collect()}
+    assert (rows[1]["a"], rows[1]["b"], rows[1]["is_gap"]) == (None, 7, 0)
+    assert (rows[2]["a"], rows[2]["b"], rows[2]["is_gap"]) == (0, 0, 1)
+    assert (rows[3]["a"], rows[3]["b"], rows[3]["is_gap"]) == (5, 9, 0)
