@@ -124,7 +124,9 @@ class SourceTableConfig(BaseModel):
     namespace: str | None = None
     name: str | None = None
     location: str | None = None
-    format: Literal["parquet", "csv", "json", "orc"] = "parquet"
+    # xml is Spark 4 native (set options.rowTag); avro needs the external
+    # spark-avro jar, not deployed in this runtime — rejected eagerly here
+    format: Literal["parquet", "csv", "json", "orc", "xml"] = "parquet"
     options: dict[str, str] = Field(default_factory=dict)  # e.g. csv header
     id_column: str = "tracking_id"
     table_schema: TableSchema | None = Field(default=None, alias="schema")

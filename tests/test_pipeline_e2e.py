@@ -231,6 +231,36 @@ def test_pipeline_source_from_file_location(spark, tmp_path):
     assert rows == {"a1", "a2", "a3"}
 
 
+def test_pipeline_source_from_xml_location(spark, tmp_path):
+    """tables.source.location with format=xml — Spark 4's native XML source
+    through the same config path (rowTag via options)."""
+    src_dir = str(tmp_path / "src_xml")
+    spark.createDataFrame(
+        [("x1",), ("x2",)], "tracking_id string"
+    ).coalesce(1).write.format("xml").option("rowTag", "row").save(src_dir)
+
+    from distributed_api_etl_spark.orchestration import run_pipeline
+
+    cfg = {
+        "endpoint": {
+            "method": "GET",
+            "url": "http://mock.local/api/x",
+            "param_mapping": [{"endpoint_param": "id", "source_column": "request_id"}],
+        },
+        "transport": {"engine": "mock"},
+        "execution": {"num_partitions": 2},
+        "tables": {
+            "source": {
+                "location": src_dir,
+                "format": "xml",
+                "options": {"rowTag": "row"},
+            }
+        },
+    }
+    result = run_pipeline(spark, cfg, dry_run=True, fixed_time="2024-01-01T00:00:00")
+    assert {r.request_id for r in result.bronze_df.collect()} == {"x1", "x2"}
+
+
 def test_source_name_and_location_mutually_exclusive():
     import pytest as _pytest
 
