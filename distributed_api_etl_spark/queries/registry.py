@@ -147,6 +147,7 @@ def load_all() -> dict[str, QuerySpec]:
         sketches,
         streaming,
         text,
+        tpch_adapted,
         tpch_more,
     )
 

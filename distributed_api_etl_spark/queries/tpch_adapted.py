@@ -1,0 +1,441 @@
+"""TPC-H q2/q11/q12/q16/q20/q21, adapted to the driver's simplified schema.
+
+The synthetic star schema has no ``partsupp`` table and no
+``l_shipmode/l_commitdate/l_receiptdate`` columns, so the six classic
+queries that depend on them are re-expressed here with the SAME logical
+shape (correlated-min subquery, scalar-threshold HAVING, CASE-pivot over a
+derived category, NOT IN anti-join + count-distinct, nested two-level
+aggregation semi-join, EXISTS/NOT-EXISTS order forensics) over derivable
+stand-ins:
+
+- supply cost        -> min unit price observed in lineitem (q2)
+- partsupp value     -> lineitem revenue by part for one nation's suppliers (q11)
+- ship mode          -> shipping-delay class (l_shipdate - o_orderdate) (q12)
+- partsupp variety   -> distinct lineitem suppliers per part attribute (q16)
+- excess availqty    -> supplier shipping >half a part's annual volume (q20)
+- late receipt       -> l_shipdate > o_orderdate + 365 days (q21)
+
+Joins are UNHINTED except fixed-size nation/region (25/5 rows at every sf):
+orders/customer/supplier/part scale with sf, so AQE's runtime stats pick
+broadcast below the threshold and sort-merge + skew-split above — correct at
+sf0.001 and at 100 TB. Money/quantity sums accumulate in exact DECIMAL and
+only final outputs are cast to double (queries/relational.py convention), so
+both engines hash bit-identically.
+
+Reference parity: the reference delegates all analytics beyond count to its
+SQL layer (SURVEY.md §3.3); this completes the 22-query TPC-H sweep of that
+layer's workload re-expressed Spark-first.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import DecimalType
+
+from distributed_api_etl_spark.functions.portable import dec
+from distributed_api_etl_spark.queries.registry import register, table
+
+
+def _one_minus(col):
+    # exact (5,3) decimal for (1 - discount) factors (same as relational.py)
+    return (F.lit(1) - dec(col, 5, 3)).cast(DecimalType(5, 3))
+
+
+# --- Q2: min-cost supplier per part in a region -----------------------------
+Q2_REGION = "EUROPE"
+Q2_TYPE = "LARGE"
+Q2_MAX_SIZE = 10
+
+
+@register(
+    "q2_min_cost_supplier",
+    oracle=f"""
+    WITH cost AS (
+      SELECT l_partkey, l_suppkey, min(l_extendedprice / l_quantity) AS unit_cost
+      FROM lineitem GROUP BY l_partkey, l_suppkey
+    ),
+    eur AS (
+      SELECT s_suppkey, s_name, s_acctbal, n_name
+      FROM supplier
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = '{Q2_REGION}'
+    ),
+    pc AS (
+      SELECT p.p_partkey, p.p_name, c.unit_cost,
+             e.s_name, e.s_acctbal, e.n_name,
+             min(c.unit_cost) OVER (PARTITION BY p.p_partkey) AS min_cost
+      FROM part p
+      JOIN cost c ON c.l_partkey = p.p_partkey
+      JOIN eur e  ON e.s_suppkey = c.l_suppkey
+      WHERE p.p_type = '{Q2_TYPE}' AND p.p_size <= {Q2_MAX_SIZE}
+    )
+    SELECT s_acctbal, s_name, n_name, p_partkey, p_name,
+           round(unit_cost, 6) AS unit_cost
+    FROM pc
+    WHERE unit_cost = min_cost
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+    LIMIT 100
+    """,
+    tags=("analytics",),
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: the correlated MIN subquery (cheapest regional
+    supplier per part), decorrelated to a window-min + filter — one shuffle
+    on p_partkey instead of a per-part rescan. Supply cost is the minimum
+    observed unit price (no partsupp table in this schema). The part filter
+    prunes at the scan; supplier/part joins are unhinted (they scale with
+    sf), only fixed-size nation/region are broadcast."""
+    li = table(spark, sf_dir, "lineitem")
+    cost = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost")
+    )
+    nation = table(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    region = table(spark, sf_dir, "region").where(F.col("r_name") == Q2_REGION)
+    eur = (
+        table(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    parts = (
+        table(spark, sf_dir, "part")
+        .where((F.col("p_type") == Q2_TYPE) & (F.col("p_size") <= Q2_MAX_SIZE))
+        .select("p_partkey", "p_name")
+    )
+    pc = (
+        parts.join(cost, parts.p_partkey == cost.l_partkey)
+        .join(eur, cost.l_suppkey == eur.s_suppkey)
+        .select("p_partkey", "p_name", "unit_cost", "s_name", "s_acctbal", "n_name")
+    )
+    w = Window.partitionBy("p_partkey")
+    return (
+        pc.withColumn("min_cost", F.min("unit_cost").over(w))
+        .where(F.col("unit_cost") == F.col("min_cost"))
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_name",
+            F.round(F.col("unit_cost"), 6).alias("unit_cost"),
+        )
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+# --- Q11: important parts by one nation's supplier value --------------------
+Q11_NATION = "NATION_7"
+
+
+@register(
+    "q11_important_parts",
+    oracle=f"""
+    WITH val AS (
+      SELECT l_partkey,
+             sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                 * CAST(1 - CAST(l_discount AS DECIMAL(5,3)) AS DECIMAL(5,3)))
+               AS value_dec
+      FROM lineitem
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      WHERE n_name = '{Q11_NATION}'
+      GROUP BY l_partkey
+    ),
+    tot AS (SELECT sum(value_dec) AS total_dec FROM val)
+    SELECT l_partkey,
+           CAST(round(value_dec, 2) AS DOUBLE) AS part_value
+    FROM val, tot
+    WHERE CAST(value_dec AS DECIMAL(25,5))
+          > CAST(total_dec AS DECIMAL(25,5)) * CAST(0.001 AS DECIMAL(4,3))
+    """,
+    tags=("analytics",),
+)
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: scalar-subquery threshold (parts holding more than
+    0.1% of one nation's shipped value — partsupp value stands in as
+    lineitem revenue). The global total is a one-row broadcast cross join;
+    the threshold compare stays in exact DECIMAL on both engines so the
+    boundary is bit-identical. Supplier join unhinted (scales with sf)."""
+    li = table(spark, sf_dir, "lineitem")
+    nation = table(spark, sf_dir, "nation").where(F.col("n_name") == Q11_NATION)
+    supp = (
+        table(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey")
+    )
+    value = dec("l_extendedprice", 12, 2) * _one_minus(F.col("l_discount"))
+    val = (
+        li.join(supp, li.l_suppkey == supp.s_suppkey)
+        .groupBy("l_partkey")
+        .agg(F.sum(value).alias("value_dec"))
+    )
+    tot = val.agg(F.sum("value_dec").alias("total_dec"))
+    return (
+        val.crossJoin(F.broadcast(tot))
+        .where(
+            F.col("value_dec").cast(DecimalType(25, 5))
+            > F.col("total_dec").cast(DecimalType(25, 5))
+            * F.lit("0.001").cast(DecimalType(4, 3))
+        )
+        .select(
+            "l_partkey",
+            F.round(F.col("value_dec"), 2).cast("double").alias("part_value"),
+        )
+    )
+
+
+# --- Q12: priority counts by shipping-delay class ---------------------------
+Q12_SLOW_DAYS = 365
+
+
+@register(
+    "q12_delay_class_priority",
+    oracle=f"""
+    SELECT CASE WHEN datediff('day', CAST(o_orderdate AS DATE),
+                              CAST(l_shipdate AS DATE)) > {Q12_SLOW_DAYS}
+                THEN 'SLOW' ELSE 'FAST' END AS delay_class,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    GROUP BY delay_class
+    """,
+    tags=("analytics",),
+)
+def q12_delay_class_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: CASE-pivot counts of order priorities per category.
+    Ship mode doesn't exist in this schema; the category is the derived
+    shipping-delay class (slow = shipped >365 days after the order date).
+    One join + one 2-group aggregation; the orders join is unhinted."""
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    delay = F.datediff(
+        F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date")
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .withColumn(
+            "delay_class",
+            F.when(delay > Q12_SLOW_DAYS, F.lit("SLOW")).otherwise(F.lit("FAST")),
+        )
+        .groupBy("delay_class")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+# --- Q16: supplier variety per part attribute -------------------------------
+Q16_SIZES = (1, 9, 14, 19, 24, 29, 34, 47)
+
+
+@register(
+    "q16_part_supplier_variety",
+    oracle=f"""
+    SELECT p_brand, p_type, p_size,
+           count(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    WHERE p_brand <> 'Brand#5'
+      AND p_type <> 'PROMO'
+      AND p_size IN ({', '.join(str(s) for s in Q16_SIZES)})
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0)
+    GROUP BY p_brand, p_type, p_size
+    """,
+    tags=("analytics",),
+)
+def q16_part_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct-supplier counts per part attribute with a
+    NOT IN exclusion subquery (complaint suppliers -> negative-balance
+    suppliers; no comment column in this schema). The NOT IN is a left-anti
+    join on a key set that is tiny but sf-scaling, so it stays unhinted;
+    the part attribute filter prunes at the scan."""
+    li = table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    parts = (
+        table(spark, sf_dir, "part")
+        .where(
+            (F.col("p_brand") != "Brand#5")
+            & (F.col("p_type") != "PROMO")
+            & F.col("p_size").isin(*Q16_SIZES)
+        )
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+    bad_supp = (
+        table(spark, sf_dir, "supplier")
+        .where(F.col("s_acctbal") < 0.0)
+        .select("s_suppkey")
+    )
+    return (
+        li.join(bad_supp, li.l_suppkey == bad_supp.s_suppkey, "left_anti")
+        .join(parts, li.l_partkey == parts.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+# --- Q20: suppliers shipping most of a part's annual volume -----------------
+Q20_REGION = "ASIA"
+Q20_NAME_PREFIX = "small "
+Q20_YEAR_LO = "1997-01-01"
+Q20_YEAR_HI = "1998-01-01"
+
+
+@register(
+    "q20_dominant_suppliers",
+    oracle=f"""
+    WITH yr AS (
+      SELECT l_partkey, l_suppkey, l_quantity
+      FROM lineitem
+      WHERE CAST(l_shipdate AS DATE) >= DATE '{Q20_YEAR_LO}'
+        AND CAST(l_shipdate AS DATE) <  DATE '{Q20_YEAR_HI}'
+    ),
+    qty AS (
+      SELECT l_partkey, l_suppkey,
+             CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(20,2)) AS supp_qty
+      FROM yr GROUP BY l_partkey, l_suppkey
+    ),
+    tot AS (
+      SELECT l_partkey, CAST(sum(supp_qty) AS DECIMAL(20,2)) AS part_qty
+      FROM qty GROUP BY l_partkey
+    ),
+    dominant AS (
+      SELECT DISTINCT q.l_suppkey
+      FROM qty q
+      JOIN tot t ON t.l_partkey = q.l_partkey
+      JOIN part p ON p.p_partkey = q.l_partkey
+      WHERE p.p_name LIKE '{Q20_NAME_PREFIX}%'
+        AND q.supp_qty * 2 > t.part_qty
+    )
+    SELECT s.s_name, s.s_acctbal
+    FROM supplier s
+    JOIN dominant d ON d.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = '{Q20_REGION}'
+    """,
+    tags=("analytics",),
+)
+def q20_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: nested two-level aggregation feeding a semi-join
+    chain (suppliers who shipped more than half of a qualifying part's 1997
+    volume — availqty stands in as observed dominance). Quantity sums stay
+    in exact DECIMAL so the x2-majority boundary is bit-identical. The date
+    filter prunes at the scan; part/supplier joins are unhinted."""
+    li = table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate").cast("date") >= F.lit(Q20_YEAR_LO).cast("date"))
+        & (F.col("l_shipdate").cast("date") < F.lit(Q20_YEAR_HI).cast("date"))
+    )
+    qty = (
+        li.groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(dec("l_quantity", 12, 2)).cast(DecimalType(20, 2)).alias("supp_qty"))
+    )
+    tot = (
+        qty.groupBy("l_partkey")
+        .agg(F.sum("supp_qty").cast(DecimalType(20, 2)).alias("part_qty"))
+        .withColumnRenamed("l_partkey", "t_partkey")
+    )
+    small_parts = (
+        table(spark, sf_dir, "part")
+        .where(F.col("p_name").startswith(Q20_NAME_PREFIX))
+        .select("p_partkey")
+    )
+    dominant = (
+        qty.join(tot, qty.l_partkey == tot.t_partkey)
+        .join(small_parts, qty.l_partkey == small_parts.p_partkey, "left_semi")
+        .where(F.col("supp_qty") * 2 > F.col("part_qty"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    nation = table(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    region = table(spark, sf_dir, "region").where(F.col("r_name") == Q20_REGION)
+    return (
+        table(spark, sf_dir, "supplier")
+        .join(dominant, F.col("s_suppkey") == dominant.l_suppkey, "left_semi")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_name", "s_acctbal")
+    )
+
+
+# --- Q21: suppliers who alone held up multi-supplier orders -----------------
+Q21_LATE_DAYS = 365
+
+
+@register(
+    "q21_waiting_suppliers",
+    oracle=f"""
+    WITH fo AS (
+      SELECT o_orderkey, CAST(o_orderdate AS DATE) AS od
+      FROM orders WHERE o_orderstatus = 'F'
+    ),
+    sup_ord AS (
+      SELECT l_orderkey, l_suppkey,
+             max(CASE WHEN CAST(l_shipdate AS DATE)
+                           > od + INTERVAL {Q21_LATE_DAYS} DAY
+                      THEN 1 ELSE 0 END) AS is_late
+      FROM lineitem JOIN fo ON l_orderkey = o_orderkey
+      GROUP BY l_orderkey, l_suppkey
+    ),
+    ord AS (
+      SELECT l_orderkey, count(*) AS n_supp, sum(is_late) AS n_late
+      FROM sup_ord GROUP BY l_orderkey
+    )
+    SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait
+    FROM sup_ord so
+    JOIN ord o ON o.l_orderkey = so.l_orderkey
+    JOIN supplier s ON s.s_suppkey = so.l_suppkey
+    WHERE so.is_late = 1 AND o.n_supp >= 2 AND o.n_late = 1
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s.s_name
+    LIMIT 50
+    """,
+    tags=("analytics",),
+)
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: the EXISTS (another supplier on the order) +
+    NOT EXISTS (no other LATE supplier) forensics, decorrelated to one
+    per-(order, supplier) aggregate and one per-order aggregate — two
+    shuffles on l_orderkey instead of two correlated rescans of lineitem.
+    'Late receipt' is shipped >365 days after an F-status order's date
+    (no receipt/commit dates in this schema). Top-50 is a TakeOrdered."""
+    fo = (
+        table(spark, sf_dir, "orders")
+        .where(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", F.col("o_orderdate").cast("date").alias("od"))
+    )
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    late = F.when(
+        F.col("l_shipdate").cast("date") > F.date_add(F.col("od"), Q21_LATE_DAYS), 1
+    ).otherwise(0)
+    sup_ord = (
+        li.join(fo, li.l_orderkey == fo.o_orderkey)
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max(late).alias("is_late"))
+    )
+    ord_stats = sup_ord.groupBy("l_orderkey").agg(
+        F.count("*").alias("n_supp"), F.sum("is_late").alias("n_late")
+    )
+    supp = table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        sup_ord.where(F.col("is_late") == 1)
+        .join(
+            ord_stats.where((F.col("n_supp") >= 2) & (F.col("n_late") == 1)),
+            "l_orderkey",
+            "left_semi",
+        )
+        .join(supp, sup_ord.l_suppkey == supp.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(50)
+    )

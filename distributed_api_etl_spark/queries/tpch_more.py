@@ -1,9 +1,11 @@
 """TPC-H breadth: the remaining queries expressible on the driver's
 simplified star schema (no ``partsupp`` table and no
-``l_shipmode/l_commitdate/l_receiptdate/p_container`` columns, so
-q2/q9/q11/q12/q16/q20/q21 keep their classic shape only as the adapted
-variants noted per-query; the rest are the standard formulations with
-parameters tuned to the synthetic value domains).
+``l_shipmode/l_commitdate/l_receiptdate/p_container`` columns; q9 keeps
+its classic shape only as the adapted variant noted on the query, and
+q2/q11/q12/q16/q20/q21 live as schema-adapted variants in
+queries/tpch_adapted.py — with those, all 22 TPC-H shapes are graded).
+The rest are the standard formulations with parameters tuned to the
+synthetic value domains.
 
 All joins are UNHINTED: orders/customer/supplier/part scale with sf, so AQE's
 runtime size stats pick broadcast below ``autoBroadcastJoinThreshold`` and
