@@ -35,6 +35,7 @@ from pyspark.sql.types import DecimalType
 
 from distributed_api_etl_spark.functions.portable import dec
 from distributed_api_etl_spark.queries.registry import register, table
+from distributed_api_etl_spark.session import scoped_persist
 
 
 def _one_minus(col):
@@ -167,7 +168,8 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey")
     )
     value = dec("l_extendedprice", 12, 2) * _one_minus(F.col("l_discount"))
-    val = (
+    val = scoped_persist(  # feeds BOTH the threshold scalar and the output —
+        # without the persist Catalyst recomputes the whole scan+join+agg twice
         li.join(supp, li.l_suppkey == supp.s_suppkey)
         .groupBy("l_partkey")
         .agg(F.sum(value).alias("value_dec"))
@@ -333,7 +335,8 @@ def q20_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_shipdate").cast("date") >= F.lit(Q20_YEAR_LO).cast("date"))
         & (F.col("l_shipdate").cast("date") < F.lit(Q20_YEAR_HI).cast("date"))
     )
-    qty = (
+    qty = scoped_persist(  # feeds BOTH the per-part total and the dominance
+        # filter — persist so the date-filtered scan+agg runs once
         li.groupBy("l_partkey", "l_suppkey")
         .agg(F.sum(dec("l_quantity", 12, 2)).cast(DecimalType(20, 2)).alias("supp_qty"))
     )
@@ -417,7 +420,8 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     late = F.when(
         F.col("l_shipdate").cast("date") > F.date_add(F.col("od"), Q21_LATE_DAYS), 1
     ).otherwise(0)
-    sup_ord = (
+    sup_ord = scoped_persist(  # feeds BOTH the per-order stats and the main
+        # join — persist so the lineitem-orders join+agg runs once
         li.join(fo, li.l_orderkey == fo.o_orderkey)
         .groupBy("l_orderkey", "l_suppkey")
         .agg(F.max(late).alias("is_late"))
