@@ -90,3 +90,87 @@ def supply_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         "pr_fp",
         "pr",
     )
+
+
+@register(
+    "supply_graph_triangles",
+    oracle="""
+    WITH lo AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+    und AS (
+      SELECT DISTINCT a.l_suppkey AS u, b.l_suppkey AS v
+      FROM lo a JOIN lo b
+        ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+    ),
+    deg AS (
+      SELECT n, count(*) AS d
+      FROM (SELECT u AS n FROM und UNION ALL SELECT v AS n FROM und)
+      GROUP BY n
+    ),
+    orient AS (
+      SELECT CASE WHEN (du.d < dv.d) OR (du.d = dv.d AND u < v)
+                  THEN u ELSE v END AS a,
+             CASE WHEN (du.d < dv.d) OR (du.d = dv.d AND u < v)
+                  THEN v ELSE u END AS b,
+             CASE WHEN (du.d < dv.d) OR (du.d = dv.d AND u < v)
+                  THEN dv.d ELSE du.d END AS db
+      FROM und
+      JOIN deg du ON du.n = u
+      JOIN deg dv ON dv.n = v
+    ),
+    tri AS (
+      SELECT o1.a AS x, o1.b AS y, o2.b AS z
+      FROM orient o1
+      JOIN orient o2 ON o1.a = o2.a
+       AND ((o1.db < o2.db) OR (o1.db = o2.db AND o1.b < o2.b))
+      WHERE EXISTS (SELECT 1 FROM orient o3 WHERE o3.a = o1.b AND o3.b = o2.b)
+    ),
+    pern AS (
+      SELECT n, count(*) AS t
+      FROM (SELECT x AS n FROM tri UNION ALL SELECT y FROM tri
+            UNION ALL SELECT z FROM tri)
+      GROUP BY n
+    )
+    SELECT s.s_suppkey, s.s_name,
+           CAST(d.d AS BIGINT) AS degree,
+           CAST(COALESCE(p.t, 0) AS BIGINT) AS triangles
+    FROM supplier s
+    JOIN deg d ON d.n = s.s_suppkey
+    LEFT JOIN pern p ON p.n = s.s_suppkey
+    """,
+    tags=("graph", "ml"),
+)
+def supply_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counts on the supplier co-supply graph (suppliers sharing an
+    order), via degree-ordered orientation (operators/graph.py:
+    triangle_counts) — the skew-proof formulation whose wedge work is
+    O(|E|^1.5) worst-case instead of sum-of-degree-squared. The per-order
+    supplier self-join is bounded by lines-per-order (<= 7 in TPC-H-shaped
+    data), so edge construction is linear in lineitem."""
+    from distributed_api_etl_spark.operators.graph import triangle_counts
+
+    lo = (
+        table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    rhs = lo.select(
+        F.col("l_orderkey").alias("o2"), F.col("l_suppkey").alias("s2")
+    )
+    pairs = (
+        lo.join(rhs, (F.col("l_orderkey") == F.col("o2"))
+                & (F.col("l_suppkey") < F.col("s2")))
+        .select(F.col("l_suppkey").alias("d1"), F.col("s2").alias("d2"))
+        .distinct()
+    )
+    tri = triangle_counts(pairs)
+    supp = table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        supp.join(tri, supp.s_suppkey == tri.node)
+        .join(
+            pairs.select(F.explode(F.array("d1", "d2")).alias("n"))
+            .groupBy("n")
+            .agg(F.count("*").alias("degree")),
+            F.col("s_suppkey") == F.col("n"),
+        )
+        .select("s_suppkey", "s_name", F.col("degree").cast("long").alias("degree"), "triangles")
+    )

@@ -1048,3 +1048,21 @@ def test_pagerank_damping_params_respected(spark):
     rows = pagerank_fixed_point(edges, iters=2, damping_num=0, damping_den=100).collect()
     assert len(rows) == 3
     assert {r["pr_fp"] for r in rows} == {PR_SCALE // 3}
+
+
+def test_triangle_counts_known_graphs(spark):
+    """K4 (every node in C(3,2)=3 triangles), a path (zero triangles), and
+    a star (zero triangles despite a high-degree hub — the orientation's
+    whole point), all in one graph; plus reversed/duplicate edge input."""
+    from distributed_api_etl_spark.operators.graph import triangle_counts
+
+    k4 = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)]
+    path = [(10, 11), (11, 12), (12, 13)]
+    star = [(20, 21), (20, 22), (20, 23), (20, 24)]
+    # duplicates + reversed orientation must not change counts
+    noisy = k4 + path + star + [(2, 1), (3, 1), (11, 10)]
+    edges = spark.createDataFrame(noisy, "d1 bigint, d2 bigint")
+    got = {r["node"]: r["triangles"] for r in triangle_counts(edges).collect()}
+    assert {n: t for n, t in got.items() if n < 10} == {1: 3, 2: 3, 3: 3, 4: 3}
+    assert all(got[n] == 0 for n in (10, 11, 12, 13, 20, 21, 22, 23, 24))
+    assert len(got) == 13
