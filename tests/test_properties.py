@@ -512,3 +512,36 @@ def test_densify_preserves_real_null_aggregates(spark_global):
     assert (rows[1]["a"], rows[1]["b"], rows[1]["is_gap"]) == (None, 7, 0)
     assert (rows[2]["a"], rows[2]["b"], rows[2]["is_gap"]) == (0, 0, 1)
     assert (rows[3]["a"], rows[3]["b"], rows[3]["is_gap"]) == (5, 9, 0)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 12), st.integers(0, 12)),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_triangle_counts_match_bruteforce(spark_global, edge_list):
+    """Degree-ordered triangle counting == brute-force enumeration on random
+    graphs (self-loops and duplicate/reversed edges in the input)."""
+    from itertools import combinations
+
+    from distributed_api_etl_spark.operators.graph import triangle_counts
+
+    adj = {}
+    for a, b in edge_list:
+        if a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    expected = {n: 0 for n in adj}
+    for x, y, z in combinations(sorted(adj), 3):
+        if y in adj[x] and z in adj[x] and z in adj[y]:
+            for n in (x, y, z):
+                expected[n] += 1
+    edges = spark_global.createDataFrame(
+        [(a, b) for a, b in edge_list], "d1 bigint, d2 bigint"
+    )
+    got = {r["node"]: r["triangles"] for r in triangle_counts(edges).collect()}
+    assert got == expected
