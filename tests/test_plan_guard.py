@@ -1,0 +1,114 @@
+"""Plan-regression guard: no scale anti-pattern sneaks into a graded query.
+
+Walks every non-streaming graded query's formatted physical plan at
+sf0.001 (explain only — plans don't change shape with sf, AQE runtime
+re-planning aside) and fails on the three anti-patterns the round-3 audit
+checked by hand:
+
+1. ``CartesianProduct`` — an unbounded all-pairs join. Allowed only for
+   the explicitly-labeled exact verifier tiers (documented quadratic
+   baselines a caller opts into at bounded corpus sizes).
+2. ``BroadcastNestedLoopJoin`` — allowed only where the build side is a
+   one-row scalar aggregate (the sanctioned scalar-subquery pattern; a
+   BNLJ against anything sf-scaling would OOM at 100 TB).
+3. A full-width ``lineitem`` scan — the widest fact table (11 columns);
+   any query reading all of them has lost column pruning.
+
+The allowlists are explicit per query name so a new offender fails loudly
+and has to argue its way in with a reason string.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from distributed_api_etl_spark.queries import load_all
+from distributed_api_etl_spark.session import release_caches
+
+REGISTRY = load_all()
+
+# query -> why a cartesian product is sanctioned there
+ALLOW_CARTESIAN = {}
+
+# query -> why a BroadcastNestedLoopJoin is sanctioned there. This is the
+# EXACT set of queries whose sf0.001 plans contain a BNLJ today — every
+# build side is bounded by construction (a one-row scalar aggregate, or an
+# explicitly-labeled exact/baseline tier over a bounded side).
+ALLOW_BNLJ = {
+    # one-row scalar aggregate broadcast (scalar-subquery decorrelation)
+    "q22_dormant_rich_customers": "1-row avg-balance scalar",
+    "q11_important_parts": "1-row global-total scalar",
+    "customer_rfm_segments": "1-row max-orderdate scalar",
+    "text_tfidf_topk": "1-row corpus-N scalar",
+    "corpus_bigram_pmi": "1-row total + smoothing scalars",
+    "events_value_mad_outliers": "1-row median scalars",
+    "events_value_winsorized": "1-row percentile-bounds scalar",
+    "documents_temperature_mixture": "1-row token-total scalar",
+    "events_hll_daily_rollup": "1-row register-footprint scalar",
+    "dedup_lsh_recall_report": "1-row tier-count scalars + labeled exact tier",
+    # labeled exact/baseline tiers over bounded sides
+    "dedup_embedding_cosine": "labeled exact all-pairs verifier tier (similarity.py:cosine_pairs)",
+    "dedup_simhash": "graded exact tier; the blocked variant is the scale path (dedup.py:simhash_pairs_blocked)",
+    "ann_bruteforce_topk": "bounded broadcast query side (labeled baseline tier)",
+    "ann_quantized_topk": "bounded broadcast query side + 1-row scale scalar",
+    "ann_ivf_topk": "bounded broadcast centroid/query sides",
+    "ann_ivf_kmeans_topk": "bounded broadcast learned centroids",
+    "ann_ivf_multiprobe_topk": "bounded broadcast centroid/query sides",
+}
+
+LINEITEM_WIDTH = 11
+
+_SCAN_RE = re.compile(r"\(\d+\) Scan parquet")
+
+
+def _formatted_plan(spark, df) -> str:
+    jmode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    return df._jdf.queryExecution().explainString(jmode)
+
+
+def _lineitem_scan_widths(plan: str) -> list[int]:
+    widths = []
+    blocks = _SCAN_RE.split(plan)[1:]
+    for block in blocks:
+        head = block.split("(", 1)[0]
+        if "lineitem.parquet" not in head:
+            continue
+        m = re.search(r"ReadSchema: struct<([^>]*)>", head)
+        if m:
+            fields = [f for f in m.group(1).split(",") if ":" in f]
+            widths.append(len(fields))
+    return widths
+
+
+BATCH_NAMES = sorted(
+    n
+    for n, s in REGISTRY.items()
+    if s.graded and "streaming" not in s.tags and "pipeline" not in s.tags
+)
+
+
+@pytest.mark.parametrize("name", BATCH_NAMES)
+def test_no_scale_antipatterns(spark, sf_dir, name):
+    spec = REGISTRY[name]
+    df = spec.build(spark, sf_dir)
+    plan = _formatted_plan(spark, df)
+    try:
+        if name not in ALLOW_CARTESIAN:
+            assert "CartesianProduct" not in plan, (
+                f"{name}: CartesianProduct in plan — unbounded all-pairs join"
+            )
+        if name not in ALLOW_BNLJ and name not in ALLOW_CARTESIAN:
+            assert "BroadcastNestedLoopJoin" not in plan, (
+                f"{name}: BroadcastNestedLoopJoin — non-equi/cross join whose "
+                "build side must be proven bounded, then allowlisted with a reason"
+            )
+        for w in _lineitem_scan_widths(plan):
+            assert w < LINEITEM_WIDTH, (
+                f"{name}: full-width lineitem scan ({w} cols) — column pruning lost"
+            )
+    finally:
+        release_caches()
