@@ -88,10 +88,6 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     observed unit price (no partsupp table in this schema). The part filter
     prunes at the scan; supplier/part joins are unhinted (they scale with
     sf), only fixed-size nation/region are broadcast."""
-    li = table(spark, sf_dir, "lineitem")
-    cost = li.groupBy("l_partkey", "l_suppkey").agg(
-        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost")
-    )
     nation = table(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
     region = table(spark, sf_dir, "region").where(F.col("r_name") == Q2_REGION)
     eur = (
@@ -104,6 +100,18 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         table(spark, sf_dir, "part")
         .where((F.col("p_type") == Q2_TYPE) & (F.col("p_size") <= Q2_MAX_SIZE))
         .select("p_partkey", "p_name")
+    )
+    # per-(part,supplier) min is invariant under filtering the OTHER pairs,
+    # so both semi-joins push below the aggregation: the min-cost shuffle
+    # carries only qualifying-part x regional-supplier lineitems (a few %)
+    # instead of the whole fact — the difference that matters at 100 TB
+    li = (
+        table(spark, sf_dir, "lineitem")
+        .join(parts.select("p_partkey"), F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+        .join(eur.select("s_suppkey"), F.col("l_suppkey") == F.col("s_suppkey"), "left_semi")
+    )
+    cost = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost")
     )
     pc = (
         parts.join(cost, parts.p_partkey == cost.l_partkey)
