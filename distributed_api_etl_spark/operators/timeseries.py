@@ -70,3 +70,72 @@ def densify_daily(
             ),
         )
     return out
+
+
+def cusum_changepoints(
+    df: DataFrame,
+    key_cols: list[str],
+    day_col: str,
+    value_col: str,
+    slack_num: int = 1,
+    slack_den: int = 10,
+    threshold_mult: int = 3,
+) -> DataFrame:
+    """One-sided upper CUSUM over per-key daily integer series, exactly.
+
+    Flags sustained upward level shifts (Page, "Continuous inspection
+    schemes", Biometrika 1954 — public): with per-key mean ``mu``,
+    slack ``k = (slack_num/slack_den) * mu`` and threshold
+    ``h = threshold_mult * mu``, the classic recurrence is
+
+        s_d = max(0, s_{d-1} + (v_d - mu - k)),    flag when s_d > h.
+
+    The recurrence is non-associative, which normally forces a sequential
+    scan. But ``s_d = P_d - min(0, min_{j<=d} P_j)`` where ``P`` is the
+    running prefix sum of ``x_d = v_d - mu - k`` — so it distributes as
+    TWO window functions over one (key, day) sort, no iteration, no UDF.
+
+    Everything stays in integer arithmetic scaled by ``slack_den * n_key``
+    (``mu`` and ``k`` are rationals with that denominator), so the stat and
+    the flag boundary are bit-identical on any engine — a float CUSUM can
+    never be hash-graded because the prefix sum's rounding depends on
+    partition order. The divisions producing the human-readable ``cusum``
+    column are single exact-integer-to-double ops (correctly rounded,
+    portable).
+
+    Scale: one shuffle for the per-key stats, one sort-shuffle for the
+    window, both keyed identically. State per key is O(1) — this is the
+    batch mirror of what a streaming CUSUM keeps in keyed state.
+
+    Returns ``df``'s rows plus (cusum DOUBLE, is_changepoint BOOLEAN).
+    """
+    from pyspark.sql import Window
+
+    scale_mu = slack_den + slack_num  # (mu + k) numerator multiplier
+    stats = df.groupBy(*key_cols).agg(
+        F.sum(value_col).alias("_total"), F.count("*").alias("_n")
+    )
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy(day_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    x = (
+        F.lit(slack_den) * F.col("_n") * F.col(value_col)
+        - F.lit(scale_mu) * F.col("_total")
+    ).cast("long")
+    joined = df.join(stats, key_cols)
+    pf = F.sum(x).over(w)
+    runmin = F.min(pf).over(w)
+    s = pf - F.least(runmin, F.lit(0).cast("long"))
+    return joined.select(
+        *key_cols,
+        day_col,
+        F.col(value_col),
+        (
+            s.cast("double") / (F.lit(slack_den) * F.col("_n")).cast("double")
+        ).alias("cusum"),
+        (s > F.lit(threshold_mult * slack_den) * F.col("_total")).alias(
+            "is_changepoint"
+        ),
+    )

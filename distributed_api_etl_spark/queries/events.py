@@ -1198,3 +1198,68 @@ def events_daily_dense_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "is_gap",
         F.sum("n_events").over(w).cast("bigint").alias("trail7_events"),
     )
+
+
+@register(
+    "events_cusum_changepoints",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type,
+             epoch_ms(CAST(ts AS TIMESTAMP)) // 86400000 AS day_idx,
+             count(*) AS daily_count
+      FROM events GROUP BY 1, 2
+    ),
+    stats AS (
+      SELECT event_type, sum(daily_count) AS total, count(*) AS n
+      FROM daily GROUP BY 1
+    ),
+    x AS (
+      SELECT d.event_type, d.day_idx, d.daily_count, s.total, s.n,
+             10 * s.n * d.daily_count - 11 * s.total AS xv
+      FROM daily d JOIN stats s USING (event_type)
+    ),
+    p AS (
+      SELECT *, CAST(sum(xv) OVER (PARTITION BY event_type ORDER BY day_idx
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS pf
+      FROM x
+    ),
+    q AS (
+      SELECT *, CAST(min(pf) OVER (PARTITION BY event_type ORDER BY day_idx
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                AS runmin
+      FROM p
+    )
+    SELECT event_type,
+           CAST(day_idx AS BIGINT) AS day_idx,
+           CAST(daily_count AS BIGINT) AS daily_count,
+           CAST(pf - LEAST(runmin, 0) AS DOUBLE) / CAST(10 * n AS DOUBLE)
+             AS cusum,
+           (pf - LEAST(runmin, 0)) > 30 * total AS is_changepoint
+    FROM q
+    """,
+    tags=("events", "timeseries", "stats"),
+)
+def events_cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM level-shift detection on per-type daily volumes
+    (operators/timeseries.py:cusum_changepoints): the sequential CUSUM
+    recurrence rewritten as prefix-sum minus running-min — two window
+    passes over one (event_type, day) sort, integer-exact end to end
+    (slack = mu/10, threshold = 3*mu, both rationals with denominator
+    10*n so the flag boundary is bit-identical cross-engine). Day index
+    is pure epoch-day arithmetic on the UTC-normalized timestamps (the
+    dow-seasonality convention — calendar functions are a cross-engine
+    trap)."""
+    from distributed_api_etl_spark.operators.timeseries import cusum_changepoints
+
+    ev = table(spark, sf_dir, "events")
+    daily = (
+        ev.withColumn(
+            "day_idx",
+            F.expr("div(unix_millis(cast(ts as timestamp)), 86400000)").cast("long"),
+        )
+        .groupBy("event_type", "day_idx")
+        .agg(F.count("*").alias("daily_count"))
+    )
+    return cusum_changepoints(
+        daily, ["event_type"], "day_idx", "daily_count"
+    )

@@ -1066,3 +1066,30 @@ def test_triangle_counts_known_graphs(spark):
     assert {n: t for n, t in got.items() if n < 10} == {1: 3, 2: 3, 3: 3, 4: 3}
     assert all(got[n] == 0 for n in (10, 11, 12, 13, 20, 21, 22, 23, 24))
     assert len(got) == 13
+
+
+def test_cusum_changepoints_level_shift(spark):
+    """A 10/day series that jumps to 100/day must flag during the elevated
+    regime and never before it; the window identity must equal the
+    sequential recurrence exactly."""
+    from distributed_api_etl_spark.operators.timeseries import cusum_changepoints
+
+    vals = [10] * 20 + [100] * 10
+    rows = [("a", d, v) for d, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "k string, day long, v long")
+    out = {
+        r["day"]: r
+        for r in cusum_changepoints(df, ["k"], "day", "v").collect()
+    }
+    # sequential reference with the same rational params (slack=mu/10, h=3mu)
+    n, total = len(vals), sum(vals)
+    s, flags, stats = 0, [], []
+    for v in vals:
+        s = max(0, s + (10 * n * v - 11 * total))
+        stats.append(s / (10 * n))
+        flags.append(s > 30 * total)
+    for d in range(n):
+        assert out[d]["is_changepoint"] == flags[d], d
+        assert abs(out[d]["cusum"] - stats[d]) < 1e-9, d
+    assert not any(flags[:20])  # stable regime never flags
+    assert any(flags[20:])  # the shift is detected
