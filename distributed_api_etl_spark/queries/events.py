@@ -1263,3 +1263,60 @@ def events_cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cusum_changepoints(
         daily, ["event_type"], "day_idx", "daily_count"
     )
+
+
+@register(
+    "events_cumulative_distinct_users",
+    oracle="""
+    WITH first_seen AS (
+      SELECT user_id,
+             min(epoch_ms(CAST(ts AS TIMESTAMP)) // 86400000) AS first_day
+      FROM events GROUP BY user_id
+    ),
+    new_per_day AS (
+      SELECT first_day AS day_idx, count(*) AS new_users
+      FROM first_seen GROUP BY first_day
+    ),
+    days AS (
+      SELECT DISTINCT epoch_ms(CAST(ts AS TIMESTAMP)) // 86400000 AS day_idx
+      FROM events
+    )
+    SELECT CAST(d.day_idx AS BIGINT) AS day_idx,
+           CAST(COALESCE(n.new_users, 0) AS BIGINT) AS new_users,
+           CAST(sum(COALESCE(n.new_users, 0)) OVER (ORDER BY d.day_idx
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS cumulative_users
+    FROM days d LEFT JOIN new_per_day n ON n.day_idx = d.day_idx
+    """,
+    tags=("events", "analytics", "window"),
+)
+def events_cumulative_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative distinct users per day — COUNT(DISTINCT) OVER (ORDER BY
+    day) is inexpressible as a window in either engine and quadratic if
+    emulated by per-day re-scans; the first-seen trick makes it linear:
+    min(first day) per user (one user-keyed shuffle), count new users per
+    day (one day-keyed aggregation), then an ordinary cumulative sum. The
+    final window is a single-partition ordered sum over ~one row per DAY
+    (bounded by the calendar, not the data) — the only deliberately
+    non-parallel step, and it is O(days)."""
+    ev = table(spark, sf_dir, "events").withColumn(
+        "day_idx",
+        F.expr("div(unix_millis(cast(ts as timestamp)), 86400000)").cast("long"),
+    )
+    first_seen = ev.groupBy("user_id").agg(F.min("day_idx").alias("first_day"))
+    new_per_day = (
+        first_seen.groupBy(F.col("first_day").alias("day_idx"))
+        .agg(F.count("*").alias("new_users"))
+    )
+    days = ev.select("day_idx").distinct()
+    from pyspark.sql import Window
+
+    w = Window.orderBy("day_idx").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        days.join(new_per_day, "day_idx", "left")
+        .select(
+            "day_idx",
+            F.coalesce("new_users", F.lit(0)).cast("long").alias("new_users"),
+        )
+        .withColumn("cumulative_users", F.sum("new_users").over(w).cast("long"))
+    )
