@@ -267,10 +267,14 @@ def pagerank_fixed_point(
         .repartition("a")
         .dropDuplicates(["a", "b"])
     )
-    deg = sym.groupBy("a").agg(F.count("*").alias("deg_a"))
+    # deg is ALREADY one row per node (symmetrization gives every node an
+    # "a" row) — count it for N and seed the ranks from it, instead of a
+    # second |E|-sized distinct over the linked frame
+    deg = sym.groupBy("a").agg(F.count("*").alias("deg_a")).persist()
     linked = sym.join(deg, "a").persist()
-    n_nodes = linked.select("a").distinct().count()
+    n_nodes = deg.count()
     if n_nodes == 0:
+        deg.unpersist()
         linked.unpersist()
         spark = edges.sparkSession
         return spark.createDataFrame(
@@ -281,8 +285,7 @@ def pagerank_fixed_point(
     # here would silently break any non-default damping (caught in review)
     base = ((damping_den - damping_num) * scale) // (damping_den * n_nodes)
     pr = (
-        linked.select(F.col("a").alias("node"))
-        .distinct()
+        deg.select(F.col("a").alias("node"))
         .select("node", F.lit(scale // n_nodes).cast("bigint").alias("pr_fp"))
         .localCheckpoint(eager=True)
     )
@@ -300,6 +303,7 @@ def pagerank_fixed_point(
                 + F.expr(f"div({damping_num} * insum, {damping_den})")
             ).alias("pr_fp"),
         ).localCheckpoint(eager=True)
+    deg.unpersist()
     linked.unpersist()
     return pr.select(
         "node", "pr_fp", (F.col("pr_fp") / F.lit(float(scale))).alias("pr")
