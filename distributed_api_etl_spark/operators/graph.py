@@ -272,6 +272,11 @@ def pagerank_fixed_point(
     # second |E|-sized distinct over the linked frame
     deg = sym.groupBy("a").agg(F.count("*").alias("deg_a")).persist()
     linked = sym.join(deg, "a").persist()
+    # materialize linked FIRST (one job computes sym once and fills BOTH
+    # caches — counting deg alone would leave linked cold and recompute the
+    # unpersisted sym subtree on iteration 1), then read N off the cached
+    # |V|-row deg frame
+    linked.count()
     n_nodes = deg.count()
     if n_nodes == 0:
         deg.unpersist()
