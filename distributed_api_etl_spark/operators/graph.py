@@ -267,19 +267,10 @@ def pagerank_fixed_point(
         .repartition("a")
         .dropDuplicates(["a", "b"])
     )
-    # deg is ALREADY one row per node (symmetrization gives every node an
-    # "a" row) — count it for N and seed the ranks from it, instead of a
-    # second |E|-sized distinct over the linked frame
-    deg = sym.groupBy("a").agg(F.count("*").alias("deg_a")).persist()
+    deg = sym.groupBy("a").agg(F.count("*").alias("deg_a"))
     linked = sym.join(deg, "a").persist()
-    # materialize linked FIRST (one job computes sym once and fills BOTH
-    # caches — counting deg alone would leave linked cold and recompute the
-    # unpersisted sym subtree on iteration 1), then read N off the cached
-    # |V|-row deg frame
-    linked.count()
-    n_nodes = deg.count()
+    n_nodes = linked.select("a").distinct().count()
     if n_nodes == 0:
-        deg.unpersist()
         linked.unpersist()
         spark = edges.sparkSession
         return spark.createDataFrame(
@@ -290,7 +281,8 @@ def pagerank_fixed_point(
     # here would silently break any non-default damping (caught in review)
     base = ((damping_den - damping_num) * scale) // (damping_den * n_nodes)
     pr = (
-        deg.select(F.col("a").alias("node"))
+        linked.select(F.col("a").alias("node"))
+        .distinct()
         .select("node", F.lit(scale // n_nodes).cast("bigint").alias("pr_fp"))
         .localCheckpoint(eager=True)
     )
@@ -308,7 +300,6 @@ def pagerank_fixed_point(
                 + F.expr(f"div({damping_num} * insum, {damping_den})")
             ).alias("pr_fp"),
         ).localCheckpoint(eager=True)
-    deg.unpersist()
     linked.unpersist()
     return pr.select(
         "node", "pr_fp", (F.col("pr_fp") / F.lit(float(scale))).alias("pr")
