@@ -1320,3 +1320,73 @@ def events_cumulative_distinct_users(spark: SparkSession, sf_dir: str) -> DataFr
         )
         .withColumn("cumulative_users", F.sum("new_users").over(w).cast("long"))
     )
+
+
+@register(
+    "events_key_skew_report",
+    oracle="""
+    WITH per_key AS (
+      SELECT event_type, user_id, count(*) AS cnt
+      FROM events GROUP BY event_type, user_id
+    ),
+    ranked AS (
+      SELECT event_type, cnt,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY cnt, user_id) AS i
+      FROM per_key
+    ),
+    agg AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n_keys,
+             CAST(sum(cnt) AS BIGINT) AS total_rows,
+             CAST(max(cnt) AS BIGINT) AS max_key_rows,
+             CAST(sum(i * cnt) AS BIGINT) AS s
+      FROM ranked GROUP BY event_type
+    )
+    SELECT event_type, n_keys, total_rows, max_key_rows,
+           CAST(1000000 * max_key_rows // total_rows AS BIGINT)
+             AS top_key_share_ppm,
+           CAST(2 * s - (n_keys + 1) * total_rows AS DOUBLE)
+             / CAST(n_keys * total_rows AS DOUBLE) AS gini
+    FROM agg
+    """,
+    tags=("events", "skew", "profiling"),
+)
+def events_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnosis — the measurement that decides whether the
+    salting family (operators/skew.py) is needed: per event_type, the key
+    count, the heaviest key's row share (integer ppm), and the exact Gini
+    coefficient of the per-key row distribution. Gini via the rank
+    formulation G = (2*sum(i*x_i) - (n+1)*sum(x)) / (n*sum(x)) over
+    counts sorted ascending — tie order provably doesn't change the sum,
+    every term is integer, and the single final division is one
+    exact-integers-to-double op, so it hash-grades. Two shuffles: the
+    per-(type,key) count (map-side combinable) and the per-type rank
+    window; at 100 TB the window sorts |keys| rows per type, not |rows|."""
+    ev = table(spark, sf_dir, "events")
+    per_key = ev.groupBy("event_type", "user_id").agg(F.count("*").alias("cnt"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("event_type").orderBy("cnt", "user_id")
+    ranked = per_key.withColumn("i", F.row_number().over(w))
+    agg = ranked.groupBy("event_type").agg(
+        F.count("*").alias("n_keys"),
+        F.sum("cnt").alias("total_rows"),
+        F.max("cnt").alias("max_key_rows"),
+        F.sum(F.col("i") * F.col("cnt")).alias("s"),
+    )
+    return agg.select(
+        "event_type",
+        "n_keys",
+        "total_rows",
+        "max_key_rows",
+        F.expr("CAST(div(1000000 * max_key_rows, total_rows) AS BIGINT)").alias(
+            "top_key_share_ppm"
+        ),
+        (
+            (2 * F.col("s") - (F.col("n_keys") + 1) * F.col("total_rows")).cast(
+                "double"
+            )
+            / (F.col("n_keys") * F.col("total_rows")).cast("double")
+        ).alias("gini"),
+    )

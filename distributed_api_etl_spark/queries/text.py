@@ -961,3 +961,101 @@ def corpus_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return scored.orderBy(F.desc("pmi_bits"), "bigram").limit(50)
+
+
+_PAD_SHARDS = 8
+_PAD_BATCH = 32
+
+
+@register(
+    "documents_padding_efficiency",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS tok,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+               % {_PAD_SHARDS} AS shard
+      FROM documents
+    ),
+    ordered AS (
+      SELECT shard, tok,
+             row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS rn_arrival,
+             row_number() OVER (PARTITION BY shard ORDER BY tok, doc_id)
+               AS rn_sorted
+      FROM toks
+    ),
+    batches AS (
+      SELECT 'arrival' AS strategy, shard,
+             (rn_arrival - 1) // {_PAD_BATCH} AS batch, tok FROM ordered
+      UNION ALL
+      SELECT 'length_sorted', shard,
+             (rn_sorted - 1) // {_PAD_BATCH}, tok FROM ordered
+    ),
+    per_batch AS (
+      SELECT strategy, shard, batch,
+             count(*) AS n_docs, max(tok) AS max_tok, sum(tok) AS sum_tok
+      FROM batches GROUP BY strategy, shard, batch
+    )
+    SELECT strategy,
+           CAST(count(*) AS BIGINT) AS n_batches,
+           CAST(sum(sum_tok) AS BIGINT) AS total_tokens,
+           CAST(sum(n_docs * max_tok) AS BIGINT) AS padded_tokens,
+           CAST(1000000 * (sum(n_docs * max_tok) - sum(sum_tok))
+                // sum(n_docs * max_tok) AS BIGINT) AS waste_ppm
+    FROM per_batch GROUP BY strategy
+    """,
+    tags=("text", "packing", "ml"),
+)
+def documents_padding_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Padding waste of fixed-size inference batches, arrival-order vs
+    length-sorted — the measurement that justifies length-bucketed batching
+    before a GPU stage. Batching is SHARD-LOCAL (portable-hash shard, sort
+    within shard): the windows partition by shard, so there is no global
+    single-partition sort and the plan parallelizes at any corpus size —
+    exactly how documents_shard_assign shuffles training data. Every
+    quantity is an integer (token counts, batch maxima, ppm via integer
+    div), so both engines hash-match bit-for-bit."""
+    from distributed_api_etl_spark.functions.portable import portable_hash32
+    from pyspark.sql import Window
+
+    toks = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("tok"),
+        F.pmod(portable_hash32("doc_id"), F.lit(_PAD_SHARDS)).alias("shard"),
+    )
+    w_arr = Window.partitionBy("shard").orderBy("doc_id")
+    w_srt = Window.partitionBy("shard").orderBy("tok", "doc_id")
+    ordered = toks.select(
+        "shard",
+        "tok",
+        F.row_number().over(w_arr).alias("rn_arrival"),
+        F.row_number().over(w_srt).alias("rn_sorted"),
+    )
+    batches = ordered.select(
+        F.lit("arrival").alias("strategy"),
+        "shard",
+        F.expr(f"div(rn_arrival - 1, {_PAD_BATCH})").alias("batch"),
+        "tok",
+    ).unionByName(
+        ordered.select(
+            F.lit("length_sorted").alias("strategy"),
+            "shard",
+            F.expr(f"div(rn_sorted - 1, {_PAD_BATCH})").alias("batch"),
+            "tok",
+        )
+    )
+    per_batch = batches.groupBy("strategy", "shard", "batch").agg(
+        F.count("*").alias("n_docs"),
+        F.max("tok").alias("max_tok"),
+        F.sum("tok").alias("sum_tok"),
+    )
+    padded = F.sum(F.col("n_docs") * F.col("max_tok"))
+    return per_batch.groupBy("strategy").agg(
+        F.count("*").cast("long").alias("n_batches"),
+        F.sum("sum_tok").cast("long").alias("total_tokens"),
+        padded.cast("long").alias("padded_tokens"),
+        F.expr(
+            "CAST(div(1000000 * (sum(n_docs * max_tok) - sum(sum_tok)), "
+            "sum(n_docs * max_tok)) AS BIGINT)"
+        ).alias("waste_ppm"),
+    )
