@@ -83,19 +83,43 @@ _VERDICT_PRIORITY = frozenset(
 )
 
 
+# Round-4 headline additions (the completed TPC-H sweep + triangle
+# counting): graded ahead of the rest of the never-green tier so the
+# round's marquee operators earn driver evidence immediately. Like
+# _VERDICT_PRIORITY, inert once green.
+_ROUND_PRIORITY = frozenset(
+    {
+        "q2_min_cost_supplier",
+        "q11_important_parts",
+        "q12_delay_class_priority",
+        "q16_part_supplier_variety",
+        "q20_dominant_suppliers",
+        "q21_waiting_suppliers",
+        "supply_graph_triangles",
+    }
+)
+
+
 def _grading_order(names: list[str]) -> list[str]:
     """Priority order for the driver's bounded grading window.
 
     The driver grades the first N entries of ``queries()`` per round, so
     ordering IS the rotation policy: never-driver-green queries first
-    (VERDICT-named backlog ahead of the rest), then least-recently-green,
-    alphabetical within a tier. Each round's new CORRECTNESS file
-    automatically pushes freshly-graded queries to the back, so the window
-    sweeps the whole registry across rounds with no manual bookkeeping.
+    (VERDICT-named backlog, then this round's headline additions, ahead of
+    the rest), then least-recently-green, alphabetical within a tier. Each
+    round's new CORRECTNESS file automatically pushes freshly-graded
+    queries to the back, so the window sweeps the whole registry across
+    rounds with no manual bookkeeping.
     """
     last = _last_green_round()
     return sorted(
-        names, key=lambda n: (last.get(n, -1), n not in _VERDICT_PRIORITY, n)
+        names,
+        key=lambda n: (
+            last.get(n, -1),
+            n not in _VERDICT_PRIORITY,
+            n not in _ROUND_PRIORITY,
+            n,
+        ),
     )
 
 
