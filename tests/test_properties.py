@@ -545,3 +545,57 @@ def test_triangle_counts_match_bruteforce(spark_global, edge_list):
     )
     got = {r["node"]: r["triangles"] for r in triangle_counts(edges).collect()}
     assert got == expected
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    st.lists(st.integers(0, 500), min_size=1, max_size=40),
+    st.lists(st.integers(0, 500), min_size=1, max_size=40),
+)
+def test_cusum_matches_sequential_recurrence(spark_global, va, vb):
+    """Window-identity CUSUM == the sequential recurrence for arbitrary
+    nonnegative integer series, across multiple keys in one frame."""
+    from distributed_api_etl_spark.operators.timeseries import cusum_changepoints
+
+    rows = [("a", d, v) for d, v in enumerate(va)] + [
+        ("b", d, v) for d, v in enumerate(vb)
+    ]
+    df = spark_global.createDataFrame(rows, "k string, day long, v long")
+    got = {
+        (r["k"], r["day"]): r
+        for r in cusum_changepoints(df, ["k"], "day", "v").collect()
+    }
+    for key, vals in (("a", va), ("b", vb)):
+        n, total = len(vals), sum(vals)
+        s = 0
+        for d, v in enumerate(vals):
+            s = max(0, s + (10 * n * v - 11 * total))
+            r = got[(key, d)]
+            assert r["is_changepoint"] == (s > 30 * total), (key, d)
+            assert abs(r["cusum"] - s / (10 * n)) < 1e-9, (key, d)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(st.lists(st.integers(1, 50), min_size=1, max_size=30))
+def test_skew_report_gini_matches_definition(spark_global, counts):
+    """The rank-formulation Gini in events_key_skew_report's operator logic
+    equals the mean-absolute-difference definition
+    G = sum_ij |x_i - x_j| / (2 n^2 mu) ... normalized as (n/(n-1))-free
+    rank form G = (2*sum(i*x_sorted) - (n+1)*sum(x)) / (n*sum(x))."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    rows = [(f"u{i}", c) for i, c in enumerate(counts)]
+    df = spark_global.createDataFrame(rows, "user_id string, cnt long")
+    w = Window.orderBy("cnt", "user_id")
+    ranked = df.withColumn("i", F.row_number().over(w))
+    agg = ranked.agg(
+        F.count("*").alias("n"),
+        F.sum("cnt").alias("t"),
+        F.sum(F.col("i") * F.col("cnt")).alias("s"),
+    ).collect()[0]
+    got = (2 * agg["s"] - (agg["n"] + 1) * agg["t"]) / (agg["n"] * agg["t"])
+    n, t = len(counts), sum(counts)
+    mad = sum(abs(a - b) for a in counts for b in counts)
+    expected = mad / (2 * n * t)
+    assert abs(got - expected) < 1e-9
