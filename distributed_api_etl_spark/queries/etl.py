@@ -197,3 +197,99 @@ def orders_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey", "o_totalprice", "o_orderstatus"
     )
     return snapshot_diff(old, new, "o_orderkey", ["o_totalprice", "o_orderstatus"])
+
+
+PIT_T0 = "1995-01-01 00:00:00"
+PIT_T1 = "1998-01-01 00:00:00"
+
+
+@register(
+    "orders_scd2_pointintime",
+    oracle=f"""
+    WITH cur AS (SELECT c_custkey, c_mktsegment FROM customer),
+    upd AS (
+      SELECT c_custkey, {_NEW_SEG_SQL} AS new_seg
+      FROM customer WHERE c_custkey % 7 = 0
+    ),
+    changed AS (
+      SELECT c.c_custkey, c.c_mktsegment AS old_seg, u.new_seg
+      FROM cur c JOIN upd u USING (c_custkey)
+      WHERE u.new_seg <> c.c_mktsegment
+    ),
+    dim AS (
+      SELECT c_custkey, old_seg AS seg,
+             TIMESTAMP '{PIT_T0}' AS valid_from,
+             TIMESTAMP '{PIT_T1}' AS valid_to
+      FROM changed
+      UNION ALL
+      SELECT c_custkey, new_seg, TIMESTAMP '{PIT_T1}', CAST(NULL AS TIMESTAMP)
+      FROM changed
+      UNION ALL
+      SELECT c.c_custkey, c.c_mktsegment, TIMESTAMP '{PIT_T0}',
+             CAST(NULL AS TIMESTAMP)
+      FROM cur c LEFT JOIN upd u USING (c_custkey)
+      WHERE u.c_custkey IS NULL OR u.new_seg = c.c_mktsegment
+    )
+    SELECT d.seg AS c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(round(sum(CAST(o.o_totalprice AS DECIMAL(14,2))), 2) AS DOUBLE)
+             AS revenue
+    FROM orders o
+    JOIN dim d ON d.c_custkey = o.o_custkey
+     AND CAST(o.o_orderdate AS TIMESTAMP) >= d.valid_from
+     AND (d.valid_to IS NULL OR CAST(o.o_orderdate AS TIMESTAMP) < d.valid_to)
+    GROUP BY d.seg
+    """,
+    tags=("etl", "scd", "asof"),
+)
+def orders_scd2_pointintime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time fact enrichment against the SCD2 dimension — the query
+    SCD2 exists FOR: each order joins the segment version VALID AT its
+    order date (equi-join on the key plus the validity-interval predicate;
+    per-key version counts are small, so the range residual is a cheap
+    post-filter on the equi-join, never an inequality-only join). The
+    dimension is built by the same scd2_apply operator with epochs rebased
+    into the order-date range so the 1998 boundary genuinely splits each
+    changed customer's history. Revenue accumulates in exact DECIMAL."""
+    from distributed_api_etl_spark.operators.scd import scd2_apply
+
+    cust = table(spark, sf_dir, "customer")
+    dim0 = cust.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.lit(PIT_T0).cast("timestamp_ntz").alias("valid_from"),
+        F.lit(None).cast("timestamp_ntz").alias("valid_to"),
+    )
+    upd = cust.where(F.col("c_custkey") % 7 == 0).select(
+        "c_custkey",
+        F.expr(_NEW_SEG_SQL).alias("c_mktsegment"),
+        F.lit(PIT_T1).cast("timestamp_ntz").alias("effective_ts"),
+    )
+    dim = scd2_apply(dim0, upd, "c_custkey", ["c_mktsegment"]).select(
+        F.col("c_custkey").alias("d_custkey"),
+        F.col("c_mktsegment").alias("seg"),
+        "valid_from",
+        "valid_to",
+    )
+    orders = table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_totalprice",
+        F.col("o_orderdate").cast("timestamp_ntz").alias("o_ts"),
+    )
+    from pyspark.sql.types import DecimalType
+
+    return (
+        orders.join(
+            dim,
+            (F.col("o_custkey") == F.col("d_custkey"))
+            & (F.col("o_ts") >= F.col("valid_from"))
+            & (F.col("valid_to").isNull() | (F.col("o_ts") < F.col("valid_to"))),
+        )
+        .groupBy(F.col("seg").alias("c_mktsegment"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum(F.col("o_totalprice").cast(DecimalType(14, 2))), 2)
+            .cast("double")
+            .alias("revenue"),
+        )
+    )
