@@ -437,3 +437,53 @@ def latest_by_key(
     ord_struct = F.struct(*[F.col(c) for c in order_cols])
     out = df.groupBy(*key_cols).agg(F.max_by(row_struct, ord_struct).alias("_r"))
     return out.select(*[F.col(f"_r.{c}").alias(c) for c in df.columns])
+
+
+def edit_distance_pairs(
+    df: DataFrame, id_col: str, text_col: str, max_dist: int = 1
+) -> DataFrame:
+    """All pairs within Levenshtein distance ``max_dist`` (currently 1),
+    via symmetric-delete blocking (SymSpell, public algorithm): each
+    string's blocking-key set is {itself} U {every single-character
+    deletion}; two strings within distance 1 ALWAYS share a key (equal ->
+    the string itself; insertion/deletion -> the shorter string; substitution
+    -> the common deletion), so candidates come from an equi-join on keys
+    and a naive O(N^2) cross join never exists. Candidates sharing only a
+    double-deletion key can be distance 2 — the exact ``levenshtein``
+    verify (built-in on both engines, integer result) filters them.
+
+    Scale: key-set size is O(len) per string, bucket sizes are governed by
+    near-duplicate density (the same argument as LSH bands); the verify
+    runs on candidates only. For larger ``max_dist`` generalize to
+    multi-deletion keys (cost O(len^d)) — not implemented.
+
+    Returns (d1, d2, lev) with d1 < d2, exact distances <= max_dist.
+    """
+    if max_dist != 1:
+        raise ValueError("edit_distance_pairs implements max_dist=1 only")
+    s = df.select(F.col(id_col), F.col(text_col).alias("_t"))
+    keys = s.select(
+        id_col,
+        "_t",
+        F.explode(
+            F.array_union(
+                F.array(F.col("_t")),
+                F.array_distinct(
+                    F.expr(
+                        "transform(sequence(1, length(_t)), "
+                        "i -> concat(substring(_t, 1, i - 1), substring(_t, i + 1)))"
+                    )
+                ),
+            )
+        ).alias("_k"),
+    )
+    a = keys.select(F.col(id_col).alias("d1"), F.col("_t").alias("t1"), "_k")
+    b = keys.select(F.col(id_col).alias("d2"), F.col("_t").alias("t2"), "_k")
+    return (
+        a.join(b, "_k")
+        .where(F.col("d1") < F.col("d2"))
+        .select("d1", "d2", "t1", "t2")
+        .distinct()
+        .where(F.levenshtein("t1", "t2") <= max_dist)
+        .select("d1", "d2", F.levenshtein("t1", "t2").cast("int").alias("lev"))
+    )

@@ -498,3 +498,37 @@ def dedup_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy("source_a", "source_b").agg(
         F.count("*").alias("n_dup_pairs")
     )
+
+
+@register(
+    "customer_name_edit_pairs",
+    oracle="""
+    WITH keys AS (
+      SELECT c_custkey, c_name AS t,
+             unnest(list_distinct(list_prepend(c_name,
+               [substr(c_name, 1, i - 1) || substr(c_name, i + 1)
+                FOR i IN range(1, length(c_name) + 1)]))) AS k
+      FROM customer
+    ),
+    cand AS (
+      SELECT DISTINCT a.c_custkey AS d1, b.c_custkey AS d2,
+                      a.t AS t1, b.t AS t2
+      FROM keys a JOIN keys b ON a.k = b.k AND a.c_custkey < b.c_custkey
+    )
+    SELECT d1, d2, CAST(levenshtein(t1, t2) AS INTEGER) AS lev
+    FROM cand
+    WHERE levenshtein(t1, t2) <= 1
+    """,
+    tags=("dedup", "text", "er"),
+)
+def customer_name_edit_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution fuzzy join: customer-name pairs within Levenshtein
+    distance 1 via symmetric-delete blocking (operators/dedup.py:
+    edit_distance_pairs) — the scale-safe form of an edit-distance join
+    (equi-join on O(len) deletion keys + exact verify on candidates; no
+    cross join exists in the plan). Both engines verify with the built-in
+    integer levenshtein, so the pair set hash-grades exactly."""
+    from distributed_api_etl_spark.operators import dedup as D
+
+    cust = table(spark, sf_dir, "customer")
+    return D.edit_distance_pairs(cust, "c_custkey", "c_name", max_dist=1)

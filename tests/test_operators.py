@@ -1093,3 +1093,40 @@ def test_cusum_changepoints_level_shift(spark):
         assert abs(out[d]["cusum"] - stats[d]) < 1e-9, d
     assert not any(flags[:20])  # stable regime never flags
     assert any(flags[20:])  # the shift is detected
+
+
+def test_edit_distance_pairs_symspell_blocking(spark):
+    """Substitution / deletion / insertion neighbors found; distance-2
+    excluded even when a double-deletion key collides; exact duplicates
+    surface as lev=0."""
+    from distributed_api_etl_spark.operators.dedup import edit_distance_pairs
+
+    rows = [
+        (1, "cat"), (2, "bat"),      # substitution  -> lev 1
+        (3, "cart"),                 # insertion vs cat -> lev 1
+        (4, "ca"),                   # deletion vs cat -> lev 1
+        (5, "dog"),                  # far from everything
+        (6, "bt"),                   # lev(bat,bt)=1 ; lev(cat,bt)=2 excluded
+        (7, "cat"),                  # exact dup of 1 -> lev 0
+    ]
+    df = spark.createDataFrame(rows, "id bigint, name string")
+    got = {(r["d1"], r["d2"]): r["lev"]
+           for r in edit_distance_pairs(df, "id", "name").collect()}
+    # authoritative check: brute force over all pairs
+    import itertools
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1,
+                                         prev + (ca != cb))
+        return dp[len(b)]
+
+    expected = {
+        (i, j): lev(a, b)
+        for (i, a), (j, b) in itertools.combinations(rows, 2)
+        if lev(a, b) <= 1
+    }
+    assert got == expected
