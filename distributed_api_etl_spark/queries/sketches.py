@@ -361,3 +361,140 @@ def events_hll_hourly_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     regs = SK.hll_registers(ev, "user_id", ["window_start"])
     return SK.hll_estimate(regs, ["window_start"])
+
+
+def _hll_overlap_oracle() -> str:
+    """DuckDB mirror of the pairwise union-merge + inclusion-exclusion:
+    single-type registers, pair registers max-merged, both estimated with
+    the shared corrected-estimate SQL, exact intersection in-row."""
+    from distributed_api_etl_spark.functions.portable import portable_hash32_sql
+
+    est_raw = f"({SK.HLL_ALPHA_EXPR}) * {SK.HLL_M} * {SK.HLL_M} / denom"
+    corrected = SK._hll_correction_sql(est_raw)
+    return f"""
+    WITH hashed AS (
+      SELECT event_type, {portable_hash32_sql("user_id")} AS h32 FROM events),
+    bucketed AS (
+      SELECT event_type, h32 // {1 << SK.HLL_W} AS bucket,
+             CASE WHEN h32 % {1 << SK.HLL_W} = 0 THEN {SK.HLL_W + 1}
+                  ELSE {SK.HLL_W + 1} - length(bin(h32 % {1 << SK.HLL_W})) END AS rho
+      FROM hashed),
+    regs AS (SELECT event_type, bucket, max(rho) AS max_rho
+             FROM bucketed GROUP BY event_type, bucket),
+    single_est AS (
+      SELECT event_type, zero_registers, zero_registers + inv_sum AS denom
+      FROM (SELECT event_type,
+                   CAST({SK.HLL_M} - count(*) AS BIGINT) AS zero_registers,
+                   sum(CAST(1.0 AS DOUBLE) / (1::BIGINT << max_rho)) AS inv_sum
+            FROM regs GROUP BY event_type)),
+    single AS (
+      SELECT event_type,
+             floor(({corrected}) * 1e4 + 0.5) / 1e4 AS est FROM single_est),
+    pairs AS (
+      SELECT a.event_type AS t1, b.event_type AS t2
+      FROM (SELECT DISTINCT event_type FROM events) a
+      JOIN (SELECT DISTINCT event_type FROM events) b ON a.event_type < b.event_type),
+    pair_regs AS (
+      SELECT p.t1, p.t2, r.bucket, max(r.max_rho) AS max_rho
+      FROM pairs p JOIN regs r ON r.event_type IN (p.t1, p.t2)
+      GROUP BY p.t1, p.t2, r.bucket),
+    union_est AS (
+      SELECT t1, t2, zero_registers, zero_registers + inv_sum AS denom
+      FROM (SELECT t1, t2,
+                   CAST({SK.HLL_M} - count(*) AS BIGINT) AS zero_registers,
+                   sum(CAST(1.0 AS DOUBLE) / (1::BIGINT << max_rho)) AS inv_sum
+            FROM pair_regs GROUP BY t1, t2)),
+    unions AS (
+      SELECT t1, t2,
+             floor(({corrected}) * 1e4 + 0.5) / 1e4 AS est_union FROM union_est),
+    exact AS (
+      SELECT a.event_type AS t1, b.event_type AS t2,
+             count(*) AS exact_intersection
+      FROM (SELECT DISTINCT event_type, user_id FROM events) a
+      JOIN (SELECT DISTINCT event_type, user_id FROM events) b
+        ON a.user_id = b.user_id AND a.event_type < b.event_type
+      GROUP BY a.event_type, b.event_type)
+    SELECT u.t1, u.t2,
+           s1.est AS est_t1, s2.est AS est_t2, u.est_union,
+           floor((s1.est + s2.est - u.est_union) * 1e4 + 0.5) / 1e4
+             AS est_intersection,
+           CAST(COALESCE(e.exact_intersection, 0) AS BIGINT)
+             AS exact_intersection
+    FROM unions u
+    JOIN single s1 ON s1.event_type = u.t1
+    JOIN single s2 ON s2.event_type = u.t2
+    LEFT JOIN exact e ON e.t1 = u.t1 AND e.t2 = u.t2
+    """
+
+
+@register(
+    "events_hll_type_overlap",
+    oracle=_hll_overlap_oracle(),
+    tags=("sketch", "events", "setops"),
+)
+def events_hll_type_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch SET ALGEBRA beyond union: pairwise audience overlap between
+    event types by inclusion-exclusion over HLL registers —
+    |A n B| ~ est(A) + est(B) - est(A u B), where est(A u B) comes from
+    max-merging the two types' register tables (the same merge the daily
+    rollup grades). At 100 TB the inputs are m-row register tables per
+    type, never re-scans of the fact; the exact intersection (one
+    (type,user)-distinct self-join) rides along as the in-row accounting
+    tier, the house pattern for every approx operator. All arithmetic is
+    the dyadic/portable-round kind, so estimates hash-grade exactly."""
+    ev = table(spark, sf_dir, "events")
+    regs = SK.hll_registers(ev, "user_id", ["event_type"])
+    from distributed_api_etl_spark.session import scoped_persist
+
+    regs = scoped_persist(regs)  # feeds single ests, pair merge
+    single = SK.hll_estimate(regs, ["event_type"]).select(
+        "event_type", F.col("est_distinct").alias("est")
+    )
+    types = regs.select("event_type").distinct()
+    pairs = (
+        types.select(F.col("event_type").alias("t1"))
+        .join(
+            types.select(F.col("event_type").alias("t2")),
+            F.col("t1") < F.col("t2"),
+        )
+    )
+    pair_regs = (
+        pairs.join(
+            regs, (regs.event_type == F.col("t1")) | (regs.event_type == F.col("t2"))
+        )
+        .groupBy("t1", "t2", "bucket")
+        .agg(F.max("max_rho").alias("max_rho"))
+    )
+    unions = SK.hll_estimate(pair_regs, ["t1", "t2"]).select(
+        "t1", "t2", F.col("est_distinct").alias("est_union")
+    )
+    tu = ev.select("event_type", "user_id").distinct()
+    exact = (
+        tu.select(F.col("event_type").alias("t1"), "user_id")
+        .join(
+            tu.select(F.col("event_type").alias("t2"), F.col("user_id").alias("u2")),
+            (F.col("user_id") == F.col("u2")) & (F.col("t1") < F.col("t2")),
+        )
+        .groupBy("t1", "t2")
+        .agg(F.count("*").alias("exact_intersection"))
+    )
+    s1 = single.select(F.col("event_type").alias("e1"), F.col("est").alias("est_t1"))
+    s2 = single.select(F.col("event_type").alias("e2"), F.col("est").alias("est_t2"))
+    return (
+        unions.join(s1, F.col("t1") == F.col("e1"))
+        .join(s2, F.col("t2") == F.col("e2"))
+        .join(exact, ["t1", "t2"], "left")
+        .select(
+            "t1",
+            "t2",
+            "est_t1",
+            "est_t2",
+            "est_union",
+            F.expr(
+                "floor((est_t1 + est_t2 - est_union) * 1e4 + 0.5) / 1e4"
+            ).alias("est_intersection"),
+            F.coalesce("exact_intersection", F.lit(0)).cast("bigint").alias(
+                "exact_intersection"
+            ),
+        )
+    )

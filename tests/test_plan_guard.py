@@ -48,6 +48,7 @@ ALLOW_BNLJ = {
     "documents_temperature_mixture": "1-row token-total scalar",
     "events_hll_daily_rollup": "1-row register-footprint scalar",
     "dedup_lsh_recall_report": "1-row tier-count scalars + labeled exact tier",
+    "events_hll_type_overlap": "type-pair enumeration over the category-bounded event-type set (|types|^2 rows, sf-invariant) against m-row register tables",
     # labeled exact/baseline tiers over bounded sides
     "dedup_embedding_cosine": "labeled exact all-pairs verifier tier (similarity.py:cosine_pairs)",
     "dedup_simhash": "graded exact tier; the blocked variant is the scale path (dedup.py:simhash_pairs_blocked)",
