@@ -466,13 +466,11 @@ def edit_distance_pairs(
         id_col,
         "_t",
         F.explode(
-            F.array_union(
+            F.array_union(  # also dedups the deletion variants
                 F.array(F.col("_t")),
-                F.array_distinct(
-                    F.expr(
-                        "transform(sequence(1, length(_t)), "
-                        "i -> concat(substring(_t, 1, i - 1), substring(_t, i + 1)))"
-                    )
+                F.expr(
+                    "transform(sequence(1, length(_t)), "
+                    "i -> concat(substring(_t, 1, i - 1), substring(_t, i + 1)))"
                 ),
             )
         ).alias("_k"),
@@ -484,6 +482,7 @@ def edit_distance_pairs(
         .where(F.col("d1") < F.col("d2"))
         .select("d1", "d2", "t1", "t2")
         .distinct()
-        .where(F.levenshtein("t1", "t2") <= max_dist)
-        .select("d1", "d2", F.levenshtein("t1", "t2").cast("int").alias("lev"))
+        .withColumn("lev", F.levenshtein("t1", "t2").cast("int"))
+        .where(F.col("lev") <= max_dist)
+        .select("d1", "d2", "lev")
     )

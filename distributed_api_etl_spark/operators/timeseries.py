@@ -107,7 +107,9 @@ def cusum_changepoints(
     window, both keyed identically. State per key is O(1) — this is the
     batch mirror of what a streaming CUSUM keeps in keyed state.
 
-    Returns ``df``'s rows plus (cusum DOUBLE, is_changepoint BOOLEAN).
+    Returns one row per input row, PROJECTED to (key_cols..., day_col,
+    value_col, cusum DOUBLE, is_changepoint BOOLEAN) — other input columns
+    are dropped; join back on (key_cols, day_col) to re-attach them.
     """
     from pyspark.sql import Window
 

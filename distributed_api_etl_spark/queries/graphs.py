@@ -156,7 +156,10 @@ def supply_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     rhs = lo.select(
         F.col("l_orderkey").alias("o2"), F.col("l_suppkey").alias("s2")
     )
-    pairs = (
+    from distributed_api_etl_spark.session import scoped_persist
+
+    pairs = scoped_persist(  # feeds triangle_counts AND the degree branch —
+        # without the persist the lineitem self-join + distinct runs twice
         lo.join(rhs, (F.col("l_orderkey") == F.col("o2"))
                 & (F.col("l_suppkey") < F.col("s2")))
         .select(F.col("l_suppkey").alias("d1"), F.col("s2").alias("d2"))

@@ -73,7 +73,7 @@ Q2_MAX_SIZE = 10
       WHERE p.p_type = '{Q2_TYPE}' AND p.p_size <= {Q2_MAX_SIZE}
     )
     SELECT s_acctbal, s_name, n_name, p_partkey, p_name,
-           round(unit_cost, 6) AS unit_cost
+           floor(unit_cost * 1e6 + 0.5) / 1e6 AS unit_cost
     FROM pc
     WHERE unit_cost = min_cost
     ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
@@ -128,7 +128,10 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_name",
             "p_partkey",
             "p_name",
-            F.round(F.col("unit_cost"), 6).alias("unit_cost"),
+            # portable round (operators/text.py:portable_round6 pattern):
+            # engine-native round() on raw doubles diverges at 6th-decimal
+            # half-boundaries between Spark and DuckDB; unit_cost >= 0
+            F.expr("floor(unit_cost * 1e6 + 0.5) / 1e6").alias("unit_cost"),
         )
         .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
         .limit(100)

@@ -75,10 +75,14 @@ def _lineitem_scan_widths(plan: str) -> list[int]:
     widths = []
     blocks = _SCAN_RE.split(plan)[1:]
     for block in blocks:
-        head = block.split("(", 1)[0]
-        if "lineitem.parquet" not in head:
+        # this scan's detail section runs until the NEXT node header
+        # "(N) ..." at start of line; truncating at the first bare "(" is
+        # wrong — PushedFilters contains parens and precedes ReadSchema
+        m_next = re.search(r"\n\(\d+\) ", block)
+        seg = block[: m_next.start()] if m_next else block
+        if "lineitem.parquet" not in seg:
             continue
-        m = re.search(r"ReadSchema: struct<([^>]*)>", head)
+        m = re.search(r"ReadSchema: struct<([^>]*)>", seg)
         if m:
             fields = [f for f in m.group(1).split(",") if ":" in f]
             widths.append(len(fields))
@@ -113,3 +117,11 @@ def test_no_scale_antipatterns(spark, sf_dir, name):
             )
     finally:
         release_caches()
+
+
+def test_scan_width_parser_sees_filtered_scans(spark, sf_dir):
+    """Regression for the parser bug review found: a scan WITH pushed
+    filters (parens precede ReadSchema in the detail block) must still
+    yield its width — a full-width filtered scan must not pass vacuously."""
+    df = spark.read.parquet(f"{sf_dir}/lineitem.parquet").where("l_quantity > 1")
+    assert _lineitem_scan_widths(_formatted_plan(spark, df)) == [LINEITEM_WIDTH]
