@@ -41,6 +41,31 @@ def portable_hash32_sql(expr: str) -> str:
     return f"CAST(('0x' || substr(md5(CAST(({expr}) AS VARCHAR)), 1, 8)) AS BIGINT)"
 
 
+#: Milliseconds per UTC day — the divisor behind every epoch-day index.
+MS_PER_DAY = 86_400_000
+
+
+def epoch_day(ts_expr: str = "ts") -> Column:
+    """FLOOR-division epoch-day index of a timestamp column (JVM-side).
+
+    Cross-engine trap this exists to close: Spark's ``div`` truncates toward
+    zero while DuckDB's ``//`` floors, so a bare ``div(unix_millis(ts), d)``
+    diverges from the oracle for any pre-1970 timestamp. ``ms - pmod(ms, d)``
+    is exactly ``floor(ms/d) * d`` (pmod is the non-negative remainder), so
+    the truncating ``div`` of that difference IS floor division — pure
+    integer arithmetic, whole-stage codegen, no double rounding.
+    """
+    ms = f"unix_millis(cast({ts_expr} as timestamp))"
+    return F.expr(
+        f"div({ms} - pmod({ms}, {MS_PER_DAY}), {MS_PER_DAY})"
+    ).cast("long")
+
+
+def epoch_day_sql(ts_expr: str = "ts") -> str:
+    """DuckDB SQL equivalent of :func:`epoch_day` (``//`` already floors)."""
+    return f"(epoch_ms(CAST({ts_expr} AS TIMESTAMP)) // {MS_PER_DAY})"
+
+
 def dec(col: Column | str, precision: int = 12, scale: int = 2) -> Column:
     """Exact-decimal cast for cross-engine-stable aggregation."""
     c = F.col(col) if isinstance(col, str) else col

@@ -457,6 +457,11 @@ def edit_distance_pairs(
     runs on candidates only. For larger ``max_dist`` generalize to
     multi-deletion keys (cost O(len^d)) — not implemented.
 
+    Contract: ``id_col`` must be unique per row (same per-key uniqueness
+    contract as scd2_apply). The candidate dedup is on (d1, d2, t1, t2),
+    so a repeated id with differing text would yield duplicate — or
+    worse, conflicting — (d1, d2, lev) rows rather than raising.
+
     Returns (d1, d2, lev) with d1 < d2, exact distances <= max_dist.
     """
     if max_dist != 1:

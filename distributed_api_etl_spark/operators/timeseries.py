@@ -107,6 +107,13 @@ def cusum_changepoints(
     window, both keyed identically. State per key is O(1) — this is the
     batch mirror of what a streaming CUSUM keeps in keyed state.
 
+    Contract: the input must be a per-key daily SERIES — exactly one row
+    per (key_cols..., day_col). The windows order by ``day_col`` alone, so
+    duplicate (key, day) rows make the prefix sum and running min
+    tie-order-dependent and therefore nondeterministic across engines.
+    Pre-aggregate to one row per key-day (as the registered queries do)
+    before calling.
+
     Returns one row per input row, PROJECTED to (key_cols..., day_col,
     value_col, cusum DOUBLE, is_changepoint BOOLEAN) — other input columns
     are dropped; join back on (key_cols, day_col) to re-attach them.

@@ -26,11 +26,22 @@ STATE_SCHEMA = "unit string, status string, rows bigint, processed_at double"
 
 
 def completed_units(spark: SparkSession, state_location: str) -> set[str]:
-    """Units with a committed 'done' bookmark (empty on first run)."""
+    """Units with a committed 'done' bookmark (empty on first run).
+
+    Only a MISSING state table means "first run"; a present-but-corrupt
+    state file must raise — silently returning the empty set would restart
+    the whole backfill and re-write every unit.
+    """
     try:
         state = spark.read.parquet(state_location)
-    except Exception:
-        return set()
+    except Exception as exc:  # Spark wraps missing-path errors; match by class/text
+        from pyspark.errors import AnalysisException
+
+        if isinstance(exc, AnalysisException) and (
+            "PATH_NOT_FOUND" in str(exc) or "Path does not exist" in str(exc)
+        ):
+            return set()
+        raise
     return {
         r["unit"]
         for r in state.where(F.col("status") == "done").select("unit").collect()

@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import DecimalType
 
+from distributed_api_etl_spark.functions.portable import epoch_day
 from distributed_api_etl_spark.queries.registry import register, table
 
 SESSION_GAP_MIN = 30
@@ -895,12 +896,7 @@ def events_dow_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
     normalized timestamps."""
     ev = table(spark, sf_dir, "events")
     return (
-        ev.withColumn(
-            "dow",
-            F.expr(
-                "CAST(pmod(div(unix_millis(cast(ts as timestamp)), 86400000) + 4, 7) AS INT)"
-            ),
-        )
+        ev.withColumn("dow", F.pmod(epoch_day("ts") + F.lit(4), F.lit(7)).cast("int"))
         .groupBy("dow", "event_type")
         .agg(F.count("*").alias("n_events"))
     )
@@ -1253,10 +1249,7 @@ def events_cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = table(spark, sf_dir, "events")
     daily = (
-        ev.withColumn(
-            "day_idx",
-            F.expr("div(unix_millis(cast(ts as timestamp)), 86400000)").cast("long"),
-        )
+        ev.withColumn("day_idx", epoch_day("ts"))
         .groupBy("event_type", "day_idx")
         .agg(F.count("*").alias("daily_count"))
     )
@@ -1299,10 +1292,7 @@ def events_cumulative_distinct_users(spark: SparkSession, sf_dir: str) -> DataFr
     final window is a single-partition ordered sum over ~one row per DAY
     (bounded by the calendar, not the data) — the only deliberately
     non-parallel step, and it is O(days)."""
-    ev = table(spark, sf_dir, "events").withColumn(
-        "day_idx",
-        F.expr("div(unix_millis(cast(ts as timestamp)), 86400000)").cast("long"),
-    )
+    ev = table(spark, sf_dir, "events").withColumn("day_idx", epoch_day("ts"))
     first_seen = ev.groupBy("user_id").agg(F.min("day_idx").alias("first_day"))
     new_per_day = (
         first_seen.groupBy(F.col("first_day").alias("day_idx"))

@@ -5,6 +5,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from distributed_api_etl_spark.functions.portable import portable_hash32_sql
 from distributed_api_etl_spark.operators import text as TX
 from distributed_api_etl_spark.queries.registry import fan_out, register, table
 
@@ -973,8 +974,7 @@ _PAD_BATCH = 32
     WITH toks AS (
       SELECT doc_id,
              CAST(len(string_split(text, ' ')) AS BIGINT) AS tok,
-             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
-               % {_PAD_SHARDS} AS shard
+             {portable_hash32_sql("doc_id")} % {_PAD_SHARDS} AS shard
       FROM documents
     ),
     ordered AS (

@@ -374,3 +374,20 @@ def test_backfill_resumes_after_failure_exactly_once(spark, tmp_path):
 
     # third invocation is a no-op
     assert run_backfill(spark, units, process, state)["processed"] == 0
+
+
+def test_backfill_state_missing_vs_corrupt(spark, tmp_path):
+    """A MISSING state table means first run (empty set); a
+    present-but-unreadable one must raise, not silently restart the
+    backfill (ADVICE r4: bare except hid corruption)."""
+    import pytest
+
+    from distributed_api_etl_spark.orchestration.backfill import completed_units
+
+    assert completed_units(spark, str(tmp_path / "never_written")) == set()
+
+    corrupt = tmp_path / "corrupt_state"
+    corrupt.mkdir()
+    (corrupt / "part-00000.parquet").write_bytes(b"this is not parquet")
+    with pytest.raises(Exception):
+        completed_units(spark, str(corrupt))
