@@ -25,6 +25,12 @@ from distributed_api_etl_spark.queries.registry import (
 
 _SINK_IDS = itertools.count()
 
+#: Executed micro-batch physical plan of the most recent drain — the
+#: plan-guard hook (tests/test_plan_guard.py): running a graded streaming
+#: query through its REAL code path leaves the plan the state-store /
+#: anti-pattern assertions inspect here. None until a drain completes.
+LAST_EXECUTED_PLAN: str | None = None
+
 
 def _stream_source(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """File-stream over one table (FileStreamSource requires a directory, so
@@ -60,6 +66,13 @@ def _drain_to_memory(out: DataFrame, mode: str = "update") -> str:
             f"streaming drain into {name!r} still running after 300s; "
             "refusing to grade a partial memory sink"
         )
+    global LAST_EXECUTED_PLAN
+    # lastExecution survives termination; failure to render must not fail
+    # the graded query itself (the guard test asserts on the content).
+    try:
+        LAST_EXECUTED_PLAN = q._jsq.explainInternal(False)
+    except Exception:
+        LAST_EXECUTED_PLAN = None
     return name
 
 

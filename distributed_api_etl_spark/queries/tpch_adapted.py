@@ -79,6 +79,9 @@ Q2_MAX_SIZE = 10
     ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
     LIMIT 100
     """,
+    # bench head (r5): the 20x shuffle-cut rewrite (semi-joins below the
+    # aggregation) — regression-track the plan that carries the win.
+    bench=True,
     tags=("analytics",),
 )
 def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -411,6 +414,9 @@ Q21_LATE_DAYS = 365
     ORDER BY numwait DESC, s.s_name
     LIMIT 50
     """,
+    # bench head (r5): largest TPC-H shuffle in the suite — the per-round
+    # regression tracking should cover the plan with the most scale risk.
+    bench=True,
     tags=("analytics",),
 )
 def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:

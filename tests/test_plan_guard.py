@@ -119,6 +119,91 @@ def test_no_scale_antipatterns(spark, sf_dir, name):
         release_caches()
 
 
+# ---------------------------------------------------------------------------
+# Streaming plan guard: the batch guard above explains lazily, but a graded
+# streaming query's real plan only exists once a micro-batch EXECUTES —
+# _drain_to_memory stashes the executed plan (queries/streaming.py:
+# LAST_EXECUTED_PLAN), so running the registered query through its actual
+# graded code path leaves the evidence behind. Assertions:
+#   1. the claimed state-store operator is genuinely in the executed plan
+#      (a "stateful" op that silently fell back to a stateless rewrite would
+#      grade correct on one batch and lose state at scale);
+#   2. a claimed-stateless op acquired NO state store;
+#   3. the same anti-patterns as batch (CartesianProduct / un-allowlisted
+#      BNLJ) — a stream-side cartesian re-executes per micro-batch, strictly
+#      worse than the batch offense.
+# streaming_api_pipeline_bronze is excluded: its work happens inside
+# foreachBatch (driver-launched batch jobs per micro-batch), so the stream
+# plan is just source->foreachBatch; its batch plan is covered via the
+# shared pipeline compiler exercised by api_pipeline_bronze above.
+# ---------------------------------------------------------------------------
+
+# query -> (must-contain markers, must-NOT-contain markers beyond the global
+# anti-patterns). Marker strings are physical-node names from this Spark
+# build; the streaming-semantics version guard (tests/test_streaming.py)
+# pins the build, so these cannot silently rot under an upgrade.
+STREAMING_PLAN_SPECS = {
+    "streaming_stateful_dedup": (["FlatMapGroupsInPandasWithState"], []),
+    "streaming_user_event_counts": (["FlatMapGroupsInPandasWithState"], []),
+    "streaming_tumbling_window": (["StateStoreSave"], []),
+    "streaming_sessionize": (["SessionWindowStateStore"], []),
+    "streaming_click_purchase_join": (["StreamingSymmetricHashJoin"], []),
+    "streaming_dedup_within_watermark": (["StreamingDeduplicateWithinWatermark"], []),
+    # stream-static enrich is STATELESS by design: broadcast dim into each
+    # micro-batch, no watermark, no join state.
+    "streaming_static_enrich": (
+        ["BroadcastHashJoin"],
+        ["StateStore", "StreamingSymmetricHashJoin"],
+    ),
+    "streaming_click_purchase_left_outer": (["StreamingSymmetricHashJoin"], []),
+    "streaming_hll_user_cardinality": (["FlatMapGroupsInPandasWithState"], []),
+}
+
+
+def test_streaming_spec_covers_all_graded_streaming_queries():
+    """New graded streaming queries must declare their expected plan shape."""
+    graded_streaming = {
+        n
+        for n, s in REGISTRY.items()
+        if s.graded and "streaming" in s.tags and "pipeline" not in s.tags
+    }
+    assert graded_streaming == set(STREAMING_PLAN_SPECS), (
+        "graded streaming queries and STREAMING_PLAN_SPECS diverged — add a "
+        "(markers, forbidden) entry for each new query: "
+        f"{sorted(graded_streaming ^ set(STREAMING_PLAN_SPECS))}"
+    )
+
+
+@pytest.mark.parametrize("name", sorted(STREAMING_PLAN_SPECS))
+def test_streaming_no_scale_antipatterns(spark, sf_dir, name):
+    from distributed_api_etl_spark.queries import streaming as qstreaming
+
+    qstreaming.LAST_EXECUTED_PLAN = None
+    REGISTRY[name].build(spark, sf_dir).count()  # real drain, real plan
+    plan = qstreaming.LAST_EXECUTED_PLAN
+    assert plan, f"{name}: drain left no executed plan to audit"
+    required, forbidden = STREAMING_PLAN_SPECS[name]
+    for marker in required:
+        assert marker in plan, (
+            f"{name}: expected stateful operator {marker!r} missing from the "
+            "executed micro-batch plan — the claimed streaming semantics "
+            "are not what actually ran"
+        )
+    for marker in forbidden:
+        assert marker not in plan, (
+            f"{name}: {marker!r} in executed plan — this query is documented "
+            "stateless/broadcast; acquiring state or a stream-stream join "
+            "changes its scale profile"
+        )
+    assert "CartesianProduct" not in plan, (
+        f"{name}: CartesianProduct in the per-micro-batch plan"
+    )
+    assert "BroadcastNestedLoopJoin" not in plan, (
+        f"{name}: BroadcastNestedLoopJoin re-executed every micro-batch — "
+        "prove the build side bounded and allowlist it with a reason"
+    )
+
+
 def test_scan_width_parser_sees_filtered_scans(spark, sf_dir):
     """Regression for the parser bug review found: a scan WITH pushed
     filters (parens precede ReadSchema in the detail block) must still

@@ -16,6 +16,40 @@ from distributed_api_etl_spark.streaming import (
 )
 
 
+#: The Spark build the empirically-pinned streaming semantics were calibrated
+#: against (left-outer interval-join null-row timing; watermark-dedup state
+#: eviction). See test_streaming_semantics_version_guard.
+CALIBRATED_SPARK_VERSION = "4.1.2"
+
+
+def test_streaming_semantics_version_guard(spark):
+    """Fail LOUDLY on a Spark upgrade instead of silently drifting.
+
+    Two graded oracles encode behavior derived by experiment against this
+    exact Spark build, not from documented contracts:
+
+    - ``streaming_click_purchase_left_outer`` (queries/streaming.py): final
+      availableNow watermark = min of per-side event-time maxima computed
+      AFTER the click/purchase filters; outer null-rows emitted by the
+      trailing no-data batch; STRICT ``<`` eviction boundary.
+    - ``streaming_dedup_within_watermark``: dropDuplicatesWithinWatermark
+      state-retention window relative to the same drain-time watermark.
+
+    A minor-version bump can legally change null-match emission timing. If
+    this assertion fires: re-run the calibration probes
+    (test_left_outer_interval_join_emits_unmatched_after_eviction and
+    test_watermark_dedup_across_microbatches), re-derive the two oracles,
+    then update CALIBRATED_SPARK_VERSION.
+    """
+    assert spark.version == CALIBRATED_SPARK_VERSION, (
+        f"Spark {spark.version} != calibrated {CALIBRATED_SPARK_VERSION}: "
+        "re-validate the empirically-pinned oracles of "
+        "streaming_click_purchase_left_outer and "
+        "streaming_dedup_within_watermark before trusting their grades "
+        "(see this test's docstring for the re-calibration recipe)."
+    )
+
+
 @pytest.fixture
 def stream_source(spark, tmp_path):
     src = str(tmp_path / "stream_src")
