@@ -69,3 +69,40 @@ def shard_assignment(
         (h % n_shards).cast("int").alias("shard"),
         h.alias("sort_key"),
     )
+
+
+def leakage_safe_split(
+    cluster_map: DataFrame,
+    cluster_col: str = "cluster_id",
+    train_pct: int = 80,
+    val_pct: int = 10,
+    seed: str = "split",
+) -> DataFrame:
+    """Train/val/test assignment that near-duplicates CANNOT straddle.
+
+    Splitting by document hash leaks: two near-duplicate documents land in
+    different splits and the eval set scores memorization, not
+    generalization. Keying the split decision on the near-dup CLUSTER id
+    (from ``dedup_cluster_assignment``) makes the guarantee structural —
+    every member of a cluster shares the cluster id, hence the hash, hence
+    the split. Map-side only (one hash + comparison per row, whole-stage
+    codegen); the expensive part is the clustering the caller already ran.
+
+    ``train_pct``/``val_pct`` are integer percents (test gets the rest);
+    the hash is reproducible across runs, engines, and partitionings, and a
+    new ``seed`` re-rolls the assignment without touching the clusters.
+    Input: any frame with ``cluster_col``; output: input + ``split``.
+    """
+    if not (0 <= train_pct and 0 <= val_pct and train_pct + val_pct <= 100):
+        raise ValueError(
+            f"invalid split percents: train={train_pct} val={val_pct}"
+        )
+    h = portable_hash32(
+        F.concat(F.lit(f"{seed}:"), F.col(cluster_col).cast("string"))
+    ) % 100
+    return cluster_map.withColumn(
+        "split",
+        F.when(h < train_pct, "train")
+        .when(h < train_pct + val_pct, "val")
+        .otherwise("test"),
+    )

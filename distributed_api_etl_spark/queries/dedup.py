@@ -364,6 +364,45 @@ def dedup_clusters_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "documents_leakage_safe_split",
+    oracle=f"""
+    SELECT m.doc_id, m.cluster_id,
+           CASE WHEN h < 80 THEN 'train'
+                WHEN h < 90 THEN 'val'
+                ELSE 'test' END AS split
+    FROM (
+      SELECT doc_id, cluster_id,
+             {portable_hash32_sql("'split:' || CAST(cluster_id AS VARCHAR)")}
+               % 100 AS h
+      FROM ({REGISTRY["dedup_clusters"].oracle}) c
+    ) m
+    """,
+    tags=("dedup", "ml", "pipeline"),
+    # registry freeze (VERDICT r4 #3): new round-5 queries enter
+    # graded=False (local-oracle-only) so the 50-slot window keeps the 18
+    # never-graded round-4 queries at its head; flip in round 6.
+    graded=False,
+)
+def documents_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/val/test split that near-duplicates cannot straddle
+    (operators/sampling.py:leakage_safe_split): the split hash keys on the
+    near-dup CLUSTER id from the two-phase component map, so every member
+    of a dup cluster — including ones discovered between runs — lands in
+    the same split. Splitting by doc hash instead silently turns eval into
+    a memorization test; this is the structural fix, and it is map-side
+    free on top of the clustering the pipeline already runs."""
+    from distributed_api_etl_spark.operators.graph import dedup_cluster_assignment
+    from distributed_api_etl_spark.operators.sampling import leakage_safe_split
+
+    docs = fan_out(table(spark, sf_dir, "documents"))
+    pairs = D.minhash_lsh_pairs(docs, "doc_id", "text", 3, 70).select("d1", "d2")
+    clusters = dedup_cluster_assignment(pairs, docs, "doc_id", algorithm="two_phase")
+    return leakage_safe_split(clusters, "cluster_id").select(
+        "doc_id", "cluster_id", "split"
+    )
+
+
+@register(
     "dedup_keep_corpus_stats",
     oracle=f"""
     SELECT d.source,

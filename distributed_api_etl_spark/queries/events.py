@@ -1380,3 +1380,39 @@ def events_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("n_keys") * F.col("total_rows")).cast("double")
         ).alias("gini"),
     )
+
+
+@register(
+    "events_next_event_examples",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_id, event_type,
+             lag(event_type, 3) OVER w AS l3,
+             lag(event_type, 2) OVER w AS l2,
+             lag(event_type, 1) OVER w AS l1
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT CAST(user_id AS BIGINT) AS user_id,
+           CAST(event_id AS BIGINT) AS example_id,
+           concat_ws(' ', l3, l2, l1) AS features,
+           event_type AS label
+    FROM ordered WHERE l3 IS NOT NULL
+    """,
+    tags=("events", "ml", "pipeline"),
+    # registry freeze (VERDICT r4 #3): graded=False until round 6 so the
+    # round-5 window stays exactly the 18-query backlog projection.
+    graded=False,
+)
+def events_next_event_examples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Next-event-prediction training examples from the interaction log
+    (operators/examples.py:next_event_examples): previous 3 event types
+    (oldest first) as the feature window, current type as label, rows with
+    short history dropped. One user-keyed shuffle; the three lags share a
+    single WindowExec sort pass — the cheapest formulation of sliding
+    feature windows (no explode, no self-join). Ties broken by
+    (ts, event_id) so the examples hash-grade on any engine."""
+    from distributed_api_etl_spark.operators.examples import next_event_examples
+
+    ev = table(spark, sf_dir, "events")
+    return next_event_examples(ev, history=3)

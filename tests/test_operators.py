@@ -1130,3 +1130,69 @@ def test_edit_distance_pairs_symspell_blocking(spark):
         if lev(a, b) <= 1
     }
     assert got == expected
+
+
+def test_leakage_safe_split_clusters_never_straddle(spark):
+    """Every member of a cluster gets the same split; proportions are
+    hash-driven; assignment is layout-invariant."""
+    from distributed_api_etl_spark.operators.sampling import leakage_safe_split
+
+    import pytest
+
+    cm = spark.range(1000).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 137).alias("cluster_id")
+    )
+    out = leakage_safe_split(cm, "cluster_id")
+    per_cluster = out.groupBy("cluster_id").agg(
+        F.countDistinct("split").alias("n_splits")
+    )
+    assert per_cluster.where("n_splits > 1").count() == 0
+    splits = {r["split"] for r in out.select("split").distinct().collect()}
+    assert splits <= {"train", "val", "test"} and "train" in splits
+    # layout invariance: same assignment under a different partitioning
+    out2 = leakage_safe_split(cm.repartition(13), "cluster_id")
+    a = {(r["doc_id"], r["split"]) for r in out.collect()}
+    b = {(r["doc_id"], r["split"]) for r in out2.collect()}
+    assert a == b
+    # a different seed re-rolls at least one cluster
+    out3 = leakage_safe_split(cm, "cluster_id", seed="epoch2")
+    c = {(r["doc_id"], r["split"]) for r in out3.collect()}
+    assert c != a
+    with pytest.raises(ValueError):
+        leakage_safe_split(cm, "cluster_id", train_pct=95, val_pct=10)
+
+
+def test_next_event_examples_window_semantics(spark):
+    """Hand-checked: oldest-first feature order, short-history rows dropped,
+    (ts, id) tie-break."""
+    import datetime as dt
+
+    from distributed_api_etl_spark.operators.examples import next_event_examples
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        # user 1: a,b,c,d,e -> examples at d (a b c) and e (b c d)
+        (1, t0, 1, "a"),
+        (2, t0 + dt.timedelta(minutes=1), 1, "b"),
+        (3, t0 + dt.timedelta(minutes=2), 1, "c"),
+        (4, t0 + dt.timedelta(minutes=3), 1, "d"),
+        (5, t0 + dt.timedelta(minutes=4), 1, "e"),
+        # user 2: only 3 events -> one example; first two share a ts, so the
+        # event_id tie-break decides feature order
+        (6, t0, 2, "x"),
+        (7, t0, 2, "y"),
+        (8, t0 + dt.timedelta(minutes=1), 2, "z"),
+        (9, t0 + dt.timedelta(minutes=2), 2, "w"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, user_id bigint, event_type string"
+    )
+    got = {
+        r["example_id"]: (r["user_id"], r["features"], r["label"])
+        for r in next_event_examples(ev).collect()
+    }
+    assert got == {
+        4: (1, "a b c", "d"),
+        5: (1, "b c d", "e"),
+        9: (2, "x y z", "w"),
+    }
