@@ -373,6 +373,104 @@ def tfidf_top_terms(
     )
 
 
+def bm25_term_score_sql(
+    tf: str = "tf",
+    dl: str = "dl",
+    dft: str = "dft",
+    n_docs: str = "n_docs",
+    total_tok: str = "total_tok",
+    k1_milli: int = 1200,
+    b_milli: int = 750,
+) -> str:
+    """Per-(doc, term) Okapi BM25 contribution in integer MICRO-units.
+
+    One SQL string used verbatim by BOTH engines (F.expr on the Spark side,
+    inlined in the DuckDB oracle), so the floating-point expression tree is
+    textually identical: every input is an exact integer (tf, dl, dft, N,
+    total tokens), parameters arrive as integer millis, float literals are
+    scientific notation (bare decimals parse as DECIMAL on both engines —
+    the verify gotcha), and the result is fixed-pointed via
+    ``floor(x*1e6 + 0.5)`` so the per-document SUM is an order-free integer
+    sum. avgdl never materializes: ``dl/avgdl == dl*N/total_tok``.
+    """
+    k1 = f"(CAST({k1_milli} AS DOUBLE) / 1e3)"
+    b = f"(CAST({b_milli} AS DOUBLE) / 1e3)"
+    idf = (
+        f"ln(1e0 + (CAST({n_docs} AS DOUBLE) - CAST({dft} AS DOUBLE) + 5e-1)"
+        f" / (CAST({dft} AS DOUBLE) + 5e-1))"
+    )
+    denom = (
+        f"(CAST({tf} AS DOUBLE) + {k1} * (1e0 - {b} + {b}"
+        f" * CAST({dl} AS DOUBLE) * CAST({n_docs} AS DOUBLE)"
+        f" / CAST({total_tok} AS DOUBLE)))"
+    )
+    score = f"({idf} * CAST({tf} AS DOUBLE) * ({k1} + 1e0) / {denom})"
+    return f"CAST(floor({score} * 1e6 + 5e-1) AS BIGINT)"
+
+
+def bm25_scores(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    query_terms: list[str],
+    k1_milli: int = 1200,
+    b_milli: int = 750,
+) -> DataFrame:
+    """Okapi BM25 relevance of every document to a fixed query-term set —
+    the retrieval-style scorer a training pipeline uses to SELECT data
+    relevant to a target domain (seed queries in, ranked corpus out).
+
+    Plan: the explode filters to the query terms immediately, so the big
+    (doc, term) frequency table never exists — only |terms|-bounded rows
+    per doc survive the first shuffle. Document frequency is |terms| rows
+    (broadcast); corpus stats are a one-row broadcast cross join (the
+    sanctioned scalar pattern); per-doc length rides the original scan.
+    Score = sum of integer micro-unit term contributions
+    (:func:`bm25_term_score_sql`) — aggregation-order-free by construction.
+    Output: one row per input doc (zero-match docs score 0), with
+    ``score`` = micro/1e6 as DOUBLE and ``n_terms_matched``.
+    """
+    terms = sorted(set(query_terms))
+    base = df.select(
+        F.col(id_col), F.size(tokens(F.col(text_col))).cast("bigint").alias("dl"),
+        F.col(text_col),
+    )
+    base = scoped_persist(base)  # referenced by tf, stats, and the final join
+    tf = (
+        base.select(F.col(id_col), "dl", F.explode(tokens(F.col(text_col))).alias("term"))
+        .where(F.col("term").isin(terms))
+        .groupBy(id_col, "dl", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    tf = scoped_persist(tf)  # referenced twice: document frequency + scoring
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("dft"))
+    stats = base.agg(
+        F.count("*").alias("n_docs"), F.sum("dl").alias("total_tok")
+    )
+    micro = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "micro",
+            F.expr(bm25_term_score_sql(k1_milli=k1_milli, b_milli=b_milli)),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.sum("micro").alias("micro_sum"),
+            F.count("*").alias("n_terms_matched"),
+        )
+    )
+    return base.select(id_col).join(micro, id_col, "left").select(
+        id_col,
+        (F.coalesce(F.col("micro_sum"), F.lit(0)).cast("double") / F.lit(1000000.0)).alias(
+            "score"
+        ),
+        F.coalesce(F.col("n_terms_matched"), F.lit(0)).cast("bigint").alias(
+            "n_terms_matched"
+        ),
+    )
+
+
 def boilerplate_ngram_stats(
     df: DataFrame,
     id_col: str,

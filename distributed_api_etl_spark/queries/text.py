@@ -1059,3 +1059,59 @@ def documents_padding_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum(n_docs * max_tok)) AS BIGINT)"
         ).alias("waste_ppm"),
     )
+
+
+BM25_QUERY_TERMS = ("spark", "stream", "vector")
+
+
+def _bm25_oracle_sql() -> str:
+    from distributed_api_etl_spark.operators.text import bm25_term_score_sql
+
+    terms = ", ".join(f"'{t}'" for t in BM25_QUERY_TERMS)
+    return f"""
+    WITH base AS (
+      SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl, text
+      FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, dl, term, count(*) AS tf
+      FROM (SELECT doc_id, dl, unnest(string_split(text, ' ')) AS term FROM base)
+      WHERE term IN ({terms})
+      GROUP BY doc_id, dl, term
+    ),
+    dfreq AS (SELECT term, count(*) AS dft FROM tf GROUP BY term),
+    stats AS (SELECT count(*) AS n_docs, sum(dl) AS total_tok FROM base),
+    micro AS (
+      SELECT t.doc_id,
+             CAST(sum({bm25_term_score_sql()}) AS BIGINT) AS micro_sum,
+             count(*) AS n_terms_matched
+      FROM tf t JOIN dfreq USING (term) CROSS JOIN stats
+      GROUP BY t.doc_id
+    )
+    SELECT b.doc_id,
+           CAST(COALESCE(m.micro_sum, 0) AS DOUBLE) / 1e6 AS score,
+           CAST(COALESCE(m.n_terms_matched, 0) AS BIGINT) AS n_terms_matched
+    FROM base b LEFT JOIN micro m ON b.doc_id = m.doc_id
+    """
+
+
+@register(
+    "documents_bm25_relevance",
+    oracle=_bm25_oracle_sql(),
+    tags=("text", "features", "ml", "pipeline"),
+    # registry freeze (VERDICT r4 #3): graded=False until round 6.
+    graded=False,
+)
+def documents_bm25_relevance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 relevance of every document to a seed query-term set
+    (operators/text.py:bm25_scores) — retrieval-style data SELECTION: rank
+    the corpus against a target domain's seed terms, keep the head. The
+    floating-point score expression is ONE shared SQL string evaluated by
+    both engines over exact-integer inputs and fixed-pointed per term, so
+    the per-doc sum is an order-free integer sum (the PMI/quality-model
+    portability pattern). The explode filters to the |terms| query set
+    before the first shuffle — the full (doc, term) matrix never exists."""
+    from distributed_api_etl_spark.operators.text import bm25_scores
+
+    docs = fan_out(table(spark, sf_dir, "documents"))
+    return bm25_scores(docs, "doc_id", "text", list(BM25_QUERY_TERMS))

@@ -1196,3 +1196,48 @@ def test_next_event_examples_window_semantics(spark):
         5: (1, "b c d", "e"),
         9: (2, "x y z", "w"),
     }
+
+
+def test_bm25_scores_match_reference_formula(spark):
+    """Spark BM25 equals a plain-Python Okapi implementation to the
+    operator's 1e-6 fixed-point grid; zero-match docs present with 0."""
+    import math
+
+    from distributed_api_etl_spark.operators.text import bm25_scores
+
+    docs = [
+        (1, "spark join spark stream table"),
+        (2, "table row batch filter merge"),  # no query terms
+        (3, "stream stream stream spark"),
+        (4, "vector"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    terms = ["spark", "stream", "vector"]
+    got = {r["doc_id"]: (r["score"], r["n_terms_matched"])
+           for r in bm25_scores(df, "doc_id", "text", terms).collect()}
+
+    k1, b = 1.2, 0.75
+    toks = {i: t.split(" ") for i, t in docs}
+    n = len(docs)
+    total = sum(len(t) for t in toks.values())
+    dft = {t: sum(1 for tk in toks.values() if t in tk) for t in terms}
+
+    def ref(i):
+        dl = len(toks[i])
+        micro = 0
+        matched = 0
+        for t in terms:
+            tf = toks[i].count(t)
+            if tf == 0:
+                continue
+            matched += 1
+            idf = math.log(1 + (n - dft[t] + 0.5) / (dft[t] + 0.5))
+            s = idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl * n / total))
+            micro += math.floor(s * 1e6 + 0.5)
+        return micro / 1e6, matched
+
+    for i, _ in docs:
+        exp_score, exp_matched = ref(i)
+        assert got[i][1] == exp_matched
+        assert abs(got[i][0] - exp_score) < 1e-9, (i, got[i], exp_score)
+    assert got[2] == (0.0, 0)
