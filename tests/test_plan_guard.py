@@ -56,7 +56,9 @@ ALLOW_BNLJ = {
     "ann_quantized_topk": "bounded broadcast query side + 1-row scale scalar",
     "ann_ivf_topk": "bounded broadcast centroid/query sides",
     "ann_ivf_kmeans_topk": "bounded broadcast learned centroids",
+    "semantic_diversity_sample": "bounded broadcast k-row centroid set (ivf_assign argmax)",
     "ann_ivf_multiprobe_topk": "bounded broadcast centroid/query sides",
+    "documents_bm25_relevance": "1-row corpus-stats scalar (N, total tokens)",
 }
 
 LINEITEM_WIDTH = 11
@@ -89,10 +91,18 @@ def _lineitem_scan_widths(plan: str) -> list[int]:
     return widths
 
 
+# Guard scope (widened round 5): ALL registered batch queries — graded or
+# not, an anti-pattern in shipped library surface is just as real at 100 TB.
+# The old bare-"pipeline" tag exclusion silently dropped seven graded
+# LLM-pipeline queries (semantic_diversity_sample, training_mix_selection,
+# the incremental-dedup family, ...) from the guard; only the HTTP family
+# (tagged pipeline+etl) is excluded, because its build EXECUTES the pipeline
+# and returns a sink read-back whose plan is just a parquet scan.
 BATCH_NAMES = sorted(
     n
     for n, s in REGISTRY.items()
-    if s.graded and "streaming" not in s.tags and "pipeline" not in s.tags
+    if "streaming" not in s.tags
+    and not ("pipeline" in s.tags and "etl" in s.tags)
 )
 
 
