@@ -9,6 +9,8 @@ self-joins, no per-example row explosion beyond the label projection.
 
 from __future__ import annotations
 
+import functools
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -28,7 +30,9 @@ def next_event_examples(
     joined — a model-side tokenizer splits it back) as features and the
     current type as label. Rows earlier than ``history`` events into a
     user's stream are dropped, not padded: padded prefixes make the label
-    distribution lie about cold-start behavior.
+    distribution lie about cold-start behavior. Rows whose window contains
+    a NULL type anywhere — or whose own type is NULL — are dropped too
+    (an incomplete window must not masquerade as a complete one).
 
     Determinism contract: the window orders by (ts, id) so same-timestamp
     events have a total order on any engine — required for hash-graded
@@ -51,7 +55,16 @@ def next_event_examples(
         F.col(id_col).alias("example_id"),
         F.concat_ws(" ", *lags).alias("features"),
         F.col(type_col).alias("label"),
-        lags[0].alias("_oldest"),
+        # EVERY lag and the label must be non-null, not just the oldest lag:
+        # a NULL type mid-window would pass an oldest-only check and
+        # concat_ws would silently drop it, emitting a (history-1)-token
+        # feature string that misaligns a model-side tokenizer; a NULL
+        # current type would emit a NULL label.
+        (
+            functools.reduce(
+                lambda a, b: a & b, (lg.isNotNull() for lg in lags)
+            )
+            & F.col(type_col).isNotNull()
+        ).alias("_complete"),
     )
-    # the oldest lag being non-null implies the full window exists
-    return out.where(F.col("_oldest").isNotNull()).drop("_oldest")
+    return out.where(F.col("_complete")).drop("_complete")

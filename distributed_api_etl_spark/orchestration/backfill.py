@@ -28,17 +28,29 @@ STATE_SCHEMA = "unit string, status string, rows bigint, processed_at double"
 def completed_units(spark: SparkSession, state_location: str) -> set[str]:
     """Units with a committed 'done' bookmark (empty on first run).
 
-    Only a MISSING state table means "first run"; a present-but-corrupt
-    state file must raise — silently returning the empty set would restart
-    the whole backfill and re-write every unit.
+    First-run detection is deliberately two-pronged, corruption must raise:
+    - PATH_NOT_FOUND — the state table was never written.
+    - UNABLE_TO_INFER_SCHEMA — the directory exists but holds NO committed
+      parquet files (a crash during the very first bookmark append leaves
+      only ``_temporary/``). No bookmark ever committed, so "no units done"
+      is exact, and treating it as corruption would permanently block the
+      resume path this module exists to provide.
+    Anything else (e.g. an unreadable footer on a committed part file) is
+    genuine corruption: silently returning the empty set would restart the
+    whole backfill, so it propagates.
     """
     try:
         state = spark.read.parquet(state_location)
     except Exception as exc:  # Spark wraps missing-path errors; match by class/text
         from pyspark.errors import AnalysisException
 
-        if isinstance(exc, AnalysisException) and (
-            "PATH_NOT_FOUND" in str(exc) or "Path does not exist" in str(exc)
+        first_run_markers = (
+            "PATH_NOT_FOUND",
+            "Path does not exist",
+            "UNABLE_TO_INFER_SCHEMA",
+        )
+        if isinstance(exc, AnalysisException) and any(
+            m in str(exc) for m in first_run_markers
         ):
             return set()
         raise

@@ -879,8 +879,8 @@ def events_value_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "events_dow_seasonality",
     oracle="""
-    SELECT CAST((epoch_ms(CAST(ts AS TIMESTAMP)) // 86400000 + 4) % 7 AS INTEGER)
-             AS dow,
+    SELECT CAST((((epoch_ms(CAST(ts AS TIMESTAMP)) // 86400000 + 4) % 7) + 7) % 7
+             AS INTEGER) AS dow,
            event_type,
            CAST(count(*) AS BIGINT) AS n_events
     FROM events GROUP BY 1, 2
@@ -893,7 +893,9 @@ def events_dow_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
     is 1=Monday — calendar functions are a cross-engine trap, so the dow
     here is pure integer epoch-day arithmetic ((days since 1970-01-01 + 4)
     mod 7, 0=Monday — 1970-01-01 was a Thursday) on the UTC-pinned
-    normalized timestamps."""
+    normalized timestamps. The mod must be NON-NEGATIVE on both sides for
+    pre-1970 days: Spark pmod here, ((x % 7) + 7) % 7 in the oracle
+    (DuckDB's % keeps the dividend's sign)."""
     ev = table(spark, sf_dir, "events")
     return (
         ev.withColumn("dow", F.pmod(epoch_day("ts") + F.lit(4), F.lit(7)).cast("int"))
@@ -1397,7 +1399,9 @@ def events_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(event_id AS BIGINT) AS example_id,
            concat_ws(' ', l3, l2, l1) AS features,
            event_type AS label
-    FROM ordered WHERE l3 IS NOT NULL
+    FROM ordered
+    WHERE l3 IS NOT NULL AND l2 IS NOT NULL AND l1 IS NOT NULL
+      AND event_type IS NOT NULL
     """,
     tags=("events", "ml", "pipeline"),
     # registry freeze (VERDICT r4 #3): graded=False until round 6 so the

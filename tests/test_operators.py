@@ -1183,6 +1183,14 @@ def test_next_event_examples_window_semantics(spark):
         (7, t0, 2, "y"),
         (8, t0 + dt.timedelta(minutes=1), 2, "z"),
         (9, t0 + dt.timedelta(minutes=2), 2, "w"),
+        # user 3: NULL mid-stream poisons every window it appears in AND
+        # its own label row — no examples until 3 non-null predecessors
+        (10, t0, 3, "p"),
+        (11, t0 + dt.timedelta(minutes=1), 3, None),
+        (12, t0 + dt.timedelta(minutes=2), 3, "q"),
+        (13, t0 + dt.timedelta(minutes=3), 3, "r"),
+        (14, t0 + dt.timedelta(minutes=4), 3, "s"),
+        (15, t0 + dt.timedelta(minutes=5), 3, "t"),
     ]
     ev = spark.createDataFrame(
         rows, "event_id bigint, ts timestamp, user_id bigint, event_type string"
@@ -1195,6 +1203,7 @@ def test_next_event_examples_window_semantics(spark):
         4: (1, "a b c", "d"),
         5: (1, "b c d", "e"),
         9: (2, "x y z", "w"),
+        15: (3, "q r s", "t"),  # first window past user 3's NULL
     }
 
 

@@ -377,14 +377,21 @@ def test_backfill_resumes_after_failure_exactly_once(spark, tmp_path):
 
 
 def test_backfill_state_missing_vs_corrupt(spark, tmp_path):
-    """A MISSING state table means first run (empty set); a
-    present-but-unreadable one must raise, not silently restart the
-    backfill (ADVICE r4: bare except hid corruption)."""
+    """MISSING state table or a dir with no COMMITTED files (crash during
+    the first bookmark append leaves only _temporary/) means first run;
+    a committed-but-unreadable part file must raise, not silently restart
+    the backfill (ADVICE r4 + round-5 review)."""
     import pytest
 
     from distributed_api_etl_spark.orchestration.backfill import completed_units
 
     assert completed_units(spark, str(tmp_path / "never_written")) == set()
+
+    # crash-during-first-append shape: dir exists, nothing committed —
+    # must self-heal as first run, not block resume forever
+    half_written = tmp_path / "half_written"
+    (half_written / "_temporary").mkdir(parents=True)
+    assert completed_units(spark, str(half_written)) == set()
 
     corrupt = tmp_path / "corrupt_state"
     corrupt.mkdir()
