@@ -48,12 +48,15 @@ MS_PER_DAY = 86_400_000
 def epoch_day(ts_expr: str = "ts") -> Column:
     """FLOOR-division epoch-day index of a timestamp column (JVM-side).
 
-    Cross-engine trap this exists to close: Spark's ``div`` truncates toward
-    zero while DuckDB's ``//`` floors, so a bare ``div(unix_millis(ts), d)``
-    diverges from the oracle for any pre-1970 timestamp. ``ms - pmod(ms, d)``
-    is exactly ``floor(ms/d) * d`` (pmod is the non-negative remainder), so
-    the truncating ``div`` of that difference IS floor division — pure
-    integer arithmetic, whole-stage codegen, no double rounding.
+    The calendar-correct convention: 1969-12-31 23:00 is day -1, not day 0.
+    NEITHER engine floors natively — Spark's ``div`` truncates toward zero
+    AND DuckDB's integer ``//`` also truncates (probed: ``-7 // 2 = -3``;
+    the round-4 advice claiming ``//`` floors was wrong — pinned by
+    tests/test_operators.py:test_epoch_day_and_dow_floor_semantics_pre_1970).
+    Both sides therefore build floor explicitly: subtract the non-negative
+    remainder first (``ms - pmod(ms, d)`` is exactly ``floor(ms/d) * d``),
+    then the truncating division of that difference IS floor division —
+    pure integer arithmetic, whole-stage codegen, no double rounding.
     """
     ms = f"unix_millis(cast({ts_expr} as timestamp))"
     return F.expr(
@@ -62,8 +65,15 @@ def epoch_day(ts_expr: str = "ts") -> Column:
 
 
 def epoch_day_sql(ts_expr: str = "ts") -> str:
-    """DuckDB SQL equivalent of :func:`epoch_day` (``//`` already floors)."""
-    return f"(epoch_ms(CAST({ts_expr} AS TIMESTAMP)) // {MS_PER_DAY})"
+    """DuckDB SQL equivalent of :func:`epoch_day` (integer-exact floor).
+
+    ``(((ms % d) + d) % d)`` is the non-negative remainder whatever sign
+    convention ``%`` uses; subtracting it makes the ``//`` exact, so the
+    truncating division equals floor — mirror image of the Spark form.
+    """
+    ms = f"epoch_ms(CAST({ts_expr} AS TIMESTAMP))"
+    d = MS_PER_DAY
+    return f"(({ms} - ((({ms}) % {d}) + {d}) % {d}) // {d})"
 
 
 def dec(col: Column | str, precision: int = 12, scale: int = 2) -> Column:

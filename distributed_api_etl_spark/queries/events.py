@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import DecimalType
 
-from distributed_api_etl_spark.functions.portable import epoch_day
+from distributed_api_etl_spark.functions.portable import epoch_day, epoch_day_sql
 from distributed_api_etl_spark.queries.registry import register, table
 
 SESSION_GAP_MIN = 30
@@ -878,8 +878,8 @@ def events_value_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "events_dow_seasonality",
-    oracle="""
-    SELECT CAST((((epoch_ms(CAST(ts AS TIMESTAMP)) // 86400000 + 4) % 7) + 7) % 7
+    oracle=f"""
+    SELECT CAST(((({epoch_day_sql('ts')} + 4) % 7) + 7) % 7
              AS INTEGER) AS dow,
            event_type,
            CAST(count(*) AS BIGINT) AS n_events
@@ -1200,10 +1200,10 @@ def events_daily_dense_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "events_cusum_changepoints",
-    oracle="""
+    oracle=f"""
     WITH daily AS (
       SELECT event_type,
-             epoch_ms(CAST(ts AS TIMESTAMP)) // 86400000 AS day_idx,
+             {epoch_day_sql('ts')} AS day_idx,
              count(*) AS daily_count
       FROM events GROUP BY 1, 2
     ),
@@ -1262,10 +1262,10 @@ def events_cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "events_cumulative_distinct_users",
-    oracle="""
+    oracle=f"""
     WITH first_seen AS (
       SELECT user_id,
-             min(epoch_ms(CAST(ts AS TIMESTAMP)) // 86400000) AS first_day
+             min({epoch_day_sql('ts')}) AS first_day
       FROM events GROUP BY user_id
     ),
     new_per_day AS (
@@ -1273,7 +1273,7 @@ def events_cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM first_seen GROUP BY first_day
     ),
     days AS (
-      SELECT DISTINCT epoch_ms(CAST(ts AS TIMESTAMP)) // 86400000 AS day_idx
+      SELECT DISTINCT {epoch_day_sql('ts')} AS day_idx
       FROM events
     )
     SELECT CAST(d.day_idx AS BIGINT) AS day_idx,

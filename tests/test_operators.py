@@ -1250,3 +1250,48 @@ def test_bm25_scores_match_reference_formula(spark):
         assert got[i][1] == exp_matched
         assert abs(got[i][0] - exp_score) < 1e-9, (i, got[i], exp_score)
     assert got[2] == (0.0, 0)
+
+
+def test_epoch_day_and_dow_floor_semantics_pre_1970(spark):
+    """epoch_day must FLOOR (not truncate) and the dow mod must be
+    non-negative on both engines — the pre-1970 cross-engine trap fixed in
+    round 5 (Spark div truncates toward zero, DuckDB // floors; DuckDB %
+    keeps the dividend's sign)."""
+    import datetime as dt
+
+    import duckdb
+
+    from distributed_api_etl_spark.functions.portable import (
+        epoch_day,
+        epoch_day_sql,
+    )
+
+    stamps = [
+        dt.datetime(1969, 12, 24, 5, 0, 0),   # pre-epoch, mid-day
+        dt.datetime(1969, 12, 31, 23, 59, 59),  # day -1 boundary
+        dt.datetime(1970, 1, 1, 0, 0, 0),     # day 0
+        dt.datetime(1970, 1, 2, 12, 0, 0),    # day 1
+        dt.datetime(1995, 6, 15, 9, 30, 0),   # in-data range
+    ]
+    sdf = spark.createDataFrame([(t,) for t in stamps], "ts timestamp")
+    got = [
+        (r["d"], r["dow"])
+        for r in sdf.select(
+            epoch_day("ts").alias("d"),
+            F.pmod(epoch_day("ts") + F.lit(4), F.lit(7)).cast("int").alias("dow"),
+        ).collect()
+    ]
+    # python floor division is the ground truth for both engines
+    expected = []
+    for t in stamps:
+        ms = int(t.replace(tzinfo=dt.timezone.utc).timestamp() * 1000)
+        d = ms // 86_400_000
+        expected.append((d, (d + 4) % 7))  # python % is non-negative for 7
+    assert got == expected
+    # and the SQL half agrees with DuckDB's // on the same instants
+    con = duckdb.connect()
+    for t, (d, _) in zip(stamps, expected):
+        o = con.sql(
+            "SELECT " + epoch_day_sql(f"TIMESTAMP '{t.isoformat()}'") + " AS d"
+        ).fetchone()
+        assert o[0] == d, (t, o[0], d)
