@@ -64,16 +64,27 @@ def epoch_day(ts_expr: str = "ts") -> Column:
     ).cast("long")
 
 
+def pmod_sql(expr: str, m: int) -> str:
+    """Non-negative mod for oracle SQL — the counterpart of Spark ``pmod``.
+
+    Both engines' ``%`` keeps the DIVIDEND's sign, so any oracle modding a
+    possibly-negative value must go through this ONE audited
+    ``(((x % m) + m) % m)`` form (the parenthesization is load-bearing:
+    ``%`` binds tighter than ``-``/``+``). Hand-rolling it per call site is
+    how the pre-1970 dow/zorder divergences happened.
+    """
+    return f"((({expr}) % {m} + {m}) % {m})"
+
+
 def epoch_day_sql(ts_expr: str = "ts") -> str:
     """DuckDB SQL equivalent of :func:`epoch_day` (integer-exact floor).
 
-    ``(((ms % d) + d) % d)`` is the non-negative remainder whatever sign
-    convention ``%`` uses; subtracting it makes the ``//`` exact, so the
-    truncating division equals floor — mirror image of the Spark form.
+    Subtracting the non-negative remainder (:func:`pmod_sql`) makes the
+    ``//`` exact, so the truncating division equals floor — mirror image
+    of the Spark form.
     """
     ms = f"epoch_ms(CAST({ts_expr} AS TIMESTAMP))"
-    d = MS_PER_DAY
-    return f"(({ms} - ((({ms}) % {d}) + {d}) % {d}) // {d})"
+    return f"(({ms} - {pmod_sql(ms, MS_PER_DAY)}) // {MS_PER_DAY})"
 
 
 def dec(col: Column | str, precision: int = 12, scale: int = 2) -> Column:

@@ -38,6 +38,16 @@ def completed_units(spark: SparkSession, state_location: str) -> set[str]:
     Anything else (e.g. an unreadable footer on a committed part file) is
     genuine corruption: silently returning the empty set would restart the
     whole backfill, so it propagates.
+
+    Accepted residual risk: externally deleting every committed part file
+    while leaving the directory also reads as UNABLE_TO_INFER_SCHEMA and
+    therefore as first-run — indistinguishable from the crash shape by
+    construction (an explicit init marker would not help: whatever deleted
+    the part files can delete the marker). The tradeoff is deliberate:
+    self-healing after a first-append crash (an expected failure mode of
+    this module) over detecting external state destruction (not one).
+    Unit writes are idempotent by contract, so the cost of the silent
+    restart is wasted work, never duplicated data.
     """
     try:
         state = spark.read.parquet(state_location)

@@ -13,7 +13,11 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import DecimalType
 
-from distributed_api_etl_spark.functions.portable import epoch_day, epoch_day_sql
+from distributed_api_etl_spark.functions.portable import (
+    epoch_day,
+    epoch_day_sql,
+    pmod_sql,
+)
 from distributed_api_etl_spark.queries.registry import register, table
 
 SESSION_GAP_MIN = 30
@@ -592,14 +596,20 @@ def events_latest_per_user_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _zorder_oracle() -> str:
+    from distributed_api_etl_spark.functions.portable import pmod_sql
     from distributed_api_etl_spark.operators.layout import zorder_expr
 
     m = 1 << 16
+    # minute index: `//` truncates in DuckDB exactly like Spark's `div` —
+    # consistent by itself — but the bucketing mod must be NON-NEGATIVE
+    # (pmod_sql) to mirror Spark's pmod for pre-1970 minutes; a bare signed
+    # `%` here fed negative yb into the bit interleave (round-5 review).
+    minute = f"epoch_ms(CAST(ts AS TIMESTAMP)) // 60000"
     return f"""
     WITH base AS (
       SELECT event_id,
              CAST(user_id % {m} AS BIGINT) AS xb,
-             CAST((epoch_ms(CAST(ts AS TIMESTAMP)) // 60000) % {m} AS BIGINT) AS yb
+             CAST({pmod_sql(minute, m)} AS BIGINT) AS yb
       FROM events)
     SELECT event_id, {zorder_expr('xb', 'yb', sql_div='//')} AS zval
     FROM base
@@ -879,7 +889,7 @@ def events_value_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "events_dow_seasonality",
     oracle=f"""
-    SELECT CAST(((({epoch_day_sql('ts')} + 4) % 7) + 7) % 7
+    SELECT CAST({pmod_sql(f"{epoch_day_sql('ts')} + 4", 7)}
              AS INTEGER) AS dow,
            event_type,
            CAST(count(*) AS BIGINT) AS n_events

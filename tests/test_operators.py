@@ -1253,10 +1253,18 @@ def test_bm25_scores_match_reference_formula(spark):
 
 
 def test_epoch_day_and_dow_floor_semantics_pre_1970(spark):
-    """epoch_day must FLOOR (not truncate) and the dow mod must be
-    non-negative on both engines — the pre-1970 cross-engine trap fixed in
-    round 5 (Spark div truncates toward zero, DuckDB // floors; DuckDB %
-    keeps the dividend's sign)."""
+    """epoch_day must FLOOR (not truncate) on both engines — and NEITHER
+    engine does so natively: Spark's ``div`` truncates toward zero and
+    DuckDB's integer ``//`` ALSO truncates (-7 // 2 = -3; the round-4
+    advice claiming ``//`` floors was wrong — this test is the pin).
+    Likewise both engines' ``%`` keeps the dividend's sign, so the dow mod
+    must be built non-negative (pmod / pmod_sql) on both sides.
+
+    TZ note: the Spark frame is built from epoch MILLIS via
+    timestamp_millis (an absolute instant), never from naive datetimes —
+    createDataFrame(naive datetime) converts through the OS process
+    timezone, which spark.sql.session.timeZone does not control, and would
+    break this test on any non-UTC machine."""
     import datetime as dt
 
     import duckdb
@@ -1273,7 +1281,16 @@ def test_epoch_day_and_dow_floor_semantics_pre_1970(spark):
         dt.datetime(1970, 1, 2, 12, 0, 0),    # day 1
         dt.datetime(1995, 6, 15, 9, 30, 0),   # in-data range
     ]
-    sdf = spark.createDataFrame([(t,) for t in stamps], "ts timestamp")
+    # ground truth: python floor division over the UTC-wall epoch millis
+    ms_list = [
+        int(t.replace(tzinfo=dt.timezone.utc).timestamp() * 1000) for t in stamps
+    ]
+    expected = [
+        (ms // 86_400_000, (ms // 86_400_000 + 4) % 7) for ms in ms_list
+    ]  # python // floors and % is non-negative for positive modulus
+    sdf = spark.createDataFrame([(ms,) for ms in ms_list], "ms bigint").select(
+        F.timestamp_millis(F.col("ms")).alias("ts")
+    )
     got = [
         (r["d"], r["dow"])
         for r in sdf.select(
@@ -1281,17 +1298,37 @@ def test_epoch_day_and_dow_floor_semantics_pre_1970(spark):
             F.pmod(epoch_day("ts") + F.lit(4), F.lit(7)).cast("int").alias("dow"),
         ).collect()
     ]
-    # python floor division is the ground truth for both engines
-    expected = []
-    for t in stamps:
-        ms = int(t.replace(tzinfo=dt.timezone.utc).timestamp() * 1000)
-        d = ms // 86_400_000
-        expected.append((d, (d + 4) % 7))  # python % is non-negative for 7
     assert got == expected
-    # and the SQL half agrees with DuckDB's // on the same instants
+    # and the SQL half agrees on the same instants (DuckDB TIMESTAMP
+    # literals are naive UTC-wall — exactly what epoch_ms assumes)
     con = duckdb.connect()
     for t, (d, _) in zip(stamps, expected):
         o = con.sql(
             "SELECT " + epoch_day_sql(f"TIMESTAMP '{t.isoformat()}'") + " AS d"
         ).fetchone()
         assert o[0] == d, (t, o[0], d)
+
+
+def test_pmod_sql_matches_spark_pmod_on_negatives(spark):
+    """pmod_sql (the one audited non-negative-mod SQL form) must agree with
+    Spark's pmod for negative dividends — the shared idiom behind the dow
+    and z-order oracles."""
+    import duckdb
+
+    from distributed_api_etl_spark.functions.portable import pmod_sql
+
+    values = [-673200000, -59999, -7, -1, 0, 1, 7, 59999, 673200000]
+    for m in (2, 7, 65536):
+        got_spark = [
+            r["p"]
+            for r in spark.createDataFrame([(v,) for v in values], "x bigint")
+            .select(F.pmod(F.col("x"), F.lit(m)).alias("p"))
+            .collect()
+        ]
+        con = duckdb.connect()
+        got_duck = [
+            con.sql(f"SELECT {pmod_sql(str(v), m)}").fetchone()[0] for v in values
+        ]
+        expected = [v % m for v in values]  # python % non-negative for m>0
+        assert got_spark == expected, (m, got_spark)
+        assert got_duck == expected, (m, got_duck)
