@@ -599,3 +599,73 @@ def test_skew_report_gini_matches_definition(spark_global, counts):
     mad = sum(abs(a - b) for a in counts for b in counts)
     expected = mad / (2 * n * t)
     assert abs(got - expected) < 1e-9
+
+
+# ---------------------------------------------------------------------------
+# BM25: Spark matches a pure-Python Okapi reference on random corpora
+# ---------------------------------------------------------------------------
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    st.lists(
+        st.lists(st.sampled_from(["a", "b", "c", "d", "e"]), min_size=1, max_size=12),
+        min_size=1,
+        max_size=12,
+    ),
+    st.sets(st.sampled_from(["a", "b", "c"]), min_size=1, max_size=3),
+)
+def test_bm25_matches_python_reference(spark_global, token_docs, query_terms):
+    import math
+
+    from distributed_api_etl_spark.operators.text import bm25_scores
+
+    docs = [(i, " ".join(toks)) for i, toks in enumerate(token_docs)]
+    df = spark_global.createDataFrame(docs, "doc_id bigint, text string")
+    terms = sorted(query_terms)
+    got = {
+        r["doc_id"]: (r["score"], r["n_terms_matched"])
+        for r in bm25_scores(df, "doc_id", "text", terms).collect()
+    }
+    k1, b = 1.2, 0.75
+    n = len(token_docs)
+    total = sum(len(t) for t in token_docs)
+    dft = {t: sum(1 for toks in token_docs if t in toks) for t in terms}
+    for i, toks in enumerate(token_docs):
+        dl = len(toks)
+        micro, matched = 0, 0
+        for t in terms:
+            tf = toks.count(t)
+            if tf == 0:
+                continue
+            matched += 1
+            idf = math.log(1 + (n - dft[t] + 0.5) / (dft[t] + 0.5))
+            s = idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl * n / total))
+            micro += math.floor(s * 1e6 + 0.5)
+        assert got[i][1] == matched
+        assert abs(got[i][0] - micro / 1e6) < 1e-9
+
+
+# ---------------------------------------------------------------------------
+# Leakage-safe split: cluster-consistency on arbitrary cluster maps
+# ---------------------------------------------------------------------------
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    st.lists(st.tuples(st.integers(0, 400), st.integers(0, 30)), min_size=1, max_size=80),
+    st.integers(0, 100),
+    st.integers(0, 100),
+)
+def test_leakage_split_cluster_consistent(spark_global, pairs, train_pct, val_pct):
+    import pytest
+
+    from distributed_api_etl_spark.operators.sampling import leakage_safe_split
+
+    df = spark_global.createDataFrame(pairs, "doc_id bigint, cluster_id bigint")
+    if train_pct + val_pct > 100:
+        with pytest.raises(ValueError):
+            leakage_safe_split(df, "cluster_id", train_pct, val_pct)
+        return
+    out = leakage_safe_split(df, "cluster_id", train_pct, val_pct).collect()
+    by_cluster: dict[int, set] = {}
+    for r in out:
+        by_cluster.setdefault(r["cluster_id"], set()).add(r["split"])
+    assert all(len(s) == 1 for s in by_cluster.values())
+    assert {r["split"] for r in out} <= {"train", "val", "test"}
