@@ -471,6 +471,72 @@ def bm25_scores(
     )
 
 
+def unigram_logprob_micro_sql(
+    c_t: str = "c_t", total_tok: str = "total_tok"
+) -> str:
+    """Per-token-occurrence surprisal in integer MICRO-nats.
+
+    ``-ln(c_t / T) == ln(T / c_t)`` over exact integer counts, fixed-pointed
+    with the shared ``floor(x*1e6 + 5e-1)`` form — ONE SQL string evaluated
+    verbatim by both engines (the BM25 portability pattern), so per-document
+    totals are order-free integer sums. Every token that appears in the
+    corpus has c_t >= 1, so the value is finite and non-negative.
+    """
+    return (
+        f"CAST(floor(ln(CAST({total_tok} AS DOUBLE) / CAST({c_t} AS DOUBLE))"
+        f" * 1e6 + 5e-1) AS BIGINT)"
+    )
+
+
+def unigram_logprob_scores(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """CCNet-style unigram language-model scoring: mean per-token surprisal
+    under a unigram LM fit on the corpus itself — the classic
+    quality/fluency proxy used to FILTER web-scale training data (docs with
+    high mean surprisal are noise/gibberish; abnormally low means are
+    boilerplate). A production pipeline would fit the frequency table on a
+    trusted REFERENCE corpus; the fit step here is the same aggregation run
+    on that corpus instead.
+
+    Plan: one explode -> corpus token-frequency table (Zipf-skewed key, but
+    map-side combine collapses the head per partition — the corpus_vocab
+    argument); the per-occurrence join back is against a VOCAB-sized frame
+    (<< corpus; AQE broadcasts it when it fits, falls back to a shuffle
+    join with skew handling otherwise — no hint, measured stats decide);
+    the one-row total is a broadcast scalar. Per-token surprisal is an
+    integer micro-nat (:func:`unigram_logprob_micro_sql`), so the per-doc
+    mean is an exact integer sum with ONE final int->double division —
+    deterministic on any engine, any partitioning.
+
+    Output: one row per doc with >= 1 token: (id, n_tokens,
+    surprisal_micro_sum BIGINT, mean_surprisal_nats DOUBLE).
+    """
+    toks = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term"))
+    toks = scoped_persist(toks)  # referenced twice: frequency fit + scoring
+    freq = toks.groupBy("term").agg(F.count("*").alias("c_t"))
+    total = freq.agg(F.sum("c_t").alias("total_tok"))
+    scored = (
+        toks.join(freq, "term")
+        .crossJoin(F.broadcast(total))
+        .withColumn("micro", F.expr(unigram_logprob_micro_sql()))
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum("micro").alias("surprisal_micro_sum"),
+        )
+    )
+    return scored.select(
+        id_col,
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.col("surprisal_micro_sum").cast("bigint").alias("surprisal_micro_sum"),
+        (
+            F.col("surprisal_micro_sum").cast("double")
+            / (F.lit(1000000.0) * F.col("n_tokens").cast("double"))
+        ).alias("mean_surprisal_nats"),
+    )
+
+
 def boilerplate_ngram_stats(
     df: DataFrame,
     id_col: str,

@@ -1115,3 +1115,51 @@ def documents_bm25_relevance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = fan_out(table(spark, sf_dir, "documents"))
     return bm25_scores(docs, "doc_id", "text", list(BM25_QUERY_TERMS))
+
+
+def _unigram_logppl_oracle_sql() -> str:
+    from distributed_api_etl_spark.operators.text import unigram_logprob_micro_sql
+
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    freq AS (SELECT term, count(*) AS c_t FROM toks GROUP BY term),
+    total AS (SELECT CAST(sum(c_t) AS BIGINT) AS total_tok FROM freq),
+    scored AS (
+      SELECT t.doc_id,
+             count(*) AS n_tokens,
+             CAST(sum({unigram_logprob_micro_sql()}) AS BIGINT)
+               AS surprisal_micro_sum
+      FROM toks t JOIN freq USING (term) CROSS JOIN total
+      GROUP BY t.doc_id
+    )
+    SELECT doc_id,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           surprisal_micro_sum,
+           CAST(surprisal_micro_sum AS DOUBLE)
+             / (1e6 * CAST(n_tokens AS DOUBLE)) AS mean_surprisal_nats
+    FROM scored
+    """
+
+
+@register(
+    "documents_unigram_logppl",
+    oracle=_unigram_logppl_oracle_sql(),
+    tags=("text", "quality", "ml", "pipeline"),
+    # registry freeze (VERDICT r4 #3): graded=False until round 6.
+    graded=False,
+)
+def documents_unigram_logppl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean per-token surprisal under a corpus-fit unigram LM
+    (operators/text.py:unigram_logprob_scores) — the CCNet-style
+    perplexity-proxy gate for web-scale corpus filtering: high mean
+    surprisal flags gibberish, abnormally low flags boilerplate. Per-token
+    surprisal is an integer micro-nat from ONE shared SQL expression, so
+    the per-doc mean survives any aggregation order on any engine; the
+    vocab-sized frequency join is unhinted (AQE broadcasts it when it
+    fits)."""
+    from distributed_api_etl_spark.operators.text import unigram_logprob_scores
+
+    docs = fan_out(table(spark, sf_dir, "documents"))
+    return unigram_logprob_scores(docs, "doc_id", "text")

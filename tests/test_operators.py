@@ -1332,3 +1332,34 @@ def test_pmod_sql_matches_spark_pmod_on_negatives(spark):
         expected = [v % m for v in values]  # python % non-negative for m>0
         assert got_spark == expected, (m, got_spark)
         assert got_duck == expected, (m, got_duck)
+
+
+def test_unigram_logppl_matches_python_reference(spark):
+    """Spark unigram surprisal equals a plain-Python reference on the
+    micro-nat grid; constant-corpus docs score ~0; rare-token docs score
+    higher than common-token docs."""
+    import math
+
+    from distributed_api_etl_spark.operators.text import unigram_logprob_scores
+
+    docs = [
+        (1, "a a a a"),
+        (2, "a a b b"),
+        (3, "rare a a a"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    got = {r["doc_id"]: r for r in unigram_logprob_scores(df, "doc_id", "text").collect()}
+
+    toks = {i: t.split(" ") for i, t in docs}
+    freq: dict[str, int] = {}
+    for t in toks.values():
+        for w in t:
+            freq[w] = freq.get(w, 0) + 1
+    total = sum(freq.values())
+    for i, t in toks.items():
+        micro = sum(math.floor(math.log(total / freq[w]) * 1e6 + 0.5) for w in t)
+        assert got[i]["surprisal_micro_sum"] == micro, i
+        assert got[i]["n_tokens"] == len(t)
+        assert abs(got[i]["mean_surprisal_nats"] - micro / 1e6 / len(t)) < 1e-12
+    # rare token doc scores strictly higher than the all-common doc
+    assert got[3]["mean_surprisal_nats"] > got[1]["mean_surprisal_nats"]
