@@ -59,6 +59,7 @@ ALLOW_BNLJ = {
     "semantic_diversity_sample": "bounded broadcast k-row centroid set (ivf_assign argmax)",
     "ann_ivf_multiprobe_topk": "bounded broadcast centroid/query sides",
     "documents_bm25_relevance": "1-row corpus-stats scalar (N, total tokens)",
+    "documents_unigram_logppl": "1-row total-token scalar",
 }
 
 LINEITEM_WIDTH = 11
