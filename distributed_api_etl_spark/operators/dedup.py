@@ -63,24 +63,41 @@ def shingle_sizes(sh: DataFrame, id_col: str) -> DataFrame:
 
 
 def doc_shingle_sets(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
-    """Per-doc distinct shingle array + its 32-bit hashes + set size, in ONE
-    aggregation pass.
+    """Per-doc distinct shingle array — MAP-ONLY, zero shuffle.
 
-    This is the set representation every downstream stage shares: signatures
-    read ``xhs``, verification reads ``shs``/``sz``. Computing it once (and
-    persisting at the call site) replaces three independent recomputations
-    of the explode+distinct lineage.
+    The set lives per input row, so it never needed the
+    explode + groupBy(collect_set) exchange the first implementation paid
+    (a corpus-EXPANDED shuffle — multi-PB at 100 TB):
+    ``array_distinct(token_shingles(text))`` builds it map-side (round-5
+    rewrite; every consumer — array_min minhash, array_intersect verify —
+    is set-order-free, and collect_set's order was nondeterministic
+    anyway). Returns ONLY (id, shs), deliberately: higher-order functions
+    are outside codegen subexpression elimination, so deriving xhs/sz in
+    the same projection re-inlined this kernel once per referencing column
+    (measured 4x wall). Call sites persist THIS frame — the kernel then
+    runs exactly once — and take cheap derivations from the cached column
+    via :func:`shingle_set_features`. Docs shorter than ``n`` tokens keep
+    an empty array; their minhash values are null, which never band-joins,
+    so pair outputs are unchanged (no filter here — filtering on
+    size(shs) would be pushed below the projection and duplicate the
+    kernel again).
     """
-    sh = shingles(df, id_col, text_col, n)
-    return (
-        sh.groupBy(id_col)
-        .agg(F.collect_set("s").alias("shs"))
-        .select(
-            F.col(id_col),
-            "shs",
-            F.transform("shs", lambda s: portable_hash32(s)).alias("xhs"),
-            F.size("shs").alias("sz"),
-        )
+    shs = F.array_distinct(token_shingles(F.col(text_col), n))
+    return df.select(F.col(id_col), shs.alias("shs"))
+
+
+def shingle_set_features(base: DataFrame, id_col: str) -> DataFrame:
+    """(id, shs, xhs, sz) projected off a (persisted) shingle-set frame.
+
+    Must run ABOVE the cache: ``shs`` is then a cached attribute, so the
+    hash transform and size are the only per-row work — the shingling
+    kernel is not re-evaluated per column (see doc_shingle_sets).
+    """
+    return base.select(
+        F.col(id_col),
+        "shs",
+        F.transform("shs", lambda s: portable_hash32(s)).alias("xhs"),
+        F.size("shs").alias("sz"),
     )
 
 
@@ -211,7 +228,9 @@ def minhash_lsh_pairs(
         — cost proportional to candidate count x doc length, not corpus².
     Output columns: d1, d2, inter, union_sz, jaccard.
     """
-    base = scoped_persist(doc_shingle_sets(df, id_col, text_col, n))
+    base = shingle_set_features(
+        scoped_persist(doc_shingle_sets(df, id_col, text_col, n)), id_col
+    )
     cands = lsh_candidate_pairs(minhash_signatures_from_sets(base, id_col), id_col)
     return (
         cands.join(
@@ -258,8 +277,12 @@ def incremental_lsh_pairs(
     disjoint across the two frames; output pairs are normalized to
     d1 < d2 regardless of tier. Output: d1, d2, inter, union_sz, jaccard.
     """
-    new_base = scoped_persist(doc_shingle_sets(new_df, id_col, text_col, n))
-    corpus_base = scoped_persist(doc_shingle_sets(corpus_df, id_col, text_col, n))
+    new_base = shingle_set_features(
+        scoped_persist(doc_shingle_sets(new_df, id_col, text_col, n)), id_col
+    )
+    corpus_base = shingle_set_features(
+        scoped_persist(doc_shingle_sets(corpus_df, id_col, text_col, n)), id_col
+    )
     new_long = scoped_persist(
         band_long_table(minhash_signatures_from_sets(new_base, id_col), id_col)
     )

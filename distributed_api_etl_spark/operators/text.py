@@ -431,11 +431,14 @@ def bm25_scores(
     ``score`` = micro/1e6 as DOUBLE and ``n_terms_matched``.
     """
     terms = sorted(set(query_terms))
+    # base is NOT persisted: it carries the full text column, so caching it
+    # duplicates the corpus — at 100 TB the three derivations below are
+    # each one cheap columnar scan, strictly better than a corpus-sized
+    # cache write. Only the |terms|-bounded tf table (tiny) is persisted.
     base = df.select(
         F.col(id_col), F.size(tokens(F.col(text_col))).cast("bigint").alias("dl"),
         F.col(text_col),
     )
-    base = scoped_persist(base)  # referenced by tf, stats, and the final join
     tf = (
         base.select(F.col(id_col), "dl", F.explode(tokens(F.col(text_col))).alias("term"))
         .where(F.col("term").isin(terms))
@@ -512,8 +515,12 @@ def unigram_logprob_scores(
     Output: one row per doc with >= 1 token: (id, n_tokens,
     surprisal_micro_sum BIGINT, mean_surprisal_nats DOUBLE).
     """
+    # deliberately NOT persisted: the exploded token table is 10-100x the
+    # corpus row count — materializing it at 100 TB costs more than the two
+    # extra columnar text scans it saves (scan + explode are streaming,
+    # map-side-combined before any exchange). Persist is for SMALL shared
+    # intermediates (BM25's |terms|-bounded tf table), never corpus-sized.
     toks = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term"))
-    toks = scoped_persist(toks)  # referenced twice: frequency fit + scoring
     freq = toks.groupBy("term").agg(F.count("*").alias("c_t"))
     total = freq.agg(F.sum("c_t").alias("total_tok"))
     scored = (
