@@ -51,10 +51,16 @@ def exact_fingerprint_groups(df: DataFrame, id_col: str, text_col: str) -> DataF
 
 
 def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
-    """Distinct (id, shingle) pairs — the set representation of each doc."""
-    return (
-        df.select(F.col(id_col), F.explode(token_shingles(F.col(text_col), n)).alias("s"))
-        .distinct()
+    """Distinct (id, shingle) pairs — the set representation of each doc.
+
+    Distinctness is PER DOC, so it is established map-side
+    (``array_distinct`` before the explode) — the former ``.distinct()``
+    after the explode shuffled the corpus-EXPANDED table to deduplicate
+    rows that were never duplicated across partitions in the first place
+    (same round-5 rewrite as doc_shingle_sets)."""
+    return df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(token_shingles(F.col(text_col), n))).alias("s"),
     )
 
 

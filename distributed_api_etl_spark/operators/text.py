@@ -149,12 +149,18 @@ def decontaminate(
     """
     from distributed_api_etl_spark.functions.textfns import token_shingles
 
+    # per-doc dedup happens map-side (array_distinct before the explode);
+    # ev's remaining .distinct() only dedups ACROSS eval docs — a shuffle of
+    # the already-shrunk eval set, not of the corpus-expanded table
     ev = (
-        eval_df.select(F.explode(token_shingles(F.col(text_col), n)).alias("s"))
+        eval_df.select(
+            F.explode(F.array_distinct(token_shingles(F.col(text_col), n))).alias("s")
+        )
         .distinct()
     )
     corpus = df.select(
-        F.col(id_col), F.explode(token_shingles(F.col(text_col), n)).alias("s")
+        F.col(id_col),
+        F.explode(F.array_distinct(token_shingles(F.col(text_col), n))).alias("s"),
     )
     contaminated = corpus.join(F.broadcast(ev), "s").select(id_col).distinct()
     return df.join(contaminated, id_col, "left_anti")
@@ -564,9 +570,11 @@ def boilerplate_ngram_stats(
     Output: (doc_id, total_grams, boiler_grams, boiler_ppm) for every doc,
     zero-gram docs included with ppm 0.
     """
-    sh = (
-        df.select(F.col(id_col), F.explode(token_shingles(F.col(text_col), n)).alias("s"))
-        .distinct()
+    # distinctness is per (doc, gram) — established map-side by
+    # array_distinct, so no corpus-expanded .distinct() shuffle exists
+    sh = df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(token_shingles(F.col(text_col), n))).alias("s"),
     )
     sh = scoped_persist(sh)  # referenced three times: df-count, totals, boiler join
     dfreq = sh.groupBy("s").agg(F.count("*").alias("df"))
