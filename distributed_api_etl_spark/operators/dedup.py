@@ -344,23 +344,38 @@ def simhash_signatures(df: DataFrame, id_col: str, text_col: str, bits: int = 32
     """Frequency-weighted 32-bit SimHash from unigram token hashes.
 
     bit_j(sig) = 1  iff  sum_tokens cnt * (2*bit_j(hash(token)) - 1) > 0.
-    One explode + one aggregation with 32 sum expressions — no UDF.
+
+    MAP-ONLY (round-5 rewrite): the signature is a pure function of the
+    row, so the former explode -> groupBy(id, tok) -> groupBy(id) pipeline
+    paid a corpus-EXPANDED exchange for per-doc state that never crossed
+    rows. Summing +/-1 per token OCCURRENCE is identical to the
+    cnt-weighted sum over distinct tokens (integer, order-free — same
+    values bit for bit). The whole computation is one SQL fold with a
+    SINGLE reference to the hashed-token array: higher-order functions sit
+    outside codegen subexpression elimination, so the md5 kernel must not
+    be referenced once per bit (the doc_shingle_sets lesson); here the
+    per-bit work happens inside one zip_with accumulator instead.
     """
-    tok = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok"))
-    counted = tok.groupBy(id_col, "tok").agg(F.count("*").alias("cnt"))
-    xh = portable_hash32(F.col("tok"))
-    sums = [
-        F.sum(
-            F.col("cnt") * (F.shiftright(xh, j).bitwiseAND(F.lit(1)) * 2 - 1)
-        ).alias(f"s{j}")
-        for j in range(bits)
-    ]
-    per_doc = counted.groupBy(id_col).agg(*sums)
-    sig = None
-    for j in range(bits):
-        term = F.when(F.col(f"s{j}") > 0, F.lit(2**j)).otherwise(F.lit(0))
-        sig = term if sig is None else sig + term
-    return per_doc.select(F.col(id_col), sig.cast("bigint").alias("simhash"))
+    if bits != 32:
+        raise ValueError("simhash_signatures is fixed at 32 bits")
+    sums = (
+        "aggregate("
+        "  transform(split({text}, ' '),"
+        "            t -> CAST(conv(substring(md5(t), 1, 8), 16, 10) AS BIGINT)),"
+        "  array_repeat(CAST(0 AS BIGINT), 32),"
+        "  (acc, h) -> zip_with(acc, sequence(0, 31),"
+        "                       (a, j) -> a + ((shiftright(h, j) & 1) * 2 - 1))"
+        ")"
+    ).format(text=text_col)
+    sig = (
+        "aggregate("
+        f"  zip_with({sums}, sequence(0, 31),"
+        "            (s, j) -> IF(s > 0, shiftleft(CAST(1 AS BIGINT), j),"
+        "                         CAST(0 AS BIGINT))),"
+        "  CAST(0 AS BIGINT), (a, x) -> a + x"
+        ")"
+    )
+    return df.select(F.col(id_col), F.expr(sig).alias("simhash"))
 
 
 def simhash_blocks(max_hamming: int, bits: int = 32) -> list[tuple[int, int]]:
