@@ -83,10 +83,12 @@ def doc_shingle_sets(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> D
     (measured 4x wall). Call sites persist THIS frame — the kernel then
     runs exactly once — and take cheap derivations from the cached column
     via :func:`shingle_set_features`. Docs shorter than ``n`` tokens keep
-    an empty array; their minhash values are null, which never band-joins,
-    so pair outputs are unchanged (no filter here — filtering on
-    size(shs) would be pushed below the projection and duplicate the
-    kernel again).
+    an empty array here; the BANDING path must exclude them
+    (:func:`minhash_signatures_from_sets` filters empty sets) because an
+    all-null signature would otherwise collapse to the same band value for
+    every short doc — concat over nulls is not a safe bucket key. No filter
+    in THIS projection: a size(shs) predicate would be pushed below it and
+    duplicate the shingling kernel.
     """
     shs = F.array_distinct(token_shingles(F.col(text_col), n))
     return df.select(F.col(id_col), shs.alias("shs"))
@@ -120,27 +122,98 @@ def jaccard_pairs(
     The threshold test is integer arithmetic (``100*inter >= pct*union``) so
     boundary pairs are decided identically on every engine.
 
-    The shingle table feeds three plan branches (both join sides + sizes);
-    it is persisted so the explode+distinct shuffle happens once.
+    Candidate generation is PREFIX-FILTERED (AllPairs/PPJoin, Bayardo et
+    al. WWW'07 / Xiao et al. WWW'08 — public): order each doc's shingles by
+    a fixed global total order and join only the first
+    ``sz - ceil(t*sz) + 1`` of them. Completeness: if J(x,y) >= t then
+    |x∩y| >= ceil(t*max(|x|,|y|)) =: α, and two sets with overlap >= α must
+    intersect within their (|·| - α + 1)-prefixes under any shared total
+    order — our per-doc prefixes are at least that long, so no qualifying
+    pair is lost; the exact array_intersect verify then reproduces the
+    same (inter, union) the full self-join computed. The order key is
+    (xxhash64(shingle), shingle) — the string tiebreak makes it a strict
+    total order (hash collisions can only ADD candidates, never lose one).
+
+    100 TB shape: the prefix is computed MAP-SIDE off the cached per-doc
+    shingle array (no global frequency pass, no per-doc window sort
+    shuffle), so the only corpus-expanded exchange left is the prefix
+    self-join itself at ~(1-t) of the shingle-table volume per side — at
+    t=0.8 that is ~1/25 of the old full join's pair-bucket product.
     Output columns: d1, d2, inter, union_sz, jaccard.
+
+    ``max_shingle_freq`` selects the legacy frequency-cut variant instead
+    (different SEMANTICS: inter/union are counted on the cut shingle sets).
     """
-    sh = shingles(df, id_col, text_col, n)
     if max_shingle_freq is not None:
+        sh = shingles(df, id_col, text_col, n)
         freq = sh.groupBy("s").agg(F.count("*").alias("f"))
         sh = sh.join(freq.where(F.col("f") <= max_shingle_freq).select("s"), "s")
-    sh = scoped_persist(sh)
-    sizes = shingle_sizes(sh, id_col)
-    a = sh.select(F.col(id_col).alias("d1"), "s")
-    b = sh.select(F.col(id_col).alias("d2"), "s")
-    inter = (
-        a.join(b, "s")
-        .where(F.col("d1") < F.col("d2"))
-        .groupBy("d1", "d2")
-        .agg(F.count("*").alias("inter"))
+        sh = scoped_persist(sh)
+        sizes = shingle_sizes(sh, id_col)
+        a = sh.select(F.col(id_col).alias("d1"), "s")
+        b = sh.select(F.col(id_col).alias("d2"), "s")
+        inter = (
+            a.join(b, "s")
+            .where(F.col("d1") < F.col("d2"))
+            .groupBy("d1", "d2")
+            .agg(F.count("*").alias("inter"))
+        )
+        return (
+            inter.join(
+                sizes.select(F.col(id_col).alias("d1"), F.col("sz").alias("sz1")), "d1"
+            )
+            .join(sizes.select(F.col(id_col).alias("d2"), F.col("sz").alias("sz2")), "d2")
+            .withColumn("union_sz", F.col("sz1") + F.col("sz2") - F.col("inter"))
+            .where(100 * F.col("inter") >= threshold_pct * F.col("union_sz"))
+            .select(
+                "d1",
+                "d2",
+                "inter",
+                "union_sz",
+                F.round(F.col("inter") / F.col("union_sz"), 6).alias("jaccard"),
+            )
+        )
+    # prefix-filter path: per-doc shingle arrays are the one persisted
+    # frame; everything between the cache and the prefix self-join is
+    # map-side (the round-5 no-expanded-shuffle discipline)
+    base = scoped_persist(doc_shingle_sets(df, id_col, text_col, n))
+    # prefix length L = sz - ceil(t*sz/100) + 1 in exact integer arithmetic
+    # (ceil(a/b) = div(a + b - 1, b) for non-negative a)
+    prefix_arr = F.expr(
+        "slice("
+        "  transform(array_sort(transform(shs, x -> struct(xxhash64(x) AS h, x AS s))),"
+        "            p -> p.s),"
+        f"  1, size(shs) - div({threshold_pct} * size(shs) + 99, 100) + 1"
+        ")"
     )
-    out = (
-        inter.join(sizes.select(F.col(id_col).alias("d1"), F.col("sz").alias("sz1")), "d1")
-        .join(sizes.select(F.col(id_col).alias("d2"), F.col("sz").alias("sz2")), "d2")
+    # shs is a CACHED attribute here, so the two references (sort kernel +
+    # size) read the materialized array — the shingling kernel below the
+    # cache still runs exactly once
+    pref = scoped_persist(
+        base.select(F.col(id_col), F.explode(prefix_arr).alias("s"))
+    )
+    cands = (
+        pref.select(F.col(id_col).alias("d1"), "s")
+        .join(pref.select(F.col(id_col).alias("d2"), "s"), "s")
+        .where(F.col("d1") < F.col("d2"))
+        .select("d1", "d2")
+        .distinct()
+    )
+    feat = base.select(F.col(id_col), "shs", F.size("shs").alias("sz"))
+    return (
+        cands.join(
+            feat.select(
+                F.col(id_col).alias("d1"), F.col("shs").alias("shs1"), F.col("sz").alias("sz1")
+            ),
+            "d1",
+        )
+        .join(
+            feat.select(
+                F.col(id_col).alias("d2"), F.col("shs").alias("shs2"), F.col("sz").alias("sz2")
+            ),
+            "d2",
+        )
+        .withColumn("inter", F.size(F.array_intersect("shs1", "shs2")))
         .withColumn("union_sz", F.col("sz1") + F.col("sz2") - F.col("inter"))
         .where(100 * F.col("inter") >= threshold_pct * F.col("union_sz"))
         .select(
@@ -151,7 +224,6 @@ def jaccard_pairs(
             F.round(F.col("inter") / F.col("union_sz"), 6).alias("jaccard"),
         )
     )
-    return out
 
 
 def minhash_signatures(sh: DataFrame, id_col: str) -> DataFrame:
@@ -168,14 +240,24 @@ def minhash_signatures(sh: DataFrame, id_col: str) -> DataFrame:
 def band_long_table(sigs: DataFrame, id_col: str) -> DataFrame:
     """(id, band_idx, band_val) long form of the banded signatures — the
     join-ready bucket representation shared by self-join and incremental
-    candidate generation."""
+    candidate generation.
+
+    band_val is built with null-PROPAGATING ``concat`` (not ``concat_ws``,
+    which skips nulls): a signature row with null minhashes — e.g. a doc
+    whose shingle set is empty — must yield a null bucket key that never
+    equi-joins, not the '' bucket that would pair every such doc with every
+    other (ADVICE r5: under ANSI mode the downstream 0/0 Jaccard verify
+    then crashes with DIVIDE_BY_ZERO)."""
     n_bands = N_HASHES // BAND_ROWS
     band_exprs = []
     for b in range(n_bands):
         cols = [f"h{b * BAND_ROWS + r}" for r in range(BAND_ROWS)]
-        band_exprs.append(
-            F.concat_ws("_", *[F.col(c) for c in cols]).alias(f"b{b}")
-        )
+        parts: list = []
+        for i, c in enumerate(cols):
+            if i:
+                parts.append(F.lit("_"))
+            parts.append(F.col(c).cast("string"))
+        band_exprs.append(F.concat(*parts).alias(f"b{b}"))
     banded = sigs.select(F.col(id_col), *band_exprs)
     stack = ", ".join(f"{i}, b{i}" for i in range(n_bands))
     return banded.selectExpr(
@@ -201,7 +283,15 @@ def lsh_candidate_pairs(sigs: DataFrame, id_col: str) -> DataFrame:
 def minhash_signatures_from_sets(base: DataFrame, id_col: str) -> DataFrame:
     """k min-hash values straight off the pre-hashed shingle array (``xhs``
     from :func:`doc_shingle_sets`): ``array_min(transform(...))`` per hash —
-    no extra shuffle at all (the one aggregation already happened)."""
+    no extra shuffle at all (the one aggregation already happened).
+
+    Docs with an EMPTY shingle set (shorter than n tokens) are excluded:
+    their signature would be all-null, and null signatures must never reach
+    the banding path (see band_long_table). This matches the explode-based
+    :func:`minhash_signatures`, where empty docs contribute no rows. The
+    size predicate runs ABOVE the persisted shingle-set frame, so it reads
+    the cached array — it does not duplicate the shingling kernel."""
+    base = base.where(F.size("xhs") > 0)
     sig_cols = [
         F.array_min(
             F.transform(
@@ -355,6 +445,13 @@ def simhash_signatures(df: DataFrame, id_col: str, text_col: str, bits: int = 32
     outside codegen subexpression elimination, so the md5 kernel must not
     be referenced once per bit (the doc_shingle_sets lesson); here the
     per-bit work happens inside one zip_with accumulator instead.
+
+    Null-text docs are dropped (the pre-rewrite explode pipeline's
+    contract, restored per ADVICE r5): without the filter the fold over a
+    null array would emit a (id, NULL) signature row — harmless for pair
+    generation but a changed row count for any consumer persisting
+    signatures. The column name is backtick-quoted into the SQL fold so
+    names needing quoting (dots, spaces) resolve like every F.col path.
     """
     if bits != 32:
         raise ValueError("simhash_signatures is fixed at 32 bits")
@@ -366,7 +463,7 @@ def simhash_signatures(df: DataFrame, id_col: str, text_col: str, bits: int = 32
         "  (acc, h) -> zip_with(acc, sequence(0, 31),"
         "                       (a, j) -> a + ((shiftright(h, j) & 1) * 2 - 1))"
         ")"
-    ).format(text=text_col)
+    ).format(text=f"`{text_col}`")
     sig = (
         "aggregate("
         f"  zip_with({sums}, sequence(0, 31),"
@@ -375,7 +472,12 @@ def simhash_signatures(df: DataFrame, id_col: str, text_col: str, bits: int = 32
         "  CAST(0 AS BIGINT), (a, x) -> a + x"
         ")"
     )
-    return df.select(F.col(id_col), F.expr(sig).alias("simhash"))
+    # backticked expr: F.col (and Dataset.col under df[...]) parse a dotted
+    # name as a struct path — the same quoting hazard as the SQL fold
+    return (
+        df.where(F.expr(f"`{text_col}` IS NOT NULL"))
+        .select(F.col(id_col), F.expr(sig).alias("simhash"))
+    )
 
 
 def simhash_blocks(max_hamming: int, bits: int = 32) -> list[tuple[int, int]]:

@@ -56,6 +56,69 @@ def test_minhash_lsh_agrees_with_bruteforce_jaccard(spark, sf_dir):
     assert high <= lsh
 
 
+def test_jaccard_prefix_filter_matches_full_self_join(spark, sf_dir):
+    """The PPJoin prefix-filtered candidate path must reproduce the full
+    shingle self-join bit for bit (the legacy freq-cut branch with an
+    unreachable cut IS the old full join)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    for pct in (70, 80, 90):
+        prefix = {
+            (r.d1, r.d2, r.inter, r.union_sz)
+            for r in D.jaccard_pairs(docs, "doc_id", "text", 3, pct).collect()
+        }
+        full = {
+            (r.d1, r.d2, r.inter, r.union_sz)
+            for r in D.jaccard_pairs(
+                docs, "doc_id", "text", 3, pct, max_shingle_freq=10**9
+            ).collect()
+        }
+        assert prefix == full
+
+
+def test_minhash_lsh_short_docs_never_pair(spark):
+    """ADVICE r5 (high): docs shorter than n tokens have EMPTY shingle sets;
+    they must neither crash the Jaccard verify (ANSI 0/0) nor band-join each
+    other through a shared '' band value."""
+    base = "w0 w1 w2 w3 w4 w5 w6 w7 w8 w9"
+    df = docs_df(
+        spark,
+        [(1, base), (2, base + " extra"), (3, "a"), (4, "b c"), (5, "")],
+    )
+    pairs = {
+        (r.d1, r.d2)
+        for r in D.minhash_lsh_pairs(df, "doc_id", "text", 3, 70).collect()
+    }
+    assert (1, 2) in pairs
+    assert all(d not in (3, 4, 5) for p in pairs for d in p)
+    # incremental path shares the banding internals: short docs on both the
+    # new and the corpus tier must stay silent too
+    new_batch = df.where(F.col("doc_id").isin(2, 4))
+    corpus = df.where(~F.col("doc_id").isin(2, 4))
+    inc = {
+        (r.d1, r.d2)
+        for r in D.incremental_lsh_pairs(
+            new_batch, corpus, "doc_id", "text", 3, 70
+        ).collect()
+    }
+    assert inc == {(1, 2)}
+
+
+def test_simhash_null_text_dropped_and_identifier_quoted(spark):
+    """ADVICE r5 (low x2): null-text docs emit NO signature row (the
+    pre-rewrite contract), and a column name requiring backtick quoting
+    resolves instead of breaking the SQL fold."""
+    df = docs_df(spark, [(1, "a b"), (2, None), (3, "a b")])
+    sigs = D.simhash_signatures(df, "doc_id", "text").collect()
+    assert {r.doc_id for r in sigs} == {1, 3}
+    assert sigs[0].simhash is not None
+    odd = df.withColumnRenamed("text", "the text.col")
+    odd_sigs = {
+        r.doc_id: r.simhash
+        for r in D.simhash_signatures(odd, "doc_id", "the text.col").collect()
+    }
+    assert odd_sigs == {r.doc_id: r.simhash for r in sigs}
+
+
 def test_simhash_blocked_vs_exhaustive(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     # pigeonhole blocking (max_hamming+1 blocks) is exact at any distance
