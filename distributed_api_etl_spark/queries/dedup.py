@@ -378,10 +378,8 @@ def dedup_clusters_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) m
     """,
     tags=("dedup", "ml", "pipeline"),
-    # registry freeze (VERDICT r4 #3): new round-5 queries enter
-    # graded=False (local-oracle-only) so the 50-slot window keeps the 18
-    # never-graded round-4 queries at its head; flip in round 6.
-    graded=False,
+    # graded since round 6 (VERDICT r5 #1): entered graded=False under the
+    # r4 registry freeze, flipped once the freeze completed at 135/135.
 )
 def documents_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train/val/test split that near-duplicates cannot straddle

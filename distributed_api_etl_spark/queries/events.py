@@ -1414,9 +1414,8 @@ def events_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
       AND event_type IS NOT NULL
     """,
     tags=("events", "ml", "pipeline"),
-    # registry freeze (VERDICT r4 #3): graded=False until round 6 so the
-    # round-5 window stays exactly the 18-query backlog projection.
-    graded=False,
+    # graded since round 6 (VERDICT r5 #1): entered graded=False under the
+    # r4 registry freeze, flipped once the freeze completed at 135/135.
 )
 def events_next_event_examples(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Next-event-prediction training examples from the interaction log

@@ -1099,8 +1099,9 @@ def _bm25_oracle_sql() -> str:
     "documents_bm25_relevance",
     oracle=_bm25_oracle_sql(),
     tags=("text", "features", "ml", "pipeline"),
-    # registry freeze (VERDICT r4 #3): graded=False until round 6.
-    graded=False,
+    # graded since round 6 (VERDICT r5 #1); bench head: the query-term join
+    # shuffle is the counter worth tracking (VERDICT r5 asked for it).
+    bench=True,
 )
 def documents_bm25_relevance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Okapi BM25 relevance of every document to a seed query-term set
@@ -1147,8 +1148,9 @@ def _unigram_logppl_oracle_sql() -> str:
     "documents_unigram_logppl",
     oracle=_unigram_logppl_oracle_sql(),
     tags=("text", "quality", "ml", "pipeline"),
-    # registry freeze (VERDICT r4 #3): graded=False until round 6.
-    graded=False,
+    # graded since round 6 (VERDICT r5 #1); bench head: the corpus-frequency
+    # join shuffle is the counter worth tracking (VERDICT r5 asked for it).
+    bench=True,
 )
 def documents_unigram_logppl(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mean per-token surprisal under a corpus-fit unigram LM

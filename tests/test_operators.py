@@ -277,6 +277,49 @@ def test_connected_components_chain_and_clique(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
 
 
+def test_graph_ops_use_reliable_checkpoint_when_dir_configured(spark, tmp_path):
+    """VERDICT r5 #4: with a checkpoint dir set, iterative graph ops must
+    switch from localCheckpoint to reliable checkpoint (executor-loss-safe)
+    — and produce identical results."""
+    import os
+
+    from distributed_api_etl_spark.operators.graph import (
+        connected_components,
+        connected_components_two_phase,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (20, 21), (21, 22)], "d1 bigint, d2 bigint"
+    )
+    expected = {1: 1, 2: 1, 3: 1, 4: 1, 20: 20, 21: 20, 22: 20}
+    sc = spark.sparkContext
+    ckpt = str(tmp_path / "ckpt")
+    sc.setCheckpointDir(ckpt)
+    try:
+        lp = {r.node: r.cluster_id for r in connected_components(edges).collect()}
+        tp = {
+            r.node: r.cluster_id
+            for r in connected_components_two_phase(edges).collect()
+        }
+        assert lp == expected and tp == expected
+        # reliable checkpoint leaves RDD files under the configured dir
+        written = [
+            os.path.join(root, f)
+            for root, _, files in os.walk(ckpt)
+            for f in files
+        ]
+        assert written, "checkpoint dir configured but nothing was written to it"
+    finally:
+        # unset so the rest of the suite keeps the localCheckpoint default
+        # (no public unset API; the scala field is test-reachable via py4j)
+        try:
+            jsc = sc._jsc.sc()
+            getattr(jsc, "checkpointDir_$eq")(sc._jvm.scala.Option.empty())
+            assert jsc.checkpointDir().isEmpty()
+        except Exception:
+            pass
+
+
 def test_dedup_cluster_assignment_singletons(spark):
     from distributed_api_etl_spark.operators.graph import dedup_cluster_assignment
 
