@@ -637,3 +637,116 @@ def edit_distance_pairs(
         .where(F.col("lev") <= max_dist)
         .select("d1", "d2", "lev")
     )
+
+
+def passage_table(
+    df: DataFrame, id_col: str, text_col: str, passage_tokens: int = 5
+) -> DataFrame:
+    """Chunk each document into consecutive fixed-width token passages.
+
+    Passage-level dedup (Lee et al. 2022, "Deduplicating Training Data
+    Makes Language Models Better") operates on spans, not whole docs —
+    the corpus here has no paragraph markers, so the passage unit is a
+    non-overlapping window of ``passage_tokens`` whitespace tokens (the
+    final window may be shorter). Built entirely map-side: one
+    transform over a sequence, then posexplode — no shuffle, and each
+    passage row carries a 1-based ``idx`` so the cleaned document can be
+    reassembled in order later. Null-text docs contribute no rows.
+    """
+    t = tokens(F.col(text_col))
+    n_p = F.ceil(F.size(t) / F.lit(float(passage_tokens)))
+    passages = F.transform(
+        F.sequence(F.lit(1).cast("bigint"), n_p),
+        lambda i: F.array_join(
+            F.slice(
+                t,
+                ((i - 1) * passage_tokens + 1).cast("int"),
+                passage_tokens,
+            ),
+            " ",
+        ),
+    )
+    return df.select(
+        F.col(id_col), F.posexplode(passages).alias("_pos", "p")
+    ).select(F.col(id_col), (F.col("_pos") + 1).cast("bigint").alias("idx"), "p")
+
+
+def passage_exact_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    passage_tokens: int = 5,
+    min_df: int = 2,
+) -> DataFrame:
+    """Passage-level exact dedup: remove every repeated passage except its
+    first occurrence, and reassemble the cleaned corpus.
+
+    Doc-level MinHash cannot strip a boilerplate paragraph repeated across
+    otherwise-distinct documents; span-level exact dedup (Lee et al. 2022)
+    can. Semantics: a passage occurring >= ``min_df`` times corpus-wide is
+    kept only at its first occurrence (minimum ``(doc_id, idx)``) and
+    dropped everywhere else; passages below the threshold are untouched.
+
+    Plan (two corpus shuffles, both necessary, both narrow where it counts):
+
+    1. Passage stats aggregate on a 128-bit passage fingerprint (two
+       xxhash64 seeds), NOT the passage text — the first shuffle carries
+       16 bytes per row instead of the text, and count/min(struct) are
+       map-side combinable so partial aggregation shrinks it further.
+       Collision odds at 1e12 passages are ~1e-15; the fingerprint is an
+       internal key only, never an output.
+    2. Only the DUPLICATED stats rows (small by construction — repeated
+       boilerplate, not content) survive the filter and join back to the
+       unshuffled passage table; AQE broadcasts that side from measured
+       stats, so the corpus is not re-shuffled for the join.
+    3. One groupBy(doc) reassembles ``cleaned_text`` in passage order
+       (sort_array over (idx, passage) structs — idx is unique per doc).
+
+    Output: (id, n_passages, kept_passages, cleaned_text) for EVERY input
+    doc; docs with null text get (0, 0, '').
+    """
+    pas = passage_table(df, id_col, text_col, passage_tokens)
+    pas = pas.select(
+        "*",
+        F.xxhash64("p").alias("_h1"),
+        F.xxhash64("p", F.lit(-1640531527)).alias("_h2"),
+    )
+    pas = scoped_persist(pas)  # read twice: stats aggregate + reassembly join
+    dup = (
+        pas.groupBy("_h1", "_h2")
+        .agg(
+            F.count("*").alias("_df"),
+            F.min(F.struct(F.col(id_col), F.col("idx"))).alias("_keeper"),
+        )
+        .where(F.col("_df") >= min_df)
+    )
+    joined = pas.join(dup, ["_h1", "_h2"], "left")
+    keep = F.col("_df").isNull() | (
+        (F.col(f"_keeper.{id_col}") == F.col(id_col))
+        & (F.col("_keeper.idx") == F.col("idx"))
+    )
+    agg = joined.groupBy(id_col).agg(
+        F.count("*").alias("n_passages"),
+        F.sum(keep.cast("bigint")).alias("kept_passages"),
+        F.array_join(
+            F.transform(
+                # collect_list skips the nulls when() leaves for dropped
+                # passages; sort by idx restores document order
+                F.array_sort(F.collect_list(F.when(keep, F.struct("idx", "p")))),
+                lambda s: s["p"],
+            ),
+            " ",
+        ).alias("cleaned_text"),
+    )
+    return (
+        df.select(id_col)
+        .join(agg, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_passages", F.lit(0)).cast("bigint").alias("n_passages"),
+            F.coalesce("kept_passages", F.lit(0))
+            .cast("bigint")
+            .alias("kept_passages"),
+            F.coalesce("cleaned_text", F.lit("")).alias("cleaned_text"),
+        )
+    )

@@ -571,3 +571,65 @@ def customer_name_edit_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     cust = table(spark, sf_dir, "customer")
     return D.edit_distance_pairs(cust, "c_custkey", "c_name", max_dist=1)
+
+
+# --- passage-level exact dedup (Lee et al. 2022) ----------------------------
+PASSAGE_TOKENS = 5
+PASSAGE_MIN_DF = 2
+
+
+@register(
+    "dedup_passage_exact",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    pas AS (
+      SELECT doc_id, CAST(i AS BIGINT) AS idx,
+             list_aggregate(
+               t[(i-1)*{PASSAGE_TOKENS}+1 : least(i*{PASSAGE_TOKENS}, len(t))],
+               'string_agg', ' ') AS p
+      FROM toks,
+           UNNEST(generate_series(
+             1, CAST(ceil(len(t) / CAST({PASSAGE_TOKENS} AS DOUBLE)) AS BIGINT)
+           )) u(i)
+    ),
+    w AS (
+      SELECT doc_id, idx, p,
+             count(*) OVER (PARTITION BY p) AS df,
+             row_number() OVER (PARTITION BY p ORDER BY doc_id, idx) AS rn
+      FROM pas
+    ),
+    agg AS (
+      SELECT doc_id,
+             CAST(count(*) AS BIGINT) AS n_passages,
+             CAST(sum(CASE WHEN df < {PASSAGE_MIN_DF} OR rn = 1
+                           THEN 1 ELSE 0 END) AS BIGINT) AS kept_passages,
+             string_agg(CASE WHEN df < {PASSAGE_MIN_DF} OR rn = 1 THEN p END,
+                        ' ' ORDER BY idx) AS cleaned_text
+      FROM w GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(a.n_passages, 0) AS BIGINT) AS n_passages,
+           CAST(COALESCE(a.kept_passages, 0) AS BIGINT) AS kept_passages,
+           COALESCE(a.cleaned_text, '') AS cleaned_text
+    FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+    """,
+    bench=True,
+    tags=("dedup", "text", "ml", "pipeline"),
+)
+def dedup_passage_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Passage-level exact dedup (Lee et al. 2022, public): every
+    {PASSAGE_TOKENS}-token passage repeated >= {PASSAGE_MIN_DF} times
+    corpus-wide is kept only at its first occurrence (min (doc_id, idx)),
+    and the cleaned corpus is reassembled in passage order. Catches the
+    boilerplate paragraphs doc-level MinHash cannot remove. Plan
+    (operators/dedup.py:passage_exact_dedup): map-side chunking, stats on
+    a 128-bit fingerprint (narrow first shuffle, map-side combinable),
+    duplicated-set broadcast-join back (AQE, no corpus re-shuffle), one
+    groupBy(doc) reassembly. The oracle mirrors the semantics on the raw
+    passage strings — hash-free — so a fingerprint collision would grade
+    as a mismatch rather than hide."""
+    docs = fan_out(table(spark, sf_dir, "documents"))
+    return D.passage_exact_dedup(
+        docs, "doc_id", "text",
+        passage_tokens=PASSAGE_TOKENS, min_df=PASSAGE_MIN_DF,
+    )

@@ -1469,3 +1469,32 @@ def test_unigram_logppl_matches_python_reference(spark):
         assert abs(got[i]["mean_surprisal_nats"] - micro / 1e6 / len(t)) < 1e-12
     # rare token doc scores strictly higher than the all-common doc
     assert got[3]["mean_surprisal_nats"] > got[1]["mean_surprisal_nats"]
+
+
+def test_passage_exact_dedup_semantics(spark):
+    """Lee-et-al-style span dedup: repeated passages survive only at their
+    first (doc_id, idx) occurrence; intra-doc repeats, null text, and the
+    short tail passage all follow the contract."""
+    from distributed_api_etl_spark.operators.dedup import passage_exact_dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h i j"),   # two full passages, both unique-ish
+            (2, "a b c d e x"),           # first passage dups d1's; tail "x" kept
+            (4, None),                    # null text -> (0, 0, '')
+            (5, "a b c d e"),             # exact dup of the shared passage
+            (6, "z z z z z z z z z z"),   # intra-doc repeat: keep first only
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {
+        r.doc_id: (r.n_passages, r.kept_passages, r.cleaned_text)
+        for r in passage_exact_dedup(
+            docs, "doc_id", "text", passage_tokens=5, min_df=2
+        ).collect()
+    }
+    assert out[1] == (2, 2, "a b c d e f g h i j")  # keeper of the dup passage
+    assert out[2] == (2, 1, "x")
+    assert out[4] == (0, 0, "")
+    assert out[5] == (1, 0, "")
+    assert out[6] == (2, 1, "z z z z z")
