@@ -123,16 +123,16 @@ def jaccard_pairs(
     boundary pairs are decided identically on every engine.
 
     Candidate generation is PREFIX-FILTERED (AllPairs/PPJoin, Bayardo et
-    al. WWW'07 / Xiao et al. WWW'08 — public): order each doc's shingles by
-    a fixed global total order and join only the first
-    ``sz - ceil(t*sz) + 1`` of them. Completeness: if J(x,y) >= t then
-    |x∩y| >= ceil(t*max(|x|,|y|)) =: α, and two sets with overlap >= α must
-    intersect within their (|·| - α + 1)-prefixes under any shared total
-    order — our per-doc prefixes are at least that long, so no qualifying
-    pair is lost; the exact array_intersect verify then reproduces the
-    same (inter, union) the full self-join computed. The order key is
-    (xxhash64(shingle), shingle) — the string tiebreak makes it a strict
-    total order (hash collisions can only ADD candidates, never lose one).
+    al. WWW'07 / Xiao et al. WWW'08 — public), run entirely in 64-bit HASH
+    space: each doc's shingle set maps to its sorted xxhash64 list, and
+    only the first ``sz - ceil(t*sz) + 1`` hashes join. Completeness: if
+    J(x,y) >= t then |x∩y| >= ceil(t*max(|x|,|y|)) =: α, so the hash lists
+    share >= α values; the smallest shared value has >= α-1 shared values
+    above it, hence sits within the first (|·| - α + 1) positions of BOTH
+    lists — inside both prefixes, so the equi-join finds the pair. Hash
+    collisions (same value for different shingles) only ADD candidates;
+    the exact array_intersect verify reproduces the same (inter, union)
+    the full self-join would have computed and rejects them.
 
     100 TB shape: the prefix is computed MAP-SIDE off the cached per-doc
     shingle array (no global frequency pass, no per-doc window sort
@@ -178,27 +178,33 @@ def jaccard_pairs(
     # map-side (the round-5 no-expanded-shuffle discipline)
     base = scoped_persist(doc_shingle_sets(df, id_col, text_col, n))
     # prefix length L = sz - ceil(t*sz/100) + 1 in exact integer arithmetic
-    # (ceil(a/b) = div(a + b - 1, b) for non-negative a)
+    # (ceil(a/b) = div(a + b - 1, b) for non-negative a). The join key is
+    # the 64-bit shingle HASH, not the string: a hash collision can only
+    # ADD a candidate (the exact verify rejects it), and the candidate
+    # exchange carries 8 bytes per key instead of the shingle text.
     prefix_arr = F.expr(
         "slice("
-        "  transform(array_sort(transform(shs, x -> struct(xxhash64(x) AS h, x AS s))),"
-        "            p -> p.s),"
+        "  array_sort(transform(shs, x -> xxhash64(x))),"
         f"  1, size(shs) - div({threshold_pct} * size(shs) + 99, 100) + 1"
         ")"
     )
     # shs is a CACHED attribute here, so the two references (sort kernel +
     # size) read the materialized array — the shingling kernel below the
-    # cache still runs exactly once
-    pref = scoped_persist(
-        base.select(F.col(id_col), F.explode(prefix_arr).alias("s"))
-    )
+    # cache still runs exactly once. pref is NOT persisted: the self-join's
+    # two sides are byte-identical subtrees, so ReusedExchange computes the
+    # shuffle once within the single action (a persist would only add a
+    # materialization barrier — the round-5 Lloyd's-checkpoint lesson).
+    pref = base.select(F.col(id_col), F.explode(prefix_arr).alias("hs"))
     cands = (
-        pref.select(F.col(id_col).alias("d1"), "s")
-        .join(pref.select(F.col(id_col).alias("d2"), "s"), "s")
+        pref.select(F.col(id_col).alias("d1"), "hs")
+        .join(pref.select(F.col(id_col).alias("d2"), "hs"), "hs")
         .where(F.col("d1") < F.col("d2"))
         .select("d1", "d2")
-        .distinct()
     )
+    # candidates are NOT deduped here: a pair colliding on k prefix hashes
+    # appears k times, but the exact verify maps every copy to the same
+    # (inter, union) row, so one distinct over the ~|result| survivors at
+    # the end replaces a corpus-candidate-sized exchange
     feat = base.select(F.col(id_col), "shs", F.size("shs").alias("sz"))
     return (
         cands.join(
@@ -223,6 +229,9 @@ def jaccard_pairs(
             "union_sz",
             F.round(F.col("inter") / F.col("union_sz"), 6).alias("jaccard"),
         )
+        # duplicate candidates collapse here, over ~|result| rows — every
+        # copy of a pair computed the identical row, so this is exact
+        .distinct()
     )
 
 
