@@ -647,3 +647,97 @@ def quality_model_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         logit.alias("logit_micros"),
         (logit >= 0).alias("keep"),
     )
+
+
+def dsir_logratio_micro_sql(
+    c_tgt: str = "c_tgt",
+    c_raw: str = "c_raw",
+    total_tgt: str = "total_tgt",
+    total_raw: str = "total_raw",
+    vocab_v: str = "vocab_v",
+) -> str:
+    """Per-token-occurrence log importance ratio in integer MICRO-nats.
+
+    DSIR (Xie et al. 2023, "Data Selection for Language Models via
+    Importance Resampling" — public) weights each document by
+    log p_target(doc)/p_raw(doc) under cheap bag-of-words LMs. Per token:
+    ``ln(((c_tgt + 1) / (T_tgt + V)) / (c_raw / T_raw))`` with add-1
+    smoothing on the target side (the raw side needs none — every corpus
+    token has c_raw >= 1). Rearranged into ONE double division with a
+    fixed op order so both engines compute the identical IEEE value, then
+    fixed-pointed with the shared ``floor(x*1e6 + 5e-1)`` round-half-up
+    (exact for negative x too: identical double in, identical floor out).
+    Integer products are cast to DOUBLE BEFORE multiplying — at 100 TB
+    ``c_tgt * total_raw`` overflows BIGINT, the double product does not.
+    """
+    num = f"(CAST({c_tgt} AS DOUBLE) + 1e0) * CAST({total_raw} AS DOUBLE)"
+    den = f"(CAST({total_tgt} AS DOUBLE) + CAST({vocab_v} AS DOUBLE)) * CAST({c_raw} AS DOUBLE)"
+    return f"CAST(floor(ln(({num}) / ({den})) * 1e6 + 5e-1) AS BIGINT)"
+
+
+def dsir_importance_scores(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    target_pred: Column,
+) -> DataFrame:
+    """DSIR importance weights: how much more likely each document is under
+    a unigram LM fit on the TARGET subset than under one fit on the raw
+    corpus — the standard cheap proxy for "select pretraining data that
+    looks like the target distribution" (Xie et al. 2023).
+
+    ``target_pred`` is a boolean Column choosing the target subset (e.g.
+    ``F.col('lang') == 'en'``). Both LMs are fit in-flight: two
+    map-side-combined groupBy(term) passes (vocab-sized outputs), a
+    full-outer-free left join putting (c_raw, c_tgt) side by side, then
+    one vocab-sized join back onto the token stream (AQE broadcasts it
+    when it fits) and one narrow groupBy(doc). The three scalars (corpus
+    totals + vocab size) ride a one-row broadcast. Per-token log-ratio is
+    an integer micro-nat (:func:`dsir_logratio_micro_sql`), so per-doc
+    sums are order-free on any engine.
+
+    Output: (id, n_tokens, logratio_micro_sum, mean_logratio_micro) — the
+    mean as integer micro-nats via ``div`` (truncating; identical on both
+    engines). Downstream selection = rank/threshold on the sum or mean.
+    """
+    toks = df.select(
+        F.col(id_col),
+        target_pred.alias("_is_tgt"),
+        F.explode(tokens(F.col(text_col))).alias("term"),
+    )
+    # corpus-sized token stream deliberately NOT persisted (see
+    # unigram_logprob_scores) — both frequency passes and the score join
+    # re-stream the scan with map-side combine before any exchange
+    raw = toks.groupBy("term").agg(F.count("*").alias("c_raw"))
+    tgt = (
+        toks.where(F.col("_is_tgt"))
+        .groupBy("term")
+        .agg(F.count("*").alias("c_tgt"))
+    )
+    freq = raw.join(tgt, "term", "left").select(
+        "term", "c_raw", F.coalesce("c_tgt", F.lit(0)).alias("c_tgt")
+    )
+    freq = scoped_persist(freq)  # vocab-sized; read for scalars AND the score join
+    scalars = freq.agg(
+        F.sum("c_raw").alias("total_raw"),
+        F.sum("c_tgt").alias("total_tgt"),
+        F.count("*").alias("vocab_v"),
+    )
+    scored = (
+        toks.join(freq, "term")
+        .crossJoin(F.broadcast(scalars))
+        .withColumn("micro", F.expr(dsir_logratio_micro_sql()))
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum("micro").alias("logratio_micro_sum"),
+        )
+    )
+    return scored.select(
+        id_col,
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.col("logratio_micro_sum").cast("bigint").alias("logratio_micro_sum"),
+        F.expr("div(logratio_micro_sum, n_tokens)")
+        .cast("bigint")
+        .alias("mean_logratio_micro"),
+    )

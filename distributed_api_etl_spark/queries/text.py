@@ -1165,3 +1165,64 @@ def documents_unigram_logppl(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = fan_out(table(spark, sf_dir, "documents"))
     return unigram_logprob_scores(docs, "doc_id", "text")
+
+
+def _dsir_oracle_sql() -> str:
+    from distributed_api_etl_spark.operators.text import dsir_logratio_micro_sql
+
+    # NB: integer division via // truncates toward zero in DuckDB, matching
+    # Spark's div (pinned by test_epoch_day_and_dow_floor_semantics_pre_1970)
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, lang = 'en' AS is_tgt,
+             unnest(string_split(text, ' ')) AS term
+      FROM documents
+    ),
+    freq AS (
+      SELECT term,
+             count(*) AS c_raw,
+             sum(CASE WHEN is_tgt THEN 1 ELSE 0 END) AS c_tgt
+      FROM toks GROUP BY term
+    ),
+    scalars AS (
+      SELECT CAST(sum(c_raw) AS BIGINT) AS total_raw,
+             CAST(sum(c_tgt) AS BIGINT) AS total_tgt,
+             CAST(count(*) AS BIGINT) AS vocab_v
+      FROM freq
+    ),
+    scored AS (
+      SELECT t.doc_id,
+             count(*) AS n_tokens,
+             CAST(sum({dsir_logratio_micro_sql()}) AS BIGINT)
+               AS logratio_micro_sum
+      FROM toks t JOIN freq USING (term) CROSS JOIN scalars
+      GROUP BY t.doc_id
+    )
+    SELECT doc_id,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           logratio_micro_sum,
+           CAST(logratio_micro_sum // n_tokens AS BIGINT)
+             AS mean_logratio_micro
+    FROM scored
+    """
+
+
+@register(
+    "documents_dsir_importance",
+    oracle=_dsir_oracle_sql(),
+    bench=True,
+    tags=("text", "quality", "ml", "pipeline"),
+)
+def documents_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (Xie et al. 2023, public): per-document log
+    importance ratio between a unigram LM fit on the English target subset
+    and one fit on the raw corpus — the cheap 'pick pretraining data that
+    looks like the target' weight (operators/text.py:
+    dsir_importance_scores). Both LMs are fit in-flight with
+    map-side-combined vocab aggregations; per-token log-ratios are integer
+    micro-nats from ONE shared SQL expression, so per-doc sums grade
+    exactly on any engine and any partitioning."""
+    from distributed_api_etl_spark.operators.text import dsir_importance_scores
+
+    docs = fan_out(table(spark, sf_dir, "documents"))
+    return dsir_importance_scores(docs, "doc_id", "text", F.col("lang") == "en")

@@ -60,6 +60,7 @@ ALLOW_BNLJ = {
     "ann_ivf_multiprobe_topk": "bounded broadcast centroid/query sides",
     "documents_bm25_relevance": "1-row corpus-stats scalar (N, total tokens)",
     "documents_unigram_logppl": "1-row total-token scalar",
+    "documents_dsir_importance": "1-row corpus-totals + vocab-size scalar",
 }
 
 LINEITEM_WIDTH = 11
