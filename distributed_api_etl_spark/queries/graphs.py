@@ -73,13 +73,17 @@ def supply_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     orders = table(spark, sf_dir, "orders")
     lineitem = table(spark, sf_dir, "lineitem")
-    edges = (
-        orders.join(lineitem, orders["o_orderkey"] == lineitem["l_orderkey"])
-        .select(
-            (F.col("o_custkey") * 2).alias("d1"),
-            (F.col("l_suppkey") * 2 + 1).alias("d2"),
-        )
-        .distinct()
+    # NO .distinct() here: pagerank_fixed_point's repartition("a") +
+    # dropDuplicates([a, b]) already dedups partition-locally (hash(a) is a
+    # valid distribution for (a, b) groups), so a dedicated distinct would
+    # add a full |E| exchange to strip the ~2% within-order duplicate
+    # (customer, supplier) pairs that ride the one necessary exchange for
+    # free (measured round 6: -5.5 MB shuffle at sf0.1, hash unchanged)
+    edges = orders.join(
+        lineitem, orders["o_orderkey"] == lineitem["l_orderkey"]
+    ).select(
+        (F.col("o_custkey") * 2).alias("d1"),
+        (F.col("l_suppkey") * 2 + 1).alias("d2"),
     )
     pr = pagerank_fixed_point(edges, "d1", "d2", iters=PR_ITERS)
     return pr.select(

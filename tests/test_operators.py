@@ -736,6 +736,17 @@ def test_operators_tolerate_empty_input(spark):
     assert (
         salted_join(empty_docs, empty_docs.select("doc_id"), ["doc_id"]).count() == 0
     )
+    # round-6 additions honor the same contract
+    from distributed_api_etl_spark.operators.text import dsir_importance_scores
+
+    assert D.passage_exact_dedup(empty_docs, "doc_id", "text").count() == 0
+    assert D.jaccard_pairs(empty_docs, "doc_id", "text", 3, 80).count() == 0
+    assert (
+        dsir_importance_scores(
+            empty_docs, "doc_id", "text", F.lit(True)
+        ).count()
+        == 0
+    )
 
 
 def test_lsh_params_hold_bucket_size():
