@@ -741,3 +741,74 @@ def dsir_importance_scores(
         .cast("bigint")
         .alias("mean_logratio_micro"),
     )
+
+
+#: Gopher rule thresholds (Rae et al. 2021 §A1.1, public) in integer units
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_WORD_LEN_CENTI = 300   # 3.00 chars
+GOPHER_MAX_MEAN_WORD_LEN_CENTI = 1000  # 10.00 chars
+GOPHER_MIN_ALPHA_WORD_PPM = 800_000    # >= 80% of words contain a letter
+GOPHER_MIN_STOP_HITS = 2
+
+
+def gopher_quality_flags(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Gopher-style heuristic quality gate (Rae et al. 2021, public):
+    the standard pre-training filter battery — word-count bounds, mean
+    word length bounds, alphabetic-word ratio, stopword presence — as an
+    integer flag bitmask per document plus the derived keep decision.
+    (The original's line-level rules — bullet/ellipsis line ratios — do
+    not apply to this corpus's single-line documents and are omitted.)
+
+    Entirely MAP-SIDE: every statistic is a fold over the token array of
+    one row, so the plan has zero exchanges and stays in whole-stage
+    codegen end to end — at 100 TB this runs at scan speed. All ratios
+    are fixed-point integers (centi-chars, ppm) via truncating div, so
+    the bitmask grades bit-exactly on any engine.
+
+    Flag bits: 1 = word count outside [{minw}, {maxw}];
+    2 = mean word length outside [3.00, 10.00] chars;
+    4 = alphabetic-word share below 80%; 8 = fewer than 2 stopword hits.
+    """.format(minw=GOPHER_MIN_WORDS, maxw=GOPHER_MAX_WORDS)
+    t = tokens(F.col(text_col))
+    n_words = F.size(t)
+    total_chars = F.aggregate(
+        F.transform(t, lambda w: F.length(w)),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    alpha_words = F.size(F.filter(t, lambda w: w.rlike("[A-Za-z]")))
+    stop_hits = _stopword_hits(t, LANG_STOPWORDS["en"])
+    mean_len_centi = F.expr("div(100 * total_word_chars, n_words)")
+    alpha_ppm = F.expr("div(1000000 * alpha_words, n_words)")
+    flags = (
+        F.when(
+            (F.col("n_words") < GOPHER_MIN_WORDS)
+            | (F.col("n_words") > GOPHER_MAX_WORDS),
+            F.lit(1),
+        ).otherwise(F.lit(0))
+        + F.when(
+            (F.col("mean_word_len_centi") < GOPHER_MIN_MEAN_WORD_LEN_CENTI)
+            | (F.col("mean_word_len_centi") > GOPHER_MAX_MEAN_WORD_LEN_CENTI),
+            F.lit(2),
+        ).otherwise(F.lit(0))
+        + F.when(
+            F.col("alpha_word_ppm") < GOPHER_MIN_ALPHA_WORD_PPM, F.lit(4)
+        ).otherwise(F.lit(0))
+        + F.when(F.col("stop_hits") < GOPHER_MIN_STOP_HITS, F.lit(8)).otherwise(
+            F.lit(0)
+        )
+    )
+    return (
+        df.select(
+            F.col(id_col),
+            n_words.cast("bigint").alias("n_words"),
+            total_chars.cast("bigint").alias("total_word_chars"),
+            alpha_words.cast("bigint").alias("alpha_words"),
+            stop_hits.cast("bigint").alias("stop_hits"),
+        )
+        .withColumn("mean_word_len_centi", mean_len_centi.cast("bigint"))
+        .withColumn("alpha_word_ppm", alpha_ppm.cast("bigint"))
+        .withColumn("gopher_flags", flags.cast("bigint"))
+        .withColumn("keep", F.col("gopher_flags") == 0)
+    )

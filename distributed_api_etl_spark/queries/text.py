@@ -1226,3 +1226,79 @@ def documents_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = fan_out(table(spark, sf_dir, "documents"))
     return dsir_importance_scores(docs, "doc_id", "text", F.col("lang") == "en")
+
+
+def _gopher_oracle_sql() -> str:
+    from distributed_api_etl_spark.operators.text import (
+        GOPHER_MAX_MEAN_WORD_LEN_CENTI,
+        GOPHER_MAX_WORDS,
+        GOPHER_MIN_ALPHA_WORD_PPM,
+        GOPHER_MIN_MEAN_WORD_LEN_CENTI,
+        GOPHER_MIN_STOP_HITS,
+        GOPHER_MIN_WORDS,
+    )
+    from distributed_api_etl_spark.operators.text import LANG_STOPWORDS
+
+    stops = ", ".join(f"'{w}'" for w in LANG_STOPWORDS["en"])
+    return f"""
+    WITH stats AS (
+      SELECT doc_id,
+             CAST(len(t) AS BIGINT) AS n_words,
+             CAST(list_sum(list_transform(t, w -> len(w))) AS BIGINT)
+               AS total_word_chars,
+             CAST(len(list_filter(t, w -> regexp_matches(w, '[A-Za-z]')))
+               AS BIGINT) AS alpha_words,
+             CAST(len(list_filter(t, w -> list_contains([{stops}], w)))
+               AS BIGINT) AS stop_hits
+      FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+    ),
+    derived AS (
+      SELECT *,
+             CAST((100 * total_word_chars) // n_words AS BIGINT)
+               AS mean_word_len_centi,
+             CAST((1000000 * alpha_words) // n_words AS BIGINT)
+               AS alpha_word_ppm
+      FROM stats
+    )
+    SELECT doc_id, n_words, total_word_chars, alpha_words, stop_hits,
+           mean_word_len_centi, alpha_word_ppm,
+           CAST(
+             CASE WHEN n_words < {GOPHER_MIN_WORDS}
+                    OR n_words > {GOPHER_MAX_WORDS} THEN 1 ELSE 0 END
+           + CASE WHEN mean_word_len_centi < {GOPHER_MIN_MEAN_WORD_LEN_CENTI}
+                    OR mean_word_len_centi > {GOPHER_MAX_MEAN_WORD_LEN_CENTI}
+                  THEN 2 ELSE 0 END
+           + CASE WHEN alpha_word_ppm < {GOPHER_MIN_ALPHA_WORD_PPM}
+                  THEN 4 ELSE 0 END
+           + CASE WHEN stop_hits < {GOPHER_MIN_STOP_HITS} THEN 8 ELSE 0 END
+           AS BIGINT) AS gopher_flags,
+           (CASE WHEN n_words < {GOPHER_MIN_WORDS}
+                   OR n_words > {GOPHER_MAX_WORDS} THEN 1 ELSE 0 END
+           + CASE WHEN mean_word_len_centi < {GOPHER_MIN_MEAN_WORD_LEN_CENTI}
+                    OR mean_word_len_centi > {GOPHER_MAX_MEAN_WORD_LEN_CENTI}
+                  THEN 2 ELSE 0 END
+           + CASE WHEN alpha_word_ppm < {GOPHER_MIN_ALPHA_WORD_PPM}
+                  THEN 4 ELSE 0 END
+           + CASE WHEN stop_hits < {GOPHER_MIN_STOP_HITS} THEN 8 ELSE 0 END
+           ) = 0 AS keep
+    FROM derived
+    """
+
+
+@register(
+    "documents_gopher_quality_flags",
+    oracle=_gopher_oracle_sql(),
+    tags=("text", "quality", "ml", "pipeline"),
+)
+def documents_gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher heuristic filter battery (Rae et al. 2021): word-count,
+    mean-word-length, alphabetic-word-ratio and stopword-presence rules as
+    an integer flag bitmask + keep decision per document
+    (operators/text.py:gopher_quality_flags). The whole plan is map-side
+    whole-stage codegen — zero exchanges; at 100 TB this gate runs at
+    parquet scan speed, which is exactly where a first-pass corpus filter
+    must sit."""
+    from distributed_api_etl_spark.operators.text import gopher_quality_flags
+
+    docs = fan_out(table(spark, sf_dir, "documents"))
+    return gopher_quality_flags(docs, "doc_id", "text")
