@@ -21,7 +21,7 @@ Scale design (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from distributed_api_etl_spark.functions.portable import portable_hash32
@@ -648,23 +648,19 @@ def edit_distance_pairs(
     )
 
 
-def passage_table(
-    df: DataFrame, id_col: str, text_col: str, passage_tokens: int = 5
-) -> DataFrame:
-    """Chunk each document into consecutive fixed-width token passages.
+def passage_array(text: Column, passage_tokens: int = 5) -> Column:
+    """Array of consecutive fixed-width token passages for one document.
 
     Passage-level dedup (Lee et al. 2022, "Deduplicating Training Data
     Makes Language Models Better") operates on spans, not whole docs —
     the corpus here has no paragraph markers, so the passage unit is a
     non-overlapping window of ``passage_tokens`` whitespace tokens (the
-    final window may be shorter). Built entirely map-side: one
-    transform over a sequence, then posexplode — no shuffle, and each
-    passage row carries a 1-based ``idx`` so the cleaned document can be
-    reassembled in order later. Null-text docs contribute no rows.
+    final window may be shorter). Pure column expression — no shuffle;
+    null text yields a null array.
     """
-    t = tokens(F.col(text_col))
+    t = tokens(text)
     n_p = F.ceil(F.size(t) / F.lit(float(passage_tokens)))
-    passages = F.transform(
+    return F.transform(
         F.sequence(F.lit(1).cast("bigint"), n_p),
         lambda i: F.array_join(
             F.slice(
@@ -675,6 +671,16 @@ def passage_table(
             " ",
         ),
     )
+
+
+def passage_table(
+    df: DataFrame, id_col: str, text_col: str, passage_tokens: int = 5
+) -> DataFrame:
+    """Long-form (id, idx, p) passage rows via :func:`passage_array` +
+    posexplode; each row carries a 1-based ``idx`` so the cleaned document
+    can be reassembled in order later. Null-text docs contribute no rows.
+    """
+    passages = passage_array(F.col(text_col), passage_tokens)
     return df.select(
         F.col(id_col), F.posexplode(passages).alias("_pos", "p")
     ).select(F.col(id_col), (F.col("_pos") + 1).cast("bigint").alias("idx"), "p")
@@ -696,66 +702,83 @@ def passage_exact_dedup(
     kept only at its first occurrence (minimum ``(doc_id, idx)``) and
     dropped everywhere else; passages below the threshold are untouched.
 
-    Plan (two corpus shuffles, both necessary, both narrow where it counts):
+    Plan — the corpus TEXT never shuffles (round-6 rewrite; the first
+    version re-grouped exploded passages by doc and paid a corpus-text
+    exchange for state that is derivable per row):
 
-    1. Passage stats aggregate on a 128-bit passage fingerprint (two
-       xxhash64 seeds), NOT the passage text — the first shuffle carries
-       16 bytes per row instead of the text, and count/min(struct) are
-       map-side combinable so partial aggregation shrinks it further.
-       Collision odds at 1e12 passages are ~1e-15; the fingerprint is an
-       internal key only, never an output.
-    2. Only the DUPLICATED stats rows (small by construction — repeated
-       boilerplate, not content) survive the filter and join back to the
-       unshuffled passage table; AQE broadcasts that side from measured
-       stats, so the corpus is not re-shuffled for the join.
-    3. One groupBy(doc) reassembles ``cleaned_text`` in passage order
-       (sort_array over (idx, passage) structs — idx is unique per doc).
+    1. Passages are a per-row array (map-side); only their 128-bit
+       fingerprints (two xxhash64 seeds) explode into the stats
+       aggregate — a 16-bytes-per-passage, map-side-combinable shuffle.
+       Collision odds at 1e12 passages are ~1e-15, and the fingerprint is
+       an internal key only, never an output.
+    2. The DUPLICATED stats rows (bounded by repeated boilerplate, not
+       corpus size) broadcast back onto the fingerprint stream to name
+       each doc's dropped positions — the only other exchange is the
+       groupBy(doc) over those dropped (doc, idx) pairs.
+    3. The dropped-positions map broadcast-joins the cached per-doc
+       passage arrays and an index-aware ``filter`` rebuilds
+       ``cleaned_text`` in place — pure map-side projection.
 
     Output: (id, n_passages, kept_passages, cleaned_text) for EVERY input
     doc; docs with null text get (0, 0, '').
     """
-    pas = passage_table(df, id_col, text_col, passage_tokens)
-    pas = pas.select(
-        "*",
-        F.xxhash64("p").alias("_h1"),
-        F.xxhash64("p", F.lit(-1640531527)).alias("_h2"),
+    base = scoped_persist(
+        df.select(
+            F.col(id_col),
+            passage_array(F.col(text_col), passage_tokens).alias("_ps"),
+        )
     )
-    pas = scoped_persist(pas)  # read twice: stats aggregate + reassembly join
+    # fingerprint stream: (id, idx, h1, h2) — the passage strings are
+    # hashed inside the projection and never reach an exchange
+    fps = base.select(
+        F.col(id_col), F.posexplode("_ps").alias("_pos", "_p")
+    ).select(
+        F.col(id_col),
+        (F.col("_pos") + 1).cast("bigint").alias("idx"),
+        F.xxhash64("_p").alias("_h1"),
+        F.xxhash64("_p", F.lit(-1640531527)).alias("_h2"),
+    )
     dup = (
-        pas.groupBy("_h1", "_h2")
+        fps.groupBy("_h1", "_h2")
         .agg(
             F.count("*").alias("_df"),
             F.min(F.struct(F.col(id_col), F.col("idx"))).alias("_keeper"),
         )
         .where(F.col("_df") >= min_df)
     )
-    joined = pas.join(dup, ["_h1", "_h2"], "left")
-    keep = F.col("_df").isNull() | (
-        (F.col(f"_keeper.{id_col}") == F.col(id_col))
-        & (F.col("_keeper.idx") == F.col("idx"))
-    )
-    agg = joined.groupBy(id_col).agg(
-        F.count("*").alias("n_passages"),
-        F.sum(keep.cast("bigint")).alias("kept_passages"),
-        F.array_join(
-            F.transform(
-                # collect_list skips the nulls when() leaves for dropped
-                # passages; sort by idx restores document order
-                F.array_sort(F.collect_list(F.when(keep, F.struct("idx", "p")))),
-                lambda s: s["p"],
-            ),
-            " ",
-        ).alias("cleaned_text"),
-    )
-    return (
-        df.select(id_col)
-        .join(agg, id_col, "left")
-        .select(
-            F.col(id_col),
-            F.coalesce("n_passages", F.lit(0)).cast("bigint").alias("n_passages"),
-            F.coalesce("kept_passages", F.lit(0))
-            .cast("bigint")
-            .alias("kept_passages"),
-            F.coalesce("cleaned_text", F.lit("")).alias("cleaned_text"),
+    dropped = (
+        fps.join(dup, ["_h1", "_h2"])  # inner: AQE broadcasts the dup side
+        .where(
+            ~(
+                (F.col(f"_keeper.{id_col}") == F.col(id_col))
+                & (F.col("_keeper.idx") == F.col("idx"))
+            )
         )
+        .groupBy(id_col)
+        .agg(F.collect_list("idx").alias("_dropped"))
+    )
+    no_drops = F.array().cast("array<bigint>")
+    dropped_arr = F.coalesce(F.col("_dropped"), no_drops)
+    n_passages = F.when(F.col("_ps").isNull(), F.lit(0)).otherwise(
+        F.size("_ps")
+    )
+    return base.join(dropped, id_col, "left").select(
+        F.col(id_col),
+        n_passages.cast("bigint").alias("n_passages"),
+        (n_passages - F.size(dropped_arr)).cast("bigint").alias("kept_passages"),
+        F.when(F.col("_ps").isNull(), F.lit(""))
+        .otherwise(
+            F.array_join(
+                # index-aware filter: lambda position i is 0-based, the
+                # dropped list is 1-based
+                F.filter(
+                    "_ps",
+                    lambda p, i: ~F.array_contains(
+                        dropped_arr, (i + 1).cast("bigint")
+                    ),
+                ),
+                " ",
+            )
+        )
+        .alias("cleaned_text"),
     )
