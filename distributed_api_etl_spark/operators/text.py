@@ -706,16 +706,14 @@ def dsir_importance_scores(
         F.explode(tokens(F.col(text_col))).alias("term"),
     )
     # corpus-sized token stream deliberately NOT persisted (see
-    # unigram_logprob_scores) — both frequency passes and the score join
-    # re-stream the scan with map-side combine before any exchange
-    raw = toks.groupBy("term").agg(F.count("*").alias("c_raw"))
-    tgt = (
-        toks.where(F.col("_is_tgt"))
-        .groupBy("term")
-        .agg(F.count("*").alias("c_tgt"))
-    )
-    freq = raw.join(tgt, "term", "left").select(
-        "term", "c_raw", F.coalesce("c_tgt", F.lit(0)).alias("c_tgt")
+    # unigram_logprob_scores) — the frequency pass and the score join
+    # re-stream the scan with map-side combine before any exchange.
+    # BOTH counts come from ONE aggregation (count + conditional sum over
+    # the same exchange) — a separate target-side groupBy would re-shuffle
+    # the token stream a second time for a column the first pass can carry
+    freq = toks.groupBy("term").agg(
+        F.count("*").alias("c_raw"),
+        F.sum(F.when(F.col("_is_tgt"), 1).otherwise(0)).alias("c_tgt"),
     )
     freq = scoped_persist(freq)  # vocab-sized; read for scalars AND the score join
     scalars = freq.agg(
