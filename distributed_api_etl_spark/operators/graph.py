@@ -24,8 +24,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def truncate_lineage(df: DataFrame) -> DataFrame:
-    """Materialize ``df`` and cut its lineage for iterative algorithms.
+def truncate_lineage(df: DataFrame, eager: bool = True) -> DataFrame:
+    """Cut ``df``'s lineage for iterative algorithms.
 
     Uses a RELIABLE checkpoint when the application has configured a
     checkpoint directory (``spark.sparkContext.setCheckpointDir(...)``):
@@ -35,11 +35,18 @@ def truncate_lineage(df: DataFrame) -> DataFrame:
     ``localCheckpoint`` (executor-local blocks, no HDFS round-trip) when no
     dir is set — the right default for local mode and for clusters that
     accept job-restart-on-failure in exchange for per-round speed.
+
+    ``eager=False`` defers materialization to the caller's next action
+    (both checkpoint flavors truncate the logical plan immediately — plan
+    doubling is prevented either way). Iteration loops that run an action
+    right after checkpointing (the CC convergence count) pass False so
+    each round submits ONE job instead of two — at tiny |E| the per-round
+    job overhead IS the wall time (SCALE.md round-6 profile).
     """
     sc = df.sparkSession.sparkContext
     if sc.getCheckpointDir() is not None:
-        return df.checkpoint(eager=True)
-    return df.localCheckpoint(eager=True)
+        return df.checkpoint(eager=eager)
+    return df.localCheckpoint(eager=eager)
 
 
 def connected_components(
@@ -76,7 +83,8 @@ def connected_components(
     labels = truncate_lineage(
         sym.select(F.col("a").alias("node"))
         .distinct()
-        .select("node", F.col("node").alias("label"))
+        .select("node", F.col("node").alias("label")),
+        eager=False,  # the first round's convergence count materializes it
     )
     for _ in range(max_iter):
         neighbor_min = (
@@ -96,7 +104,8 @@ def connected_components(
                     F.col("old"), F.coalesce(F.col("nbr_label"), F.col("old"))
                 ).alias("label"),
                 "old",
-            )
+            ),
+            eager=False,  # the convergence count right below materializes it
         )
         changed = new_labels.where(F.col("label") != F.col("old")).limit(1).count()
         labels = new_labels.select("node", "label")
@@ -175,12 +184,14 @@ def connected_components_two_phase(
             F.greatest(F.col(src), F.col(dst)).alias("q"),
         )
         .where(F.col("p") != F.col("q"))
-        .distinct()
+        .distinct(),
+        eager=False,  # e.count() below materializes it
     )
     all_nodes = truncate_lineage(
         e.select(F.col("p").alias("node"))
         .unionByName(e.select(F.col("q").alias("node")))
-        .distinct()
+        .distinct(),
+        eager=False,  # only read once, by the final label join
     )
 
     def _sym(df: DataFrame) -> DataFrame:
@@ -220,7 +231,10 @@ def connected_components_two_phase(
 
     e_cnt = e.count()
     for _ in range(max_iter):
-        new_e = truncate_lineage(_star(_star(e, large=True), large=False))
+        new_e = truncate_lineage(
+            _star(_star(e, large=True), large=False),
+            eager=False,  # the fixpoint count right below materializes it
+        )
         # exact fixpoint, cheapest-first: both frames are distinct sets, so
         # |A| == |B| and A \ B = {} together imply A == B. count() on a
         # checkpointed frame is near-free; the single-direction exceptAll
@@ -306,7 +320,9 @@ def pagerank_fixed_point(
     pr = truncate_lineage(
         linked.select(F.col("a").alias("node"))
         .distinct()
-        .select("node", F.lit(scale // n_nodes).cast("bigint").alias("pr_fp"))
+        .select("node", F.lit(scale // n_nodes).cast("bigint").alias("pr_fp")),
+        eager=False,  # no per-round action exists; the terminal action
+        # materializes each checkpoint boundary in sequence
     )
     for _ in range(iters):
         contrib = (
@@ -322,7 +338,8 @@ def pagerank_fixed_point(
                     F.lit(base).cast("bigint")
                     + F.expr(f"div({damping_num} * insum, {damping_den})")
                 ).alias("pr_fp"),
-            )
+            ),
+            eager=False,
         )
     linked.unpersist()
     return pr.select(
