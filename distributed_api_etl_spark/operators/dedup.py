@@ -757,6 +757,30 @@ def passage_exact_dedup(
         .groupBy(id_col)
         .agg(F.collect_list("idx").alias("_dropped"))
     )
+    return _reassemble_clean(base, dropped, id_col)
+
+
+def _passage_fingerprints(base: DataFrame, id_col: str) -> DataFrame:
+    """(id, idx, h1, h2) fingerprint stream off a per-doc passage-array
+    frame — the strings are hashed inside the projection and never reach
+    an exchange."""
+    return base.select(
+        F.col(id_col), F.posexplode("_ps").alias("_pos", "_p")
+    ).select(
+        F.col(id_col),
+        (F.col("_pos") + 1).cast("bigint").alias("idx"),
+        F.xxhash64("_p").alias("_h1"),
+        F.xxhash64("_p", F.lit(-1640531527)).alias("_h2"),
+    )
+
+
+def _reassemble_clean(
+    base: DataFrame, dropped: DataFrame, id_col: str
+) -> DataFrame:
+    """Map-side cleaned-corpus rebuild: the small per-doc dropped-positions
+    map left-joins (AQE broadcast) the cached passage arrays, and an
+    index-aware filter strips the dropped 1-based positions in place —
+    the corpus text never exchanges."""
     no_drops = F.array().cast("array<bigint>")
     dropped_arr = F.coalesce(F.col("_dropped"), no_drops)
     n_passages = F.when(F.col("_ps").isNull(), F.lit(0)).otherwise(
@@ -782,3 +806,74 @@ def passage_exact_dedup(
         )
         .alias("cleaned_text"),
     )
+
+
+def passage_incremental_dedup(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    passage_tokens: int = 5,
+    min_df: int = 2,
+) -> DataFrame:
+    """Continuous-ingest passage dedup: clean ONLY the new batch against a
+    standing corpus. A new doc's passage is dropped when it appears
+    anywhere in the corpus (the corpus already holds its keeper), or — for
+    batch-internal repeats reaching ``min_df`` — everywhere but its first
+    (id, idx) occurrence within the batch.
+
+    100 TB shape (mirrors incremental_lsh_pairs: the standing corpus never
+    self-joins and never shuffles): the corpus contributes ONE streaming
+    fingerprint scan, semi-joined against the batch-bounded distinct key
+    set (AQE broadcasts it — the join output is bounded by the BATCH, not
+    the corpus), then distinct-ed at batch size. Batch-side stats, the
+    dropped-positions map, and the map-side reassembly are the
+    :func:`passage_exact_dedup` machinery reused.
+
+    Output: (id, n_passages, kept_passages, cleaned_text) for every NEW
+    doc only.
+    """
+    new_base = scoped_persist(
+        new_df.select(
+            F.col(id_col),
+            passage_array(F.col(text_col), passage_tokens).alias("_ps"),
+        )
+    )
+    new_fps = _passage_fingerprints(new_base, id_col)
+    new_keys = new_fps.select("_h1", "_h2").distinct()
+    corpus_fps = _passage_fingerprints(
+        corpus_df.select(
+            F.col(id_col),
+            passage_array(F.col(text_col), passage_tokens).alias("_ps"),
+        ),
+        id_col,
+    )
+    # corpus side: one scan, no corpus shuffle — the semi-join keeps only
+    # fingerprints the batch also has, so the distinct that follows runs
+    # over a batch-bounded frame
+    corpus_hits = (
+        corpus_fps.join(new_keys, ["_h1", "_h2"], "left_semi")
+        .select("_h1", "_h2")
+        .distinct()
+        .withColumn("_in_corpus", F.lit(True))
+    )
+    stats = new_fps.groupBy("_h1", "_h2").agg(
+        F.count("*").alias("_nf"),
+        F.min(F.struct(F.col(id_col), F.col("idx"))).alias("_keeper"),
+    )
+    verdict = stats.join(corpus_hits, ["_h1", "_h2"], "left").where(
+        F.col("_in_corpus").isNotNull() | (F.col("_nf") >= min_df)
+    )
+    dropped = (
+        new_fps.join(verdict, ["_h1", "_h2"])  # AQE broadcasts the verdict
+        .where(
+            F.col("_in_corpus").isNotNull()
+            | ~(
+                (F.col(f"_keeper.{id_col}") == F.col(id_col))
+                & (F.col("_keeper.idx") == F.col("idx"))
+            )
+        )
+        .groupBy(id_col)
+        .agg(F.collect_list("idx").alias("_dropped"))
+    )
+    return _reassemble_clean(new_base, dropped, id_col)

@@ -633,3 +633,67 @@ def dedup_passage_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, "doc_id", "text",
         passage_tokens=PASSAGE_TOKENS, min_df=PASSAGE_MIN_DF,
     )
+
+
+@register(
+    "dedup_passage_incremental",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    pas AS (
+      SELECT doc_id, CAST(i AS BIGINT) AS idx,
+             list_aggregate(
+               t[(i-1)*{PASSAGE_TOKENS}+1 : least(i*{PASSAGE_TOKENS}, len(t))],
+               'string_agg', ' ') AS p
+      FROM toks,
+           UNNEST(generate_series(
+             1, CAST(ceil(len(t) / CAST({PASSAGE_TOKENS} AS DOUBLE)) AS BIGINT)
+           )) u(i)
+    ),
+    newpas AS (SELECT * FROM pas WHERE {_NEW_TIER}),
+    corp AS (SELECT DISTINCT p, TRUE AS in_corpus
+             FROM pas WHERE NOT ({_NEW_TIER})),
+    w AS (
+      SELECT n.doc_id, n.idx, n.p,
+             COALESCE(c.in_corpus, FALSE) AS in_corpus,
+             count(*) OVER (PARTITION BY n.p) AS nf,
+             row_number() OVER (PARTITION BY n.p ORDER BY n.doc_id, n.idx)
+               AS rn
+      FROM newpas n LEFT JOIN corp c ON c.p = n.p
+    ),
+    agg AS (
+      SELECT doc_id,
+             CAST(count(*) AS BIGINT) AS n_passages,
+             CAST(sum(CASE WHEN NOT in_corpus
+                            AND (nf < {PASSAGE_MIN_DF} OR rn = 1)
+                           THEN 1 ELSE 0 END) AS BIGINT) AS kept_passages,
+             string_agg(CASE WHEN NOT in_corpus
+                              AND (nf < {PASSAGE_MIN_DF} OR rn = 1)
+                             THEN p END, ' ' ORDER BY idx) AS cleaned_text
+      FROM w GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(a.n_passages, 0) AS BIGINT) AS n_passages,
+           CAST(COALESCE(a.kept_passages, 0) AS BIGINT) AS kept_passages,
+           COALESCE(a.cleaned_text, '') AS cleaned_text
+    FROM (SELECT doc_id FROM documents WHERE {_NEW_TIER}) d
+    LEFT JOIN agg a ON a.doc_id = d.doc_id
+    """,
+    tags=("dedup", "text", "ml", "pipeline"),
+)
+def dedup_passage_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-ingest passage dedup (operators/dedup.py:
+    passage_incremental_dedup): the new batch (doc_id % 5 == 0) is cleaned
+    against the standing corpus — a new passage is dropped when the corpus
+    already contains it, or kept only at its first in-batch occurrence
+    when the batch repeats it. The corpus contributes ONE streaming
+    fingerprint scan semi-joined against the batch-bounded key set (it
+    never self-joins, never shuffles — the property that makes re-ingest
+    affordable against a 100 TB standing corpus, same contract as
+    dedup_incremental_minhash)."""
+    docs = fan_out(table(spark, sf_dir, "documents"))
+    new_batch = docs.where(F.expr(_NEW_TIER))
+    corpus = docs.where(~F.expr(_NEW_TIER))
+    return D.passage_incremental_dedup(
+        new_batch, corpus, "doc_id", "text",
+        passage_tokens=PASSAGE_TOKENS, min_df=PASSAGE_MIN_DF,
+    )

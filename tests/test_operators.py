@@ -1509,3 +1509,32 @@ def test_passage_exact_dedup_semantics(spark):
     assert out[4] == (0, 0, "")
     assert out[5] == (1, 0, "")
     assert out[6] == (2, 1, "z z z z z")
+
+
+def test_passage_incremental_dedup_semantics(spark):
+    """Corpus hit drops ALL new occurrences (corpus holds the keeper);
+    batch-internal repeats keep the first (doc_id, idx); corpus-free
+    unique passages survive; output covers new docs only."""
+    from distributed_api_etl_spark.operators.dedup import passage_incremental_dedup
+
+    corpus = spark.createDataFrame(
+        [(1, "a b c d e x y z w v")], "doc_id bigint, text string"
+    )
+    new = spark.createDataFrame(
+        [
+            (10, "a b c d e q q q q q"),  # p1 in corpus -> dropped; p2 unique
+            (20, "q q q q q"),            # repeats doc 10's p2 -> keeper is (10,2)
+            (30, "n n n n n"),            # unique, untouched
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {
+        r.doc_id: (r.n_passages, r.kept_passages, r.cleaned_text)
+        for r in passage_incremental_dedup(
+            new, corpus, "doc_id", "text", passage_tokens=5, min_df=2
+        ).collect()
+    }
+    assert set(out) == {10, 20, 30}  # corpus docs never appear
+    assert out[10] == (2, 1, "q q q q q")
+    assert out[20] == (1, 0, "")
+    assert out[30] == (1, 1, "n n n n n")
