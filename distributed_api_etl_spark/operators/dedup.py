@@ -300,7 +300,10 @@ def minhash_signatures_from_sets(base: DataFrame, id_col: str) -> DataFrame:
     :func:`minhash_signatures`, where empty docs contribute no rows. The
     size predicate runs ABOVE the persisted shingle-set frame, so it reads
     the cached array — it does not duplicate the shingling kernel."""
-    base = base.where(F.size("xhs") > 0)
+    # size on the CACHED shs column — size("xhs") would re-evaluate the
+    # per-shingle hash transform (HOFs sit outside codegen CSE) just to
+    # take a length; |xhs| == |shs| by construction
+    base = base.where(F.size("shs") > 0)
     sig_cols = [
         F.array_min(
             F.transform(
@@ -673,19 +676,6 @@ def passage_array(text: Column, passage_tokens: int = 5) -> Column:
     )
 
 
-def passage_table(
-    df: DataFrame, id_col: str, text_col: str, passage_tokens: int = 5
-) -> DataFrame:
-    """Long-form (id, idx, p) passage rows via :func:`passage_array` +
-    posexplode; each row carries a 1-based ``idx`` so the cleaned document
-    can be reassembled in order later. Null-text docs contribute no rows.
-    """
-    passages = passage_array(F.col(text_col), passage_tokens)
-    return df.select(
-        F.col(id_col), F.posexplode(passages).alias("_pos", "p")
-    ).select(F.col(id_col), (F.col("_pos") + 1).cast("bigint").alias("idx"), "p")
-
-
 def passage_exact_dedup(
     df: DataFrame,
     id_col: str,
@@ -728,16 +718,7 @@ def passage_exact_dedup(
             passage_array(F.col(text_col), passage_tokens).alias("_ps"),
         )
     )
-    # fingerprint stream: (id, idx, h1, h2) — the passage strings are
-    # hashed inside the projection and never reach an exchange
-    fps = base.select(
-        F.col(id_col), F.posexplode("_ps").alias("_pos", "_p")
-    ).select(
-        F.col(id_col),
-        (F.col("_pos") + 1).cast("bigint").alias("idx"),
-        F.xxhash64("_p").alias("_h1"),
-        F.xxhash64("_p", F.lit(-1640531527)).alias("_h2"),
-    )
+    fps = _passage_fingerprints(base, id_col)
     dup = (
         fps.groupBy("_h1", "_h2")
         .agg(

@@ -42,10 +42,20 @@ def truncate_lineage(df: DataFrame, eager: bool = True) -> DataFrame:
     right after checkpointing (the CC convergence count) pass False so
     each round submits ONE job instead of two — at tiny |E| the per-round
     job overhead IS the wall time (SCALE.md round-6 profile).
+
+    The RELIABLE path IGNORES ``eager`` and always materializes: RDD
+    ``doCheckpoint`` stops at the nearest marked ancestor
+    (``checkpointAllMarkedAncestors`` defaults false), so stacked lazy
+    reliable checkpoints would write only the outermost round — the
+    fault-tolerance property the knob exists for would silently not hold
+    (caught by review, round 6) — and a non-eager reliable checkpoint
+    recomputes its job to write files. Local mode keeps the lazy win; a
+    cluster run trades it for surviving executor loss, which is the
+    point.
     """
     sc = df.sparkSession.sparkContext
     if sc.getCheckpointDir() is not None:
-        return df.checkpoint(eager=eager)
+        return df.checkpoint(eager=True)
     return df.localCheckpoint(eager=eager)
 
 
@@ -321,8 +331,8 @@ def pagerank_fixed_point(
         linked.select(F.col("a").alias("node"))
         .distinct()
         .select("node", F.lit(scale // n_nodes).cast("bigint").alias("pr_fp")),
-        eager=False,  # no per-round action exists; the terminal action
-        # materializes each checkpoint boundary in sequence
+        eager=False,  # local mode: the terminal action materializes the
+        # persisted boundaries; the reliable path forces eager per round
     )
     for _ in range(iters):
         contrib = (

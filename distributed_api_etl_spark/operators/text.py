@@ -764,10 +764,10 @@ def gopher_quality_flags(df: DataFrame, id_col: str, text_col: str) -> DataFrame
     are fixed-point integers (centi-chars, ppm) via truncating div, so
     the bitmask grades bit-exactly on any engine.
 
-    Flag bits: 1 = word count outside [{minw}, {maxw}];
+    Flag bits: 1 = word count outside [50, 100000] (GOPHER_MIN/MAX_WORDS);
     2 = mean word length outside [3.00, 10.00] chars;
     4 = alphabetic-word share below 80%; 8 = fewer than 2 stopword hits.
-    """.format(minw=GOPHER_MIN_WORDS, maxw=GOPHER_MAX_WORDS)
+    """
     t = tokens(F.col(text_col))
     n_words = F.size(t)
     total_chars = F.aggregate(

@@ -309,6 +309,27 @@ def test_graph_ops_use_reliable_checkpoint_when_dir_configured(spark, tmp_path):
             for f in files
         ]
         assert written, "checkpoint dir configured but nothing was written to it"
+        # pagerank has NO per-round action, so the reliable path must force
+        # eager checkpoints — stacked lazy marks would write only the
+        # outermost round (doCheckpoint stops at the nearest marked
+        # ancestor) and executor loss would replay the whole chain
+        from distributed_api_etl_spark.operators.graph import pagerank_fixed_point
+
+        def rdd_dirs():
+            return {
+                d
+                for root, dirs, _ in os.walk(ckpt)
+                for d in dirs
+                if d.startswith("rdd-")
+            }
+
+        before = rdd_dirs()
+        pagerank_fixed_point(edges, iters=3).collect()
+        new_dirs = rdd_dirs() - before
+        assert len(new_dirs) >= 3, (
+            f"expected one reliable checkpoint per pagerank round, got "
+            f"{len(new_dirs)}"
+        )
     finally:
         # unset so the rest of the suite keeps the localCheckpoint default
         # (no public unset API; the scala field is test-reachable via py4j)
