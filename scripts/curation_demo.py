@@ -4,8 +4,10 @@
 Runs the composed pipeline the operator library exists for, against the
 testdata documents table:
 
-    quality-model gate -> benchmark decontamination -> MinHash near-dup
-    keep-set -> token-budget stats -> deterministic sharding
+    Gopher heuristic gate -> quality-model gate -> benchmark
+    decontamination -> passage-level exact dedup (cleaned text) ->
+    MinHash near-dup keep-set -> leakage-safe train/val/test split ->
+    token-budget stats -> deterministic sharding
 
 Usage:
     python scripts/curation_demo.py [sf_dir] [n_shards]
@@ -31,11 +33,18 @@ def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     n_shards = int(sys.argv[2]) if len(sys.argv) > 2 else 8
 
-    from distributed_api_etl_spark.operators.dedup import minhash_lsh_pairs
+    from distributed_api_etl_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        passage_exact_dedup,
+    )
     from distributed_api_etl_spark.operators.graph import dedup_cluster_assignment
-    from distributed_api_etl_spark.operators.sampling import shard_assignment
+    from distributed_api_etl_spark.operators.sampling import (
+        leakage_safe_split,
+        shard_assignment,
+    )
     from distributed_api_etl_spark.operators.text import (
         decontaminate,
+        gopher_quality_flags,
         quality_model_score,
     )
     from distributed_api_etl_spark.queries.registry import table
@@ -46,6 +55,16 @@ def main() -> None:
 
     docs = table(spark, sf_dir, "documents")
     n_total = docs.count()
+
+    # cheapest gate first: the zero-shuffle Gopher battery runs at scan
+    # speed, so everything downstream sees fewer rows
+    docs = docs.join(
+        gopher_quality_flags(docs, "doc_id", "text")
+        .where("keep")
+        .select("doc_id"),
+        "doc_id",
+    )
+    n_gopher = docs.count()
 
     gated = docs.join(
         quality_model_score(docs, "doc_id", "text").where("keep").select("doc_id"),
@@ -58,12 +77,35 @@ def main() -> None:
     clean = decontaminate(gated, eval_set, "doc_id", "text", n=3)
     n_clean = clean.count()
 
+    # strip repeated spans (boilerplate paragraphs) BEFORE doc-level
+    # near-dup detection: cleaned text is what ships to training
+    cleaned = passage_exact_dedup(clean, "doc_id", "text")
+    n_span_dropped = (
+        cleaned.select(
+            F.sum(F.col("n_passages") - F.col("kept_passages")).alias("d")
+        ).first()["d"]
+        or 0
+    )
+    clean = clean.drop("text").join(
+        cleaned.select("doc_id", F.col("cleaned_text").alias("text")), "doc_id"
+    )
+
     pairs = minhash_lsh_pairs(clean, "doc_id", "text", 3, 70)
     clusters = dedup_cluster_assignment(
         pairs.select("d1", "d2"), clean.select("doc_id"), "doc_id"
     )
-    final = clean.join(clusters.where("is_keep").select("doc_id"), "doc_id")
+    final = clean.join(clusters, "doc_id").where("is_keep")
     n_final = final.count()
+
+    # leakage-safe split: keyed on the near-dup CLUSTER id, so near-dups
+    # can never straddle train/val/test
+    split_hist = {
+        r["split"]: r["n"]
+        for r in leakage_safe_split(final)
+        .groupBy("split")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
 
     tokens = final.select(
         F.sum(F.size(F.split(F.col("text"), " "))).alias("t")
@@ -81,9 +123,12 @@ def main() -> None:
             {
                 "sf_dir": sf_dir,
                 "docs_total": n_total,
+                "after_gopher_gate": n_gopher,
                 "after_quality_gate": n_gated,
                 "after_decontamination": n_clean,
                 "after_near_dup_dedup": n_final,
+                "passages_stripped": int(n_span_dropped),
+                "split": {k: split_hist[k] for k in sorted(split_hist)},
                 "surviving_tokens": int(tokens),
                 "shards": {str(k): hist[k] for k in sorted(hist)},
             }
