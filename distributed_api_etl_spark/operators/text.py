@@ -810,3 +810,88 @@ def gopher_quality_flags(df: DataFrame, id_col: str, text_col: str) -> DataFrame
         .withColumn("gopher_flags", flags.cast("bigint"))
         .withColumn("keep", F.col("gopher_flags") == 0)
     )
+
+
+def bigram_logprob_micro_sql(
+    c_vw: str = "c_vw",
+    c_v: str = "c_v",
+    c_w: str = "c_w",
+    total_tok: str = "total_tok",
+) -> str:
+    """Per-bigram-occurrence surprisal in integer MICRO-nats under an
+    interpolated bigram LM: ``-ln(0.7 * c_vw/c_v + 0.3 * c_w/T)``.
+
+    ``c_v`` is the PREFIX count (bigrams starting with v), so the ML term
+    is a proper conditional; the 0.3 unigram interpolation floor keeps the
+    argument positive for any in-corpus bigram. One shared SQL string,
+    fixed op order, scientific-notation literals (both engines parse bare
+    decimals as DECIMAL — the pinned gotcha), exact-integer inputs cast to
+    DOUBLE individually: bit-identical across engines, and the per-doc sum
+    is an order-free integer. The probability never exceeds 1 (both terms
+    are ratios <= 1 with weights summing to 1), so the value is >= 0.
+    """
+    ml = f"(CAST({c_vw} AS DOUBLE) / CAST({c_v} AS DOUBLE))"
+    uni = f"(CAST({c_w} AS DOUBLE) / CAST({total_tok} AS DOUBLE))"
+    return (
+        f"CAST(floor(-ln(7e-1 * {ml} + 3e-1 * {uni}) * 1e6 + 5e-1) AS BIGINT)"
+    )
+
+
+def bigram_logprob_scores(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Mean per-token surprisal under a corpus-fit INTERPOLATED BIGRAM LM —
+    the step from the unigram CCNet proxy toward the KenLM-style gate
+    production corpus filters use (real CCNet uses a 5-gram model; bigram
+    with unigram interpolation is the same math one order up).
+
+    Plan: the bigram stream explodes map-side (zip of the token array with
+    its tail); its groupBy(v, w) exchange is REUSED by the score join
+    (byte-identical subtree, same keys), so the corpus pays one
+    bigram-keyed shuffle total. Prefix counts c_v derive from the bigram
+    table (second-level aggregate over vocab-sized input, not a corpus
+    pass); unigram counts and the corpus total ride the vocab aggregation;
+    scalars broadcast one-row. Output: one row per doc with >= 1 bigram:
+    (id, n_bigrams, surprisal_micro_sum BIGINT, mean_surprisal_nats
+    DOUBLE).
+    """
+    t = tokens(F.col(text_col))
+    bigram_arr = F.when(
+        F.size(t) >= 2,
+        F.zip_with(
+            F.slice(t, 1, F.size(t) - 1),
+            F.slice(t, 2, F.size(t) - 1),
+            lambda v, w: F.struct(v.alias("v"), w.alias("w")),
+        ),
+    ).otherwise(F.array().cast("array<struct<v:string,w:string>>"))
+    big = df.select(F.col(id_col), F.explode(bigram_arr).alias("_b")).select(
+        F.col(id_col), F.col("_b.v").alias("v"), F.col("_b.w").alias("w")
+    )
+    cb = big.groupBy("v", "w").agg(F.count("*").alias("c_vw"))
+    cb = scoped_persist(cb)  # read twice: prefix counts + the score join
+    cv = cb.groupBy("v").agg(F.sum("c_vw").alias("c_v"))
+    toks = df.select(F.col(id_col), F.explode(t).alias("term"))
+    uni = toks.groupBy("term").agg(F.count("*").alias("c_w"))
+    uni = scoped_persist(uni)  # read twice: total scalar + the score join
+    total = uni.agg(F.sum("c_w").alias("total_tok"))
+    scored = (
+        big.join(cb, ["v", "w"])
+        .join(cv, "v")
+        .join(uni.withColumnRenamed("term", "w"), "w")
+        .crossJoin(F.broadcast(total))
+        .withColumn("micro", F.expr(bigram_logprob_micro_sql()))
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.sum("micro").alias("surprisal_micro_sum"),
+        )
+    )
+    return scored.select(
+        id_col,
+        F.col("n_bigrams").cast("bigint").alias("n_bigrams"),
+        F.col("surprisal_micro_sum").cast("bigint").alias("surprisal_micro_sum"),
+        (
+            F.col("surprisal_micro_sum").cast("double")
+            / (F.lit(1000000.0) * F.col("n_bigrams").cast("double"))
+        ).alias("mean_surprisal_nats"),
+    )

@@ -1302,3 +1302,59 @@ def documents_gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFram
 
     docs = fan_out(table(spark, sf_dir, "documents"))
     return gopher_quality_flags(docs, "doc_id", "text")
+
+
+def _bigram_logppl_oracle_sql() -> str:
+    from distributed_api_etl_spark.operators.text import bigram_logprob_micro_sql
+
+    return f"""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    big AS (
+      SELECT doc_id, t[i] AS v, t[i+1] AS w
+      FROM toks, UNNEST(generate_series(1, len(t) - 1)) u(i)
+    ),
+    cb AS (SELECT v, w, count(*) AS c_vw FROM big GROUP BY v, w),
+    cv AS (SELECT v, CAST(sum(c_vw) AS BIGINT) AS c_v FROM cb GROUP BY v),
+    uni AS (
+      SELECT term, count(*) AS c_w
+      FROM (SELECT unnest(t) AS term FROM toks) GROUP BY term
+    ),
+    tot AS (SELECT CAST(sum(c_w) AS BIGINT) AS total_tok FROM uni),
+    scored AS (
+      SELECT b.doc_id,
+             count(*) AS n_bigrams,
+             CAST(sum({bigram_logprob_micro_sql()}) AS BIGINT)
+               AS surprisal_micro_sum
+      FROM big b
+      JOIN cb USING (v, w)
+      JOIN cv USING (v)
+      JOIN (SELECT term AS w, c_w FROM uni) uw USING (w)
+      CROSS JOIN tot
+      GROUP BY b.doc_id
+    )
+    SELECT doc_id,
+           CAST(n_bigrams AS BIGINT) AS n_bigrams,
+           surprisal_micro_sum,
+           CAST(surprisal_micro_sum AS DOUBLE)
+             / (1e6 * CAST(n_bigrams AS DOUBLE)) AS mean_surprisal_nats
+    FROM scored
+    """
+
+
+@register(
+    "documents_bigram_logppl",
+    oracle=_bigram_logppl_oracle_sql(),
+    tags=("text", "quality", "ml", "pipeline"),
+)
+def documents_bigram_logppl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean per-token surprisal under a corpus-fit interpolated BIGRAM LM
+    (operators/text.py:bigram_logprob_scores) — one model order above the
+    unigram CCNet proxy, the same shape production KenLM gates use. The
+    corpus pays ONE bigram-keyed shuffle (the groupBy exchange is reused
+    by the score join); per-bigram surprisal is an integer micro-nat from
+    one shared SQL expression, so per-doc sums grade exactly on both
+    engines."""
+    from distributed_api_etl_spark.operators.text import bigram_logprob_scores
+
+    docs = fan_out(table(spark, sf_dir, "documents"))
+    return bigram_logprob_scores(docs, "doc_id", "text")

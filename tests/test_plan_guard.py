@@ -61,6 +61,7 @@ ALLOW_BNLJ = {
     "documents_bm25_relevance": "1-row corpus-stats scalar (N, total tokens)",
     "documents_unigram_logppl": "1-row total-token scalar",
     "documents_dsir_importance": "1-row corpus-totals + vocab-size scalar",
+    "documents_bigram_logppl": "1-row total-token scalar",
 }
 
 LINEITEM_WIDTH = 11
