@@ -821,7 +821,16 @@ def passage_incremental_dedup(
         )
     )
     new_fps = _passage_fingerprints(new_base, id_col)
-    new_keys = new_fps.select("_h1", "_h2").distinct()
+    stats = new_fps.groupBy("_h1", "_h2").agg(
+        F.count("*").alias("_nf"),
+        F.min(F.struct(F.col(id_col), F.col("idx"))).alias("_keeper"),
+    )
+    # the batch's distinct key set is the stats aggregate's key column —
+    # a separate new_fps.select(...).distinct() would plan a SECOND
+    # batch-sized exchange on the same keys (different projection, so
+    # ReusedExchange cannot merge it); deriving it from stats makes the
+    # one shuffle appear twice in the plan and compute once
+    new_keys = stats.select("_h1", "_h2")
     corpus_fps = _passage_fingerprints(
         corpus_df.select(
             F.col(id_col),
@@ -837,10 +846,6 @@ def passage_incremental_dedup(
         .select("_h1", "_h2")
         .distinct()
         .withColumn("_in_corpus", F.lit(True))
-    )
-    stats = new_fps.groupBy("_h1", "_h2").agg(
-        F.count("*").alias("_nf"),
-        F.min(F.struct(F.col(id_col), F.col("idx"))).alias("_keeper"),
     )
     verdict = stats.join(corpus_hits, ["_h1", "_h2"], "left").where(
         F.col("_in_corpus").isNotNull() | (F.col("_nf") >= min_df)

@@ -5,9 +5,9 @@ Runs the composed pipeline the operator library exists for, against the
 testdata documents table:
 
     Gopher heuristic gate -> quality-model gate -> benchmark
-    decontamination -> passage-level exact dedup (cleaned text) ->
-    MinHash near-dup keep-set -> leakage-safe train/val/test split ->
-    token-budget stats -> deterministic sharding
+    decontamination -> MinHash near-dup keep-set -> passage-level exact
+    dedup of the keepers (cleaned text) -> leakage-safe train/val/test
+    split -> token-budget stats -> deterministic sharding
 
 Usage:
     python scripts/curation_demo.py [sf_dir] [n_shards]
@@ -77,24 +77,31 @@ def main() -> None:
     clean = decontaminate(gated, eval_set, "doc_id", "text", n=3)
     n_clean = clean.count()
 
-    # strip repeated spans (boilerplate paragraphs) BEFORE doc-level
-    # near-dup detection: cleaned text is what ships to training
-    cleaned = passage_exact_dedup(clean, "doc_id", "text")
+    # doc-level near-dup removal runs on the RAW text FIRST: passage
+    # cleaning strips an exact duplicate down to an empty husk whose
+    # shingle set can no longer near-dup-match anything (review finding,
+    # round 6) — dedup the originals, then clean the keepers
+    pairs = minhash_lsh_pairs(clean, "doc_id", "text", 3, 70)
+    clusters = dedup_cluster_assignment(
+        pairs.select("d1", "d2"), clean.select("doc_id"), "doc_id"
+    )
+    final = clean.join(clusters, "doc_id").where("is_keep")
+
+    # strip repeated spans (boilerplate paragraphs) from the kept corpus;
+    # docs reduced to nothing but boilerplate are dropped entirely
+    cleaned = passage_exact_dedup(final, "doc_id", "text")
     n_span_dropped = (
         cleaned.select(
             F.sum(F.col("n_passages") - F.col("kept_passages")).alias("d")
         ).first()["d"]
         or 0
     )
-    clean = clean.drop("text").join(
-        cleaned.select("doc_id", F.col("cleaned_text").alias("text")), "doc_id"
+    final = final.drop("text").join(
+        cleaned.where("kept_passages > 0").select(
+            "doc_id", F.col("cleaned_text").alias("text")
+        ),
+        "doc_id",
     )
-
-    pairs = minhash_lsh_pairs(clean, "doc_id", "text", 3, 70)
-    clusters = dedup_cluster_assignment(
-        pairs.select("d1", "d2"), clean.select("doc_id"), "doc_id"
-    )
-    final = clean.join(clusters, "doc_id").where("is_keep")
     n_final = final.count()
 
     # leakage-safe split: keyed on the near-dup CLUSTER id, so near-dups
