@@ -1344,6 +1344,9 @@ def _bigram_logppl_oracle_sql() -> str:
 @register(
     "documents_bigram_logppl",
     oracle=_bigram_logppl_oracle_sql(),
+    # bench head: the bigram-keyed corpus shuffle is the largest exchange
+    # in the text-quality family — the counter worth tracking
+    bench=True,
     tags=("text", "quality", "ml", "pipeline"),
 )
 def documents_bigram_logppl(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -398,3 +398,41 @@ def test_backfill_state_missing_vs_corrupt(spark, tmp_path):
     (corrupt / "part-00000.parquet").write_bytes(b"this is not parquet")
     with pytest.raises(Exception):
         completed_units(spark, str(corrupt))
+
+
+def test_curation_demo_composed_pipeline(spark, capsys):
+    """The one-command corpus-curation script must keep its stage order
+    (near-dup removal on RAW text before passage cleaning — review
+    finding round 6) and emit a complete summary."""
+    import json
+    import sys
+
+    sys.path.insert(0, "scripts")
+    import curation_demo
+
+    argv = sys.argv
+    sys.argv = ["curation_demo.py", "/root/testdata/sf0.001", "4"]
+    try:
+        curation_demo.main()
+    finally:
+        sys.argv = argv
+    out = [
+        line
+        for line in capsys.readouterr().out.strip().splitlines()
+        if line.startswith("{")
+    ]
+    summary = json.loads(out[-1])
+    assert summary["docs_total"] > 0
+    # monotone survivor funnel
+    assert (
+        summary["docs_total"]
+        >= summary["after_gopher_gate"]
+        >= summary["after_quality_gate"]
+        >= summary["after_decontamination"]
+        >= summary["after_near_dup_dedup"]
+        > 0
+    )
+    assert summary["passages_stripped"] >= 0
+    assert set(summary["split"]) <= {"train", "val", "test"}
+    assert sum(summary["shards"].values()) == summary["after_near_dup_dedup"]
+    assert summary["surviving_tokens"] > 0
