@@ -669,3 +669,171 @@ def test_leakage_split_cluster_consistent(spark_global, pairs, train_pct, val_pc
         by_cluster.setdefault(r["cluster_id"], set()).add(r["split"])
     assert all(len(s) == 1 for s in by_cluster.values())
     assert {r["split"] for r in out} <= {"train", "val", "test"}
+
+
+# ---------------------------------------------------------------------------
+# passage dedup: full-corpus and incremental variants vs a sequential
+# Python reference; PPJoin prefix-filter candidate completeness
+# ---------------------------------------------------------------------------
+def _passage_ref(docs, p, min_df):
+    """Sequential reference for passage_exact_dedup: (id -> (n, kept, text))."""
+    pas = []  # (doc_id, idx, passage) in scan order
+    for did, toks in docs:
+        for i in range(0, len(toks), p):
+            pas.append((did, i // p + 1, " ".join(toks[i : i + p])))
+    from collections import Counter
+
+    cnt = Counter(s for _, _, s in pas)
+    first = {}
+    for did, idx, s in sorted(pas):
+        first.setdefault(s, (did, idx))
+    out = {}
+    for did, toks in docs:
+        mine = [(i, s) for d, i, s in pas if d == did]
+        kept = [
+            s
+            for i, s in mine
+            if cnt[s] < min_df or first[s] == (did, i)
+        ]
+        out[did] = (len(mine), len(kept), " ".join(kept))
+    return out
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    st.lists(
+        st.lists(st.sampled_from(_POOL[:4]), min_size=1, max_size=12),
+        min_size=1,
+        max_size=8,
+    ),
+    st.sampled_from([2, 3]),
+)
+def test_passage_exact_dedup_matches_reference(spark_global, token_docs, p):
+    """Random corpora over a tiny vocab (forcing collisions): the Spark
+    plan must equal the sequential first-occurrence-wins reference, and
+    with an unreachable min_df it must round-trip the corpus untouched."""
+    from distributed_api_etl_spark.operators.dedup import passage_exact_dedup
+
+    docs = [(i, toks) for i, toks in enumerate(token_docs)]
+    df = spark_global.createDataFrame(
+        [(i, " ".join(t)) for i, t in docs], "doc_id bigint, text string"
+    )
+    ref = _passage_ref(docs, p, 2)
+    got = {
+        r.doc_id: (r.n_passages, r.kept_passages, r.cleaned_text)
+        for r in passage_exact_dedup(
+            df, "doc_id", "text", passage_tokens=p, min_df=2
+        ).collect()
+    }
+    assert got == ref
+    # identity round-trip: min_df beyond any possible count drops nothing
+    untouched = {
+        r.doc_id: r.cleaned_text
+        for r in passage_exact_dedup(
+            df, "doc_id", "text", passage_tokens=p, min_df=10**6
+        ).collect()
+    }
+    assert untouched == {i: " ".join(t) for i, t in docs}
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    st.lists(
+        st.lists(st.sampled_from(_POOL[:4]), min_size=1, max_size=10),
+        min_size=1,
+        max_size=5,
+    ),
+    st.lists(
+        st.lists(st.sampled_from(_POOL[:4]), min_size=1, max_size=10),
+        min_size=1,
+        max_size=5,
+    ),
+)
+def test_passage_incremental_matches_reference(spark_global, new_toks, corp_toks):
+    """Incremental semantics: corpus hit -> drop all new occurrences;
+    batch-internal repeat -> keep first; otherwise untouched."""
+    from distributed_api_etl_spark.operators.dedup import passage_incremental_dedup
+
+    p = 3
+    new_docs = [(i, t) for i, t in enumerate(new_toks)]
+    corp_docs = [(1000 + i, t) for i, t in enumerate(corp_toks)]
+
+    def chunks(toks):
+        return [" ".join(toks[i : i + p]) for i in range(0, len(toks), p)]
+
+    corp_set = {s for _, t in corp_docs for s in chunks(t)}
+    from collections import Counter
+
+    npas = [
+        (did, i + 1, s)
+        for did, t in new_docs
+        for i, s in enumerate(chunks(t))
+    ]
+    cnt = Counter(s for _, _, s in npas)
+    first = {}
+    for did, idx, s in sorted(npas):
+        first.setdefault(s, (did, idx))
+    ref = {}
+    for did, t in new_docs:
+        mine = chunks(t)
+        kept = [
+            s
+            for i, s in enumerate(mine)
+            if s not in corp_set and (cnt[s] < 2 or first[s] == (did, i + 1))
+        ]
+        ref[did] = (len(mine), len(kept), " ".join(kept))
+    new_df = spark_global.createDataFrame(
+        [(i, " ".join(t)) for i, t in new_docs], "doc_id bigint, text string"
+    )
+    corp_df = spark_global.createDataFrame(
+        [(i, " ".join(t)) for i, t in corp_docs], "doc_id bigint, text string"
+    )
+    got = {
+        r.doc_id: (r.n_passages, r.kept_passages, r.cleaned_text)
+        for r in passage_incremental_dedup(
+            new_df, corp_df, "doc_id", "text", passage_tokens=p, min_df=2
+        ).collect()
+    }
+    assert got == ref
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    st.lists(
+        st.lists(st.sampled_from(_POOL[:5]), min_size=3, max_size=10),
+        min_size=2,
+        max_size=8,
+    ),
+    st.sampled_from([50, 70, 80, 90]),
+)
+def test_ppjoin_jaccard_matches_bruteforce(spark_global, token_docs, pct):
+    """Prefix-filter completeness, empirically: the hash-space PPJoin
+    result must equal exact all-pairs Jaccard over distinct 3-shingle
+    sets at every threshold — no qualifying pair may be lost."""
+    from distributed_api_etl_spark.operators.dedup import jaccard_pairs
+
+    docs = [(i, toks) for i, toks in enumerate(token_docs)]
+    df = spark_global.createDataFrame(
+        [(i, " ".join(t)) for i, t in docs], "doc_id bigint, text string"
+    )
+
+    def shingle_set(toks):
+        return {
+            " ".join(toks[i : i + 3]) for i in range(len(toks) - 2)
+        }
+
+    sets = {i: shingle_set(t) for i, t in docs}
+    expected = set()
+    for a in sets:
+        for b in sets:
+            if a >= b or not sets[a] or not sets[b]:
+                continue
+            inter = len(sets[a] & sets[b])
+            union = len(sets[a] | sets[b])
+            if 100 * inter >= pct * union:
+                expected.add((a, b, inter, union))
+    got = {
+        (r.d1, r.d2, r.inter, r.union_sz)
+        for r in jaccard_pairs(df, "doc_id", "text", 3, pct).collect()
+    }
+    assert got == expected
