@@ -678,6 +678,9 @@ def dedup_passage_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM (SELECT doc_id FROM documents WHERE {_NEW_TIER}) d
     LEFT JOIN agg a ON a.doc_id = d.doc_id
     """,
+    # bench head: the counter proves the incremental contract — the corpus
+    # contributes a scan, not a shuffle, so shuffle bytes track the BATCH
+    bench=True,
     tags=("dedup", "text", "ml", "pipeline"),
 )
 def dedup_passage_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
