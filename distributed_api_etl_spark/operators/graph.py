@@ -331,8 +331,8 @@ def pagerank_fixed_point(
         linked.select(F.col("a").alias("node"))
         .distinct()
         .select("node", F.lit(scale // n_nodes).cast("bigint").alias("pr_fp")),
-        eager=False,  # local mode: the terminal action materializes the
-        # persisted boundaries; the reliable path forces eager per round
+        eager=False,  # lazy per round: the single materialization below
+        # runs all rounds in one job (the reliable path forces eager)
     )
     for _ in range(iters):
         contrib = (
@@ -351,6 +351,11 @@ def pagerank_fixed_point(
             ),
             eager=False,
         )
+    # materialize the lazy-checkpoint chain while linked is STILL cached
+    # (ADVICE r6: unpersisting first silently demoted every per-round read
+    # of linked from cache hits to shuffle-stage reuse), then drop the
+    # cache — the caller's terminal action reads only the final checkpoint
+    pr.count()
     linked.unpersist()
     return pr.select(
         "node", "pr_fp", (F.col("pr_fp") / F.lit(float(scale))).alias("pr")

@@ -767,8 +767,13 @@ def gopher_quality_flags(df: DataFrame, id_col: str, text_col: str) -> DataFrame
     Flag bits: 1 = word count outside [50, 100000] (GOPHER_MIN/MAX_WORDS);
     2 = mean word length outside [3.00, 10.00] chars;
     4 = alphabetic-word share below 80%; 8 = fewer than 2 stopword hits.
+
+    Null text is treated as empty text (coalesced to ``''`` before
+    tokenizing): a quality gate that rejects ``''`` but passes NULL —
+    every stat NULL, every flag condition NULL, otherwise(0) — is
+    inverted, so both degenerate forms fail the min-word-count rule.
     """
-    t = tokens(F.col(text_col))
+    t = tokens(F.coalesce(F.col(text_col), F.lit("")))
     n_words = F.size(t)
     total_chars = F.aggregate(
         F.transform(t, lambda w: F.length(w)),

@@ -137,6 +137,7 @@ def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
 def load_all() -> dict[str, QuerySpec]:
     """Import all query modules (they self-register) and return the registry."""
     from distributed_api_etl_spark.queries import (  # noqa: F401
+        curation,
         dedup,
         etl,
         events,

@@ -1250,7 +1250,8 @@ def _gopher_oracle_sql() -> str:
                AS BIGINT) AS alpha_words,
              CAST(len(list_filter(t, w -> list_contains([{stops}], w)))
                AS BIGINT) AS stop_hits
-      FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+      FROM (SELECT doc_id, string_split(coalesce(text, ''), ' ') AS t
+            FROM documents)
     ),
     derived AS (
       SELECT *,

@@ -86,6 +86,10 @@ def main() -> None:
         pairs.select("d1", "d2"), clean.select("doc_id"), "doc_id"
     )
     final = clean.join(clusters, "doc_id").where("is_keep")
+    # funnel attribution (ADVICE r6): this stage's survivor count is taken
+    # BEFORE passage cleaning, so span-clean husk drops are not silently
+    # attributed to the near-dup stage
+    n_dedup = final.count()
 
     # strip repeated spans (boilerplate paragraphs) from the kept corpus;
     # docs reduced to nothing but boilerplate are dropped entirely
@@ -133,7 +137,8 @@ def main() -> None:
                 "after_gopher_gate": n_gopher,
                 "after_quality_gate": n_gated,
                 "after_decontamination": n_clean,
-                "after_near_dup_dedup": n_final,
+                "after_near_dup_dedup": n_dedup,
+                "after_span_clean": n_final,
                 "passages_stripped": int(n_span_dropped),
                 "split": {k: split_hist[k] for k in sorted(split_hist)},
                 "surviving_tokens": int(tokens),

