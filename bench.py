@@ -81,10 +81,13 @@ def main() -> None:
 
     RUNS = 2
     timings: dict[str, float] = {}
+    spread_pct: dict[str, float] = {}
     shuffle_mb: dict[str, float] = {}
     total = 0.0
+    load_start = os.getloadavg()[0]
     for name, spec in bench_specs.items():
         best = None
+        worst = None
         for _ in range(RUNS):
             # clear cached frames so every run pays the FULL pipeline —
             # operator-internal persists otherwise leak into the next run
@@ -101,11 +104,19 @@ def main() -> None:
             dt = time.perf_counter() - t0
             w1, _ = shuffle_bytes_snapshot(spark)
             best = dt if best is None else min(best, dt)
+            worst = dt if worst is None else max(worst, dt)
         # bytes from the LAST run (deterministic modulo AQE; runs agree)
         shuffle_mb[name] = round((w1 - w0) / 1e6, 2)
         timings[name] = round(best, 3)
+        # max/min - 1 across the runs: a large spread means the box was
+        # loaded mid-query and the wall number is suspect even as a min
+        spread_pct[name] = round(100.0 * (worst / best - 1.0), 1)
         total += best
 
+    # VERDICT r6 #3: the r6 bench's wall rows were 1.1-1.5x inflated by
+    # EXTERNAL box load with byte-identical shuffle counters — record the
+    # 1-min loadavg at both ends so load-window contamination is
+    # self-documenting in every BENCH_r{N}.json from now on.
     print(
         json.dumps(
             {
@@ -117,6 +128,9 @@ def main() -> None:
                 "runs_per_query": RUNS,
                 "shuffle_write_mb": shuffle_mb,
                 "agg": "min",
+                "loadavg_start": round(load_start, 2),
+                "loadavg_end": round(os.getloadavg()[0], 2),
+                "run_spread_pct": spread_pct,
             }
         )
     )
