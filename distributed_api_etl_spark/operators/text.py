@@ -900,3 +900,115 @@ def bigram_logprob_scores(
             / (F.lit(1000000.0) * F.col("n_bigrams").cast("double"))
         ).alias("mean_surprisal_nats"),
     )
+
+
+#: BOS sentinel for LM padding — a control char no whitespace-split token
+#: can equal unless the raw text contains \x01, in which case the model
+#: degrades gracefully (the sentinel just becomes one more vocab entry).
+LM_BOS = "\x01"
+
+
+def trigram_logprob_micro_sql(
+    c_uvw: str = "c_uvw",
+    c_uv: str = "c_uv",
+    c_vw: str = "c_vw",
+    c_v: str = "c_v",
+    c_w: str = "c_w",
+    total_tok: str = "total_tok",
+) -> str:
+    """Per-trigram-occurrence surprisal in integer MICRO-nats under an
+    interpolated trigram LM: ``-ln(0.5*c_uvw/c_uv + 0.3*c_vw/c_v +
+    0.2*c_w/T)``. Same portability contract as the bigram form: one
+    shared SQL string, fixed op order, scientific-notation float
+    literals, exact-integer counts cast to DOUBLE individually; every
+    ratio is <= 1 and the weights sum to 1, so the argument is in (0, 1]
+    and the value is >= 0 — the per-doc sum is an order-free integer.
+    """
+    ml = f"(CAST({c_uvw} AS DOUBLE) / CAST({c_uv} AS DOUBLE))"
+    bi = f"(CAST({c_vw} AS DOUBLE) / CAST({c_v} AS DOUBLE))"
+    uni = f"(CAST({c_w} AS DOUBLE) / CAST({total_tok} AS DOUBLE))"
+    return (
+        f"CAST(floor(-ln(5e-1 * {ml} + 3e-1 * {bi} + 2e-1 * {uni})"
+        f" * 1e6 + 5e-1) AS BIGINT)"
+    )
+
+
+def trigram_logprob_scores(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Mean per-token surprisal under a corpus-fit INTERPOLATED TRIGRAM
+    LM — one model order above :func:`bigram_logprob_scores`, one closer
+    to the KenLM-style 5-gram gate CCNet uses in production.
+
+    The double-BOS padding trick makes this CHEAPER per order than the
+    bigram gate's plan, not costlier: padding every doc with two
+    ``LM_BOS`` sentinels means each of the doc's n tokens is the tail of
+    exactly one padded trigram, so the trigram table is a COMPLETE
+    sufficient statistic — bigram counts (c_vw = sum over u), bigram
+    prefix counts (c_v), unigram counts (c_w) and the corpus total
+    (T = total tokens) are all second-level aggregates over the
+    vocab-sized trigram table, never a second corpus pass. The corpus
+    pays ONE (u,v,w)-keyed exchange (map-side combinable), which the
+    score join then REUSES (byte-identical subtree, same keys); the
+    lower-order sides are vocab-sized and broadcast under AQE (the
+    Zipfian-skew story at 100x is measured in SCALE.md: AQE skew-join
+    covers the hot-prefix keys, no hybrid needed).
+
+    Output: one row per doc with >= 1 token:
+    (id, n_tokens, surprisal_micro_sum BIGINT, mean_surprisal_nats
+    DOUBLE) — n_tokens == the number of scored trigrams, by construction
+    of the padding.
+    """
+    t = tokens(F.col(text_col))
+    padded = F.concat(F.array(F.lit(LM_BOS), F.lit(LM_BOS)), t)
+    tri_arr = F.when(
+        F.size(t) >= 1,
+        F.transform(
+            F.sequence(F.lit(1), F.size(t)),
+            lambda i: F.struct(
+                F.element_at(padded, i).alias("u"),
+                F.element_at(padded, i + 1).alias("v"),
+                F.element_at(padded, i + 2).alias("w"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<u:string,v:string,w:string>>"))
+    tri = df.select(F.col(id_col), F.explode(tri_arr).alias("_g")).select(
+        F.col(id_col),
+        F.col("_g.u").alias("u"),
+        F.col("_g.v").alias("v"),
+        F.col("_g.w").alias("w"),
+    )
+    ct = tri.groupBy("u", "v", "w").agg(F.count("*").alias("c_uvw"))
+    # read four times (prefix/tail/unigram rollups + the score join):
+    # persist so the corpus-keyed exchange runs once
+    ct = scoped_persist(ct)
+    cuv = ct.groupBy("u", "v").agg(F.sum("c_uvw").alias("c_uv"))
+    cvw = ct.groupBy("v", "w").agg(F.sum("c_uvw").alias("c_vw"))
+    cvw = scoped_persist(cvw)  # read twice: c_v rollup + the score join
+    cv = cvw.groupBy("v").agg(F.sum("c_vw").alias("c_v"))
+    cw = ct.groupBy("w").agg(F.sum("c_uvw").alias("c_w"))
+    cw = scoped_persist(cw)  # read twice: total scalar + the score join
+    total = cw.agg(F.sum("c_w").alias("total_tok"))
+    scored = (
+        tri.join(ct, ["u", "v", "w"])
+        .join(cuv, ["u", "v"])
+        .join(cvw, ["v", "w"])
+        .join(cv, "v")
+        .join(cw, "w")
+        .crossJoin(F.broadcast(total))
+        .withColumn("micro", F.expr(trigram_logprob_micro_sql()))
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum("micro").alias("surprisal_micro_sum"),
+        )
+    )
+    return scored.select(
+        id_col,
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.col("surprisal_micro_sum").cast("bigint").alias("surprisal_micro_sum"),
+        (
+            F.col("surprisal_micro_sum").cast("double")
+            / (F.lit(1000000.0) * F.col("n_tokens").cast("double"))
+        ).alias("mean_surprisal_nats"),
+    )

@@ -1362,3 +1362,71 @@ def documents_bigram_logppl(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = fan_out(table(spark, sf_dir, "documents"))
     return bigram_logprob_scores(docs, "doc_id", "text")
+
+
+def _trigram_logppl_oracle_sql() -> str:
+    from distributed_api_etl_spark.operators.text import trigram_logprob_micro_sql
+
+    # chr(1) = the LM_BOS sentinel; the double padding makes every token
+    # the tail of exactly one trigram, so every lower-order count rolls up
+    # from the ONE trigram table (see operators/text.py:trigram_logprob_scores)
+    return f"""
+    WITH ptoks AS (
+      SELECT doc_id,
+             list_concat([chr(1), chr(1)], string_split(text, ' ')) AS t
+      FROM documents WHERE text IS NOT NULL
+    ),
+    tri AS (
+      SELECT doc_id, t[i] AS u, t[i+1] AS v, t[i+2] AS w
+      FROM ptoks, UNNEST(generate_series(1, len(t) - 2)) s(i)
+    ),
+    ct AS (SELECT u, v, w, count(*) AS c_uvw FROM tri GROUP BY u, v, w),
+    cuv AS (SELECT u, v, CAST(sum(c_uvw) AS BIGINT) AS c_uv
+            FROM ct GROUP BY u, v),
+    cvw AS (SELECT v, w, CAST(sum(c_uvw) AS BIGINT) AS c_vw
+            FROM ct GROUP BY v, w),
+    cv AS (SELECT v, CAST(sum(c_vw) AS BIGINT) AS c_v FROM cvw GROUP BY v),
+    cw AS (SELECT w, CAST(sum(c_uvw) AS BIGINT) AS c_w FROM ct GROUP BY w),
+    tot AS (SELECT CAST(sum(c_w) AS BIGINT) AS total_tok FROM cw),
+    scored AS (
+      SELECT t.doc_id,
+             count(*) AS n_tokens,
+             CAST(sum({trigram_logprob_micro_sql()}) AS BIGINT)
+               AS surprisal_micro_sum
+      FROM tri t
+      JOIN ct USING (u, v, w)
+      JOIN cuv USING (u, v)
+      JOIN cvw USING (v, w)
+      JOIN cv USING (v)
+      JOIN cw USING (w)
+      CROSS JOIN tot
+      GROUP BY t.doc_id
+    )
+    SELECT doc_id,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           surprisal_micro_sum,
+           CAST(surprisal_micro_sum AS DOUBLE)
+             / (1e6 * CAST(n_tokens AS DOUBLE)) AS mean_surprisal_nats
+    FROM scored
+    """
+
+
+@register(
+    "documents_trigram_logppl",
+    oracle=_trigram_logppl_oracle_sql(),
+    bench=True,
+    tags=("text", "quality", "ml", "pipeline"),
+)
+def documents_trigram_logppl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean per-token surprisal under a corpus-fit interpolated TRIGRAM
+    LM (operators/text.py:trigram_logprob_scores) — one order above the
+    bigram gate, one closer to CCNet's 5-gram KenLM. The double-BOS
+    padding makes the trigram table a complete sufficient statistic:
+    bigram/unigram counts and the corpus total all roll up from it, so
+    adding the order costs ZERO extra corpus passes — one (u,v,w)-keyed
+    exchange, reused by the score join; micro-nat fixed-point makes the
+    per-doc sums order-free and bit-identical across engines."""
+    from distributed_api_etl_spark.operators.text import trigram_logprob_scores
+
+    docs = fan_out(table(spark, sf_dir, "documents"))
+    return trigram_logprob_scores(docs, "doc_id", "text")

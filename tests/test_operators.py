@@ -1622,3 +1622,62 @@ def test_sliding_span_dedup_catches_misaligned_spans(spark):
     assert out[3] == (0, 0, "")
     assert out[4] == (2, 2, "p q")
     assert out[5] == (6, 1, "m")
+
+
+def test_trigram_logppl_matches_python_reference(spark):
+    """Spark interpolated-trigram surprisal equals a plain-Python
+    reference on the micro-nat grid; the BOS padding yields exactly
+    n_tokens scored trigrams per doc; a doc of a repeated common pattern
+    scores below one containing a unique continuation."""
+    import math
+    from collections import Counter
+
+    from distributed_api_etl_spark.operators.text import (
+        LM_BOS,
+        trigram_logprob_scores,
+    )
+
+    docs = [
+        (1, "a b a b a b"),
+        (2, "a b c"),
+        (3, "c c a b"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    got = {
+        r["doc_id"]: r
+        for r in trigram_logprob_scores(df, "doc_id", "text").collect()
+    }
+
+    tris = []
+    per_doc: dict[int, list] = {}
+    for i, t in docs:
+        toks = [LM_BOS, LM_BOS] + t.split(" ")
+        mine = [tuple(toks[k : k + 3]) for k in range(len(toks) - 2)]
+        per_doc[i] = mine
+        tris.extend(mine)
+    ct = Counter(tris)
+    cuv = Counter((u, v) for u, v, _ in tris)
+    cvw = Counter((v, w) for _, v, w in tris)
+    cv = Counter(v for _, v, _ in tris)
+    cw = Counter(w for _, _, w in tris)
+    total = len(tris)
+    for i, _ in docs:
+        micro = sum(
+            math.floor(
+                -math.log(
+                    0.5 * (ct[g] / cuv[g[:2]])
+                    + 0.3 * (cvw[g[1:]] / cv[g[1]])
+                    + 0.2 * (cw[g[2]] / total)
+                )
+                * 1e6
+                + 0.5
+            )
+            for g in per_doc[i]
+        )
+        assert got[i]["surprisal_micro_sum"] == micro, i
+        assert got[i]["n_tokens"] == len(per_doc[i])
+    # the repetitive doc is the most predictable of the three
+    assert (
+        got[1]["mean_surprisal_nats"]
+        < got[2]["mean_surprisal_nats"]
+    )

@@ -837,3 +837,66 @@ def test_ppjoin_jaccard_matches_bruteforce(spark_global, token_docs, pct):
         for r in jaccard_pairs(df, "doc_id", "text", 3, pct).collect()
     }
     assert got == expected
+
+
+def _sliding_ref(docs, w, min_df):
+    """Sequential reference for sliding_span_dedup: coverage semantics,
+    keeper = min (doc_id, start), drops union over occurrences."""
+    from collections import Counter
+
+    wins = [
+        (did, s + 1, " ".join(toks[s : s + w]))
+        for did, toks in docs
+        for s in range(len(toks) - w + 1)
+    ]
+    cnt = Counter(g for _, _, g in wins)
+    first = {}
+    for did, s, g in sorted(wins):
+        first.setdefault(g, (did, s))
+    out = {}
+    for did, toks in docs:
+        drops = set()
+        for s0 in range(len(toks) - w + 1):
+            g = " ".join(toks[s0 : s0 + w])
+            if cnt[g] >= min_df and first[g] != (did, s0 + 1):
+                drops.update(range(s0 + 1, s0 + 1 + w))  # 1-based coverage
+        kept = [t for i, t in enumerate(toks) if (i + 1) not in drops]
+        out[did] = (len(toks), len(kept), " ".join(kept))
+    return out
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    st.lists(
+        st.lists(st.sampled_from(_POOL[:3]), min_size=1, max_size=12),
+        min_size=1,
+        max_size=8,
+    ),
+    st.sampled_from([2, 3]),
+)
+def test_sliding_span_dedup_matches_reference(spark_global, token_docs, w):
+    """Random tiny-vocab corpora (forcing overlapping window collisions —
+    the hard case for coverage semantics): the Spark plan must equal the
+    sequential reference at every alignment, and an unreachable min_df
+    must round-trip the corpus untouched."""
+    from distributed_api_etl_spark.operators.dedup import sliding_span_dedup
+
+    docs = [(i, toks) for i, toks in enumerate(token_docs)]
+    df = spark_global.createDataFrame(
+        [(i, " ".join(t)) for i, t in docs], "doc_id bigint, text string"
+    )
+    ref = _sliding_ref(docs, w, 2)
+    got = {
+        r.doc_id: (r.n_tokens, r.kept_tokens, r.cleaned_text)
+        for r in sliding_span_dedup(
+            df, "doc_id", "text", window_tokens=w, min_df=2
+        ).collect()
+    }
+    assert got == ref
+    untouched = {
+        r.doc_id: r.cleaned_text
+        for r in sliding_span_dedup(
+            df, "doc_id", "text", window_tokens=w, min_df=10**6
+        ).collect()
+    }
+    assert untouched == {i: " ".join(t) for i, t in docs}
