@@ -62,6 +62,7 @@ ALLOW_BNLJ = {
     "documents_unigram_logppl": "1-row total-token scalar",
     "documents_dsir_importance": "1-row corpus-totals + vocab-size scalar",
     "documents_bigram_logppl": "1-row total-token scalar",
+    "documents_trigram_logppl": "1-row total-token scalar",
 }
 
 LINEITEM_WIDTH = 11
