@@ -600,51 +600,79 @@ def latest_by_key(
 def edit_distance_pairs(
     df: DataFrame, id_col: str, text_col: str, max_dist: int = 1
 ) -> DataFrame:
-    """All pairs within Levenshtein distance ``max_dist`` (currently 1),
-    via symmetric-delete blocking (SymSpell, public algorithm): each
-    string's blocking-key set is {itself} U {every single-character
-    deletion}; two strings within distance 1 ALWAYS share a key (equal ->
-    the string itself; insertion/deletion -> the shorter string; substitution
-    -> the common deletion), so candidates come from an equi-join on keys
-    and a naive O(N^2) cross join never exists. Candidates sharing only a
-    double-deletion key can be distance 2 — the exact ``levenshtein``
-    verify (built-in on both engines, integer result) filters them.
+    """All pairs within Levenshtein distance ``max_dist`` (1 or 2), via
+    symmetric-delete blocking (SymSpell, public algorithm): each string's
+    blocking-key set is every string reachable by deleting up to
+    ``max_dist`` characters (including zero deletions — the string
+    itself). If lev(a, b) <= d, an optimal alignment has <= d
+    non-matching columns; deleting the characters of those columns from
+    each side (one per side for a substitution column, one from the
+    longer side for an ins/del column) reduces BOTH strings to the same
+    matched subsequence with <= d deletions each — so every true pair
+    shares a key and a naive O(N^2) cross join never exists. Candidates
+    sharing only a deep-deletion key can be up to distance 2*d; the exact
+    ``levenshtein`` verify (built-in on both engines, integer result)
+    filters them.
 
-    Scale: key-set size is O(len) per string, bucket sizes are governed by
+    Plan shape (the passage-dedup "text never shuffles" rule applied to
+    short strings): keys are xxhash64-compressed to 8 bytes before the
+    self-equi-join, so the O(len^d)-per-row key explosion exchanges fixed
+    64-bit fingerprints, never the strings; the (d1, d2) candidate set is
+    distinct-ed while still 16 bytes/row; only then are the two texts
+    joined back by id for the verify, which also annihilates any 64-bit
+    hash collision. Deletion positions come from
+    ``slice(sequence(1, length+1), 1, length)`` — an always-ascending
+    sequence whose slice is empty at length 0 (bare
+    ``sequence(1, length)`` DESCENDS to [1, 0] on the empty string).
+
+    Scale: key-set size is O(len^max_dist) per string (len + C(len,2) + 1
+    at d=2 — ~170 keys for a 18-char name), bucket sizes are governed by
     near-duplicate density (the same argument as LSH bands); the verify
-    runs on candidates only. For larger ``max_dist`` generalize to
-    multi-deletion keys (cost O(len^d)) — not implemented.
+    runs on distinct candidates only. The one universal bucket is the
+    empty-string key shared by ALL strings of length <= max_dist — fine
+    for names/titles, a documented hazard if the column holds 1-char
+    tokens. For ``max_dist`` > 2 the key count is O(len^d) — not
+    implemented.
 
     Contract: ``id_col`` must be unique per row (same per-key uniqueness
-    contract as scd2_apply). The candidate dedup is on (d1, d2, t1, t2),
-    so a repeated id with differing text would yield duplicate — or
-    worse, conflicting — (d1, d2, lev) rows rather than raising.
+    contract as scd2_apply); a repeated id would join multiple texts back
+    onto one candidate and emit duplicate (d1, d2, lev) rows rather than
+    raising.
 
     Returns (d1, d2, lev) with d1 < d2, exact distances <= max_dist.
     """
-    if max_dist != 1:
-        raise ValueError("edit_distance_pairs implements max_dist=1 only")
+    if max_dist not in (1, 2):
+        raise ValueError("edit_distance_pairs implements max_dist in {1, 2}")
+    dels = (
+        "transform(slice(sequence(1, length({s}) + 1), 1, length({s})), "
+        "{i} -> concat(substring({s}, 1, {i} - 1), substring({s}, {i} + 1)))"
+    )
+    d1 = dels.format(s="_t", i="i")
+    neighborhood = f"array_union(array(_t), {d1})"
+    if max_dist == 2:
+        inner = dels.format(s="s", i="j")
+        neighborhood = (
+            f"array_union({neighborhood}, "
+            f"array_distinct(flatten(transform({d1}, s -> {inner}))))"
+        )
     s = df.select(F.col(id_col), F.col(text_col).alias("_t"))
     keys = s.select(
         id_col,
-        "_t",
-        F.explode(
-            F.array_union(  # also dedups the deletion variants
-                F.array(F.col("_t")),
-                F.expr(
-                    "transform(sequence(1, length(_t)), "
-                    "i -> concat(substring(_t, 1, i - 1), substring(_t, i + 1)))"
-                ),
-            )
-        ).alias("_k"),
-    )
-    a = keys.select(F.col(id_col).alias("d1"), F.col("_t").alias("t1"), "_k")
-    b = keys.select(F.col(id_col).alias("d2"), F.col("_t").alias("t2"), "_k")
-    return (
-        a.join(b, "_k")
+        F.explode(F.expr(neighborhood)).alias("_k"),
+    ).select(id_col, F.xxhash64("_k").alias("_kh"))
+    a = keys.select(F.col(id_col).alias("d1"), "_kh")
+    b = keys.select(F.col(id_col).alias("d2"), "_kh")
+    cand = (
+        a.join(b, "_kh")
         .where(F.col("d1") < F.col("d2"))
-        .select("d1", "d2", "t1", "t2")
+        .select("d1", "d2")
         .distinct()
+    )
+    t1 = s.select(F.col(id_col).alias("d1"), F.col("_t").alias("t1"))
+    t2 = s.select(F.col(id_col).alias("d2"), F.col("_t").alias("t2"))
+    return (
+        cand.join(t1, "d1")
+        .join(t2, "d2")
         .withColumn("lev", F.levenshtein("t1", "t2").cast("int"))
         .where(F.col("lev") <= max_dist)
         .select("d1", "d2", "lev")

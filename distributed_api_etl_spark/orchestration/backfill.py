@@ -64,6 +64,9 @@ def completed_units(spark: SparkSession, state_location: str) -> set[str]:
         ):
             return set()
         raise
+    # Driver-side collect is bounded by the UNIT universe (dates/partitions
+    # handed to run_backfill) — metadata cardinality, never row data; a
+    # 100 TB backfill still collects only its few thousand unit ids.
     return {
         r["unit"]
         for r in state.where(F.col("status") == "done").select("unit").collect()

@@ -579,6 +579,30 @@ def customer_name_edit_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.edit_distance_pairs(cust, "c_custkey", "c_name", max_dist=1)
 
 
+@register(
+    "supplier_name_edit2_pairs",
+    oracle="""
+    SELECT a.s_suppkey AS d1, b.s_suppkey AS d2,
+           CAST(levenshtein(a.s_name, b.s_name) AS INTEGER) AS lev
+    FROM supplier a JOIN supplier b ON a.s_suppkey < b.s_suppkey
+    WHERE levenshtein(a.s_name, b.s_name) <= 2
+    """,
+    tags=("dedup", "text", "er"),
+)
+def supplier_name_edit2_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distance-2 fuzzy join (the VERDICT-r6 "edit-distance joins beyond
+    distance 1" gap): supplier-name pairs within Levenshtein distance 2
+    via 2-deletion symmetric-delete blocking (operators/dedup.py:
+    edit_distance_pairs). The oracle is deliberately the BRUTE-FORCE
+    quadratic form — it grades the blocking's candidate completeness
+    against ground truth, not against a mirrored blocking scheme. The
+    Spark plan exchanges only 64-bit key fingerprints and 16-byte id
+    pairs; the O(N^2) shape exists solely on the DuckDB side where N is
+    oracle-scale."""
+    supp = table(spark, sf_dir, "supplier")
+    return D.edit_distance_pairs(supp, "s_suppkey", "s_name", max_dist=2)
+
+
 # --- passage-level exact dedup (Lee et al. 2022) ----------------------------
 PASSAGE_TOKENS = 5
 PASSAGE_MIN_DF = 2

@@ -1269,6 +1269,18 @@ def test_edit_distance_pairs_symspell_blocking(spark):
     }
     assert got == expected
 
+    # distance 2: the 2-deletion neighborhood must find substitution+insertion
+    # combos ("cart" vs "bat" = sub+del = 2) while excluding distance 3
+    got2 = {(r["d1"], r["d2"]): r["lev"]
+            for r in edit_distance_pairs(df, "id", "name", max_dist=2).collect()}
+    expected2 = {
+        (i, j): lev(a, b)
+        for (i, a), (j, b) in itertools.combinations(rows, 2)
+        if lev(a, b) <= 2
+    }
+    assert got2 == expected2
+    assert got2[(2, 3)] == 2  # bat ~ cart: substitution + insertion
+
 
 def test_leakage_safe_split_clusters_never_straddle(spark):
     """Every member of a cluster gets the same split; proportions are

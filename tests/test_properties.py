@@ -900,3 +900,45 @@ def test_sliding_span_dedup_matches_reference(spark_global, token_docs, w):
         ).collect()
     }
     assert untouched == {i: " ".join(t) for i, t in docs}
+
+
+# symmetric-delete blocking completeness at distance 2 ------------------------
+def _lev(a, b):
+    dp = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        prev, dp[0] = dp[0], i
+        for j, cb in enumerate(b, 1):
+            prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb))
+    return dp[len(b)]
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    st.lists(
+        st.text(alphabet="abc", max_size=6), min_size=2, max_size=25, unique=True
+    ),
+    st.sampled_from([1, 2]),
+)
+def test_edit_distance_blocking_matches_bruteforce(spark_global, strs, d):
+    """SymSpell completeness, empirically: a 3-letter alphabet with strings
+    down to the empty string forces dense deletion-key collisions (the
+    universal empty-string bucket, multi-path 2-deletions) — the blocked
+    result must equal brute-force Levenshtein over all pairs at d=1 and
+    d=2, so no alignment shape (sub+sub, sub+ins, del+del, ...) may lose
+    its shared key."""
+    from distributed_api_etl_spark.operators.dedup import edit_distance_pairs
+
+    import itertools
+
+    rows = [(i, s) for i, s in enumerate(strs)]
+    df = spark_global.createDataFrame(rows, "id bigint, name string")
+    got = {
+        (r["d1"], r["d2"]): r["lev"]
+        for r in edit_distance_pairs(df, "id", "name", max_dist=d).collect()
+    }
+    expected = {
+        (i, j): _lev(a, b)
+        for (i, a), (j, b) in itertools.combinations(rows, 2)
+        if _lev(a, b) <= d
+    }
+    assert got == expected
