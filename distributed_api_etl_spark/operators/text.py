@@ -550,6 +550,63 @@ def unigram_logprob_scores(
     )
 
 
+def ccnet_ppl_buckets(
+    df: DataFrame, id_col: str, text_col: str, n_bins: int | None = None
+) -> DataFrame:
+    """CCNet head/middle/tail corpus partitioning (Wenzek et al. 2020,
+    public): rank every document by LM perplexity and split the corpus at
+    the 1/3 and 2/3 quantiles — "head" (lowest perplexity, most fluent)
+    is what CCNet-lineage pipelines train on first, "tail" is dropped or
+    down-weighted. This is the selection step DOWNSTREAM of the LM gates
+    (:func:`unigram_logprob_scores` et al.): a gate scores documents, the
+    bucketing turns scores into a corpus-wide decision.
+
+    Plan: the per-doc integer score is mean micro-nats per token
+    (truncating div — exact on both engines); the tertile thresholds come
+    from the mergeable 64-bin histogram sketch (operators/sketch.py), NOT
+    a global sort: bounds + histogram are two map-side-combinable
+    aggregations over the doc-count score frame, the quantile pick is a
+    <=64-row window, and the two 1-row thresholds broadcast back onto the
+    scores — so at 100 TB the only corpus-proportional exchanges are the
+    unigram LM's own (frequency table + per-doc sum), and bucketing adds
+    fixed-size state. CCNet itself sorts perplexities exactly; bin-width
+    threshold granularity is the price of mergeability, and the bucket
+    decision is still exact w.r.t. the published thresholds (score and
+    thresholds are both in the output).
+
+    Output: one row per doc with >= 1 token:
+    (id, score_micro BIGINT, bucket in {'head','middle','tail'},
+    t33 DOUBLE, t66 DOUBLE).
+    """
+    from distributed_api_etl_spark.operators.sketch import (
+        histogram_quantile,
+        histogram_sketch,
+    )
+
+    kwargs = {} if n_bins is None else {"n_bins": n_bins}
+    scores = unigram_logprob_scores(df, id_col, text_col).select(
+        id_col,
+        F.expr("div(surprisal_micro_sum, n_tokens)").alias("score_micro"),
+    )
+    # doc-count rows x 16 bytes — a SMALL shared intermediate (the unigram
+    # token explosion behind it must not run 3x for bounds/hist/buckets)
+    scores = scoped_persist(scores)
+    bounds, hist = histogram_sketch(scores, "score_micro", [], **kwargs)
+    t33 = histogram_quantile(bounds, hist, [], 1, 3, "t33", **kwargs)
+    t66 = histogram_quantile(bounds, hist, [], 2, 3, "t66", **kwargs)
+    thresholds = t33.crossJoin(t66)  # one row x one row
+    return scores.crossJoin(F.broadcast(thresholds)).select(
+        id_col,
+        "score_micro",
+        F.when(F.col("score_micro") <= F.col("t33"), F.lit("head"))
+        .when(F.col("score_micro") <= F.col("t66"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("bucket"),
+        "t33",
+        "t66",
+    )
+
+
 def boilerplate_ngram_stats(
     df: DataFrame,
     id_col: str,

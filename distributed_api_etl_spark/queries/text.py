@@ -1167,6 +1167,63 @@ def documents_unigram_logppl(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unigram_logprob_scores(docs, "doc_id", "text")
 
 
+def _ccnet_buckets_oracle_sql() -> str:
+    from distributed_api_etl_spark.operators import sketch as SK
+    from distributed_api_etl_spark.operators.text import unigram_logprob_micro_sql
+
+    hist = SK.histogram_quantile_oracle_ctes(
+        "score_micro", "scores", "g", [("t33", 1, 3), ("t66", 2, 3)]
+    )
+    # NB: // truncates toward zero in DuckDB, matching Spark's div — exact
+    # here since surprisal micro-nat sums are non-negative
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    freq AS (SELECT term, count(*) AS c_t FROM toks GROUP BY term),
+    total AS (SELECT CAST(sum(c_t) AS BIGINT) AS total_tok FROM freq),
+    scored AS (
+      SELECT t.doc_id,
+             count(*) AS n_tokens,
+             CAST(sum({unigram_logprob_micro_sql()}) AS BIGINT)
+               AS surprisal_micro_sum
+      FROM toks t JOIN freq USING (term) CROSS JOIN total
+      GROUP BY t.doc_id
+    ),
+    scores AS (
+      SELECT doc_id, 1 AS g,
+             surprisal_micro_sum // n_tokens AS score_micro
+      FROM scored
+    ),
+    {hist.strip()}
+    SELECT s.doc_id,
+           CAST(s.score_micro AS BIGINT) AS score_micro,
+           CASE WHEN s.score_micro <= q.t33 THEN 'head'
+                WHEN s.score_micro <= q.t66 THEN 'middle'
+                ELSE 'tail' END AS bucket,
+           q.t33, q.t66
+    FROM scores s JOIN hq q USING (g)
+    """
+
+
+@register(
+    "documents_ccnet_buckets",
+    oracle=_ccnet_buckets_oracle_sql(),
+    tags=("text", "quality", "ml", "pipeline"),
+)
+def documents_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail corpus partitioning (Wenzek et al. 2020):
+    tertile split of the corpus by unigram-LM mean surprisal
+    (operators/text.py:ccnet_ppl_buckets) — the selection step downstream
+    of the perplexity gates, graded end-to-end: integer per-doc score,
+    mergeable-histogram tertile thresholds (no global sort anywhere), and
+    the bucket decision, all hash-exact against the mirrored oracle."""
+    from distributed_api_etl_spark.operators.text import ccnet_ppl_buckets
+
+    docs = fan_out(table(spark, sf_dir, "documents"))
+    return ccnet_ppl_buckets(docs, "doc_id", "text")
+
+
 def _dsir_oracle_sql() -> str:
     from distributed_api_etl_spark.operators.text import dsir_logratio_micro_sql
 

@@ -1573,6 +1573,31 @@ def test_passage_incremental_dedup_semantics(spark):
     assert out[30] == (1, 1, "n n n n n")
 
 
+def test_ccnet_buckets_order_and_degenerate(spark):
+    """Bucket assignment must follow score order (most-fluent = head) and
+    a constant-score corpus must collapse to all-head (lo == hi histogram
+    degenerates, t33 == t66 == the score)."""
+    from distributed_api_etl_spark.operators.text import ccnet_ppl_buckets
+
+    # 9 docs in three fluency tiers: 'a' dominates the corpus (cheap),
+    # 'm*' words appear twice (middle), 'r*' words are singletons (rare)
+    rows = [(i, "a a a a a a") for i in range(3)]
+    rows += [(i + 3, f"m{i} n{i} m{i} n{i}") for i in range(3)]
+    rows += [(i + 6, f"r{2*i} r{2*i+1} s{2*i} s{2*i+1}") for i in range(3)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {r.doc_id: r.bucket for r in
+           ccnet_ppl_buckets(df, "doc_id", "text").collect()}
+    assert all(out[i] == "head" for i in range(3))
+    assert all(out[i + 6] == "tail" for i in range(3))
+
+    const = spark.createDataFrame(
+        [(i, "x y z") for i in range(5)], "doc_id bigint, text string"
+    )
+    cout = ccnet_ppl_buckets(const, "doc_id", "text").collect()
+    assert {r.bucket for r in cout} == {"head"}
+    assert all(r.t33 == r.t66 for r in cout)
+
+
 def test_gopher_flags_reject_null_and_empty_text(spark):
     """A quality gate that drops '' but keeps NULL is inverted (ADVICE r6):
     null text must coalesce to empty and fail the min-word-count rule on

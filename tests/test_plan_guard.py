@@ -63,6 +63,7 @@ ALLOW_BNLJ = {
     "documents_dsir_importance": "1-row corpus-totals + vocab-size scalar",
     "documents_bigram_logppl": "1-row total-token scalar",
     "documents_trigram_logppl": "1-row total-token scalar",
+    "documents_ccnet_buckets": "1-row total-token + 1-row tertile-threshold scalars",
 }
 
 LINEITEM_WIDTH = 11
