@@ -309,3 +309,102 @@ def semantic_diversity_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.semantic_representatives(
         emb, "vec_id", "embedding", IVF_CENTROIDS, iters=KMEANS_ITERS
     )
+
+
+@register(
+    "ann_recall_at_k",
+    oracle=f"""
+    WITH vecs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    cents AS (SELECT vec_id AS centroid_id, v AS cv FROM vecs
+              WHERE vec_id < {IVF_CENTROIDS}),
+    assign0 AS (
+      SELECT vecs.vec_id, vecs.v, cents.centroid_id,
+             list_cosine_similarity(vecs.v, cents.cv) AS ccos
+      FROM vecs CROSS JOIN cents
+    ),
+    assigned AS (
+      SELECT vec_id, v, centroid_id
+      FROM (SELECT *, row_number() OVER (
+              PARTITION BY vec_id ORDER BY ccos DESC, centroid_id) AS arnk
+            FROM assign0)
+      WHERE arnk = 1
+    ),
+    q AS (SELECT vec_id AS query_id, v AS qv, centroid_id
+          FROM assigned WHERE vec_id >= {IVF_QUERY_LO} AND vec_id < {IVF_QUERY_HI}),
+    ivf_scored AS (
+      SELECT q.query_id, a.vec_id AS neighbor_id,
+             list_cosine_similarity(q.qv, a.v) AS cosine
+      FROM assigned a JOIN q ON a.centroid_id = q.centroid_id
+                            AND a.vec_id <> q.query_id
+    ),
+    ivf_top AS (
+      SELECT query_id, neighbor_id
+      FROM (SELECT *, row_number() OVER (
+              PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
+            FROM ivf_scored)
+      WHERE rnk <= {IVF_K}
+    ),
+    ex_scored AS (
+      SELECT q.query_id, c.vec_id AS neighbor_id,
+             list_cosine_similarity(q.qv, c.v) AS cosine
+      FROM vecs c CROSS JOIN q
+      WHERE c.vec_id <> q.query_id
+    ),
+    ex_top AS (
+      SELECT query_id, neighbor_id
+      FROM (SELECT *, row_number() OVER (
+              PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
+            FROM ex_scored)
+      WHERE rnk <= {IVF_K}
+    ),
+    hits AS (
+      SELECT i.query_id, count(*) AS n_hits
+      FROM ivf_top i JOIN ex_top e USING (query_id, neighbor_id)
+      GROUP BY i.query_id
+    )
+    SELECT q.query_id, CAST({IVF_K} AS BIGINT) AS k,
+           CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+           CAST((1000000 * COALESCE(h.n_hits, 0)) // {IVF_K} AS BIGINT)
+             AS recall_ppm
+    FROM q LEFT JOIN hits h ON q.query_id = h.query_id
+    """,
+    tags=("similarity", "eval"),
+)
+def ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality evaluation: per-query recall@k of the IVF nprobe=1 tier
+    against exact brute-force ground truth — the measurement that decides
+    whether an approximate index is good enough to replace exact search
+    (and how many probes it needs). Composes the two existing tiers:
+    ivf_topk (scale path) and bruteforce_topk (labeled exact verifier) on
+    the same query set, then one tiny (query_id, neighbor_id) equi-join
+    counts overlaps. recall_ppm is integer fixed-point (truncating div),
+    so the metric grades bit-exactly. At 100 TB the evaluation runs on a
+    SAMPLED query set (here the IVF query window) — ground truth is one
+    corpus scan per evaluation, the price of knowing the index's recall."""
+    emb = fan_out(table(spark, sf_dir, "embeddings"))
+    queries = emb.where(
+        (F.col("vec_id") >= IVF_QUERY_LO) & (F.col("vec_id") < IVF_QUERY_HI)
+    )
+    ivf = S.ivf_topk(
+        emb, "vec_id", "embedding", IVF_CENTROIDS, queries.select("vec_id"), IVF_K
+    ).select("query_id", "neighbor_id")
+    exact = S.bruteforce_topk(emb, queries, "vec_id", "embedding", IVF_K).select(
+        "query_id", "neighbor_id"
+    )
+    hits = (
+        ivf.join(exact, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    qs = queries.select(F.col("vec_id").alias("query_id"))
+    return (
+        qs.join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.lit(IVF_K).cast("bigint").alias("k"),
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("bigint").alias("n_hits"),
+            F.expr(f"div(1000000 * coalesce(n_hits, 0), {IVF_K})")
+            .cast("bigint")
+            .alias("recall_ppm"),
+        )
+    )

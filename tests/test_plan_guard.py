@@ -58,6 +58,7 @@ ALLOW_BNLJ = {
     "ann_ivf_kmeans_topk": "bounded broadcast learned centroids",
     "semantic_diversity_sample": "bounded broadcast k-row centroid set (ivf_assign argmax)",
     "ann_ivf_multiprobe_topk": "bounded broadcast centroid/query sides",
+    "ann_recall_at_k": "bounded broadcast query sides (ivf tier + labeled exact ground-truth tier)",
     "documents_bm25_relevance": "1-row corpus-stats scalar (N, total tokens)",
     "documents_unigram_logppl": "1-row total-token scalar",
     "documents_dsir_importance": "1-row corpus-totals + vocab-size scalar",
