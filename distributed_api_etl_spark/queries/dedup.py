@@ -813,3 +813,69 @@ def dedup_span_unaligned(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, "doc_id", "text",
         window_tokens=PASSAGE_TOKENS, min_df=PASSAGE_MIN_DF,
     )
+
+
+# --- winnowing fingerprint overlap (Schleimer et al. 2003) ------------------
+WINNOW_K = 3
+WINNOW_W = 4
+WINNOW_MIN_SHARED = 2
+
+
+def _winnow_oracle_sql() -> str:
+    h = portable_hash32_sql(
+        f"list_aggregate(t[i : i + {WINNOW_K - 1}], 'string_agg', ' ')"
+    )
+    win = f"gr[j : j + least({WINNOW_W}, len(gr) - j + 1) - 1]"
+    return f"""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    g AS (
+      SELECT doc_id,
+             list_transform(generate_series(1, len(t) - {WINNOW_K - 1}),
+                            i -> {h}) AS gr
+      FROM toks WHERE len(t) >= {WINNOW_K}
+    ),
+    sel AS (
+      SELECT doc_id, gr,
+             list_distinct(list_transform(
+               generate_series(1, greatest(1, len(gr) - {WINNOW_W - 1})),
+               j -> j - 1 + list_position({win}, list_aggregate({win}, 'min'))
+             )) AS ps
+      FROM g
+    ),
+    fps AS (
+      SELECT DISTINCT s.doc_id, s.gr[u.p] AS fp
+      FROM sel s, UNNEST(s.ps) u(p)
+    ),
+    pairs AS (
+      SELECT a.doc_id AS d1, b.doc_id AS d2, CAST(count(*) AS BIGINT) AS n_shared
+      FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT d1, d2, n_shared FROM pairs WHERE n_shared >= {WINNOW_MIN_SHARED}
+    """
+
+
+@register(
+    "dedup_winnow_overlap",
+    oracle=_winnow_oracle_sql(),
+    # graded=False THIS round only because the r7 window is exactly full
+    # (6 never-green + 44 r4-stale re-validations = 50); fully
+    # oracle-checked by the local sweep, promote to graded=True in r8.
+    graded=False,
+    tags=("dedup", "text", "ml", "pipeline"),
+)
+def dedup_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS-style overlap candidates from winnowed fingerprints
+    (operators/dedup.py:winnowed_fingerprints — Schleimer et al. 2003):
+    doc pairs sharing >= {WINNOW_MIN_SHARED} distinct selected k={WINNOW_K}-gram
+    fingerprints under a w={WINNOW_W} winnowing window. The selected set
+    is ~2/(w+1) of all grams yet guarantees detection of every shared
+    span of >= w+k-1 tokens — candidate generation at a fraction of the
+    all-grams join volume; the hash is portable_hash32 on BOTH engines
+    because winnowing's selection depends on hash values."""
+    from distributed_api_etl_spark.operators import dedup as D
+
+    docs = table(spark, sf_dir, "documents")
+    return D.winnow_overlap_pairs(
+        docs, "doc_id", "text", k=WINNOW_K, w=WINNOW_W, min_shared=WINNOW_MIN_SHARED
+    )

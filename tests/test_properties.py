@@ -942,3 +942,69 @@ def test_edit_distance_blocking_matches_bruteforce(spark_global, strs, d):
         if _lev(a, b) <= d
     }
     assert got == expected
+
+
+# winnowing: selection equality + detection guarantee -------------------------
+def _winnow_ref(toks, k, w):
+    import hashlib
+
+    if len(toks) < k:
+        return set()
+    g = [
+        int(hashlib.md5(" ".join(toks[i : i + k]).encode()).hexdigest()[:8], 16)
+        for i in range(len(toks) - k + 1)
+    ]
+    sel = set()
+    for j in range(max(1, len(g) - w + 1)):
+        win = g[j : j + w]
+        sel.add(j + win.index(min(win)))
+    return {(p + 1, g[p]) for p in sel}
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    st.lists(
+        st.lists(st.sampled_from(_POOL[:6]), min_size=0, max_size=14),
+        min_size=2,
+        max_size=10,
+    ),
+    st.lists(st.sampled_from(_POOL[:6]), min_size=6, max_size=9),
+)
+def test_winnowing_matches_reference_and_detects_planted_span(
+    spark_global, token_docs, span
+):
+    """Random tiny-vocab corpora (dense hash ties exercise the leftmost
+    tie-break; short docs exercise the single-window boundary): the Spark
+    selection must equal the sequential reference exactly, and every pair
+    of docs carrying the planted >= w+k-1 token span must share >= 1
+    selected fingerprint (the paper's detection guarantee)."""
+    from distributed_api_etl_spark.operators.dedup import (
+        winnow_overlap_pairs,
+        winnowed_fingerprints,
+    )
+
+    k, w = 3, 4
+    docs = [(i, toks) for i, toks in enumerate(token_docs)]
+    # plant the shared span into every even doc
+    docs = [
+        (i, (t[: len(t) // 2] + span + t[len(t) // 2 :]) if i % 2 == 0 else t)
+        for i, t in docs
+    ]
+    df = spark_global.createDataFrame(
+        [(i, " ".join(t)) for i, t in docs], "doc_id bigint, text string"
+    )
+    got = {}
+    for r in winnowed_fingerprints(df, "doc_id", "text", k=k, w=w).collect():
+        got.setdefault(r.doc_id, set()).add((r.pos, r.fp))
+    exp = {i: _winnow_ref(t, k, w) for i, t in docs if len(t) >= k}
+    assert got == exp
+    planted = [i for i, _ in docs if i % 2 == 0]
+    pairs = {
+        (r.d1, r.d2)
+        for r in winnow_overlap_pairs(
+            df, "doc_id", "text", k=k, w=w, min_shared=1
+        ).collect()
+    }
+    for ai, a in enumerate(planted):
+        for b in planted[ai + 1 :]:
+            assert (a, b) in pairs, (a, b)
