@@ -862,6 +862,9 @@ def _winnow_oracle_sql() -> str:
     # (6 never-green + 44 r4-stale re-validations = 50); fully
     # oracle-checked by the local sweep, promote to graded=True in r8.
     graded=False,
+    # bench head from day one so r8 has a counter baseline (5.28 MB at
+    # sf0.1 vs 9.09 for the all-gram join — SCALE.md round-7 entry)
+    bench=True,
     tags=("dedup", "text", "ml", "pipeline"),
 )
 def dedup_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
