@@ -641,8 +641,22 @@ def edit_distance_pairs(
 
     Returns (d1, d2, lev) with d1 < d2, exact distances <= max_dist.
     """
+    cand = _sym_delete_candidates(df, id_col, text_col, max_dist)
+    return (
+        cand.withColumn("lev", F.levenshtein("t1", "t2").cast("int"))
+        .where(F.col("lev") <= max_dist)
+        .select("d1", "d2", "lev")
+    )
+
+
+def _sym_delete_candidates(
+    df: DataFrame, id_col: str, text_col: str, max_dist: int
+) -> DataFrame:
+    """(d1, d2, t1, t2) candidate pairs sharing a <=``max_dist``-deletion
+    key — the blocking stage shared by the Levenshtein and Damerau
+    verifies (see :func:`edit_distance_pairs` for the plan contract)."""
     if max_dist not in (1, 2):
-        raise ValueError("edit_distance_pairs implements max_dist in {1, 2}")
+        raise ValueError("symmetric-delete blocking implements max_dist in {1, 2}")
     dels = (
         "transform(slice(sequence(1, length({s}) + 1), 1, length({s})), "
         "{i} -> concat(substring({s}, 1, {i} - 1), substring({s}, {i} + 1)))"
@@ -670,12 +684,49 @@ def edit_distance_pairs(
     )
     t1 = s.select(F.col(id_col).alias("d1"), F.col("_t").alias("t1"))
     t2 = s.select(F.col(id_col).alias("d2"), F.col("_t").alias("t2"))
+    return cand.join(t1, "d1").join(t2, "d2")
+
+
+def damerau1_pairs(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """All pairs within Damerau-Levenshtein distance 1 — the
+    spellcheck-standard metric that counts an adjacent transposition
+    ("form"/"from") as ONE edit where plain Levenshtein charges 2.
+
+    At threshold 1 the restricted (OSA) and unrestricted Damerau variants
+    coincide with "lev <= 1 OR exactly one adjacent transposition" (the
+    variants only diverge at >= 2 edits), so the verify is expressible
+    with built-ins on any engine: Spark tests the transposition shape
+    explicitly (char-diff positions: exactly two, adjacent, crossed
+    equality); DuckDB's native ``damerau_levenshtein`` gives the same
+    accept set. Blocking is the same single-deletion symmetric-delete
+    neighborhood as :func:`edit_distance_pairs` — it covers
+    transpositions too: for a = P·xy·S and b = P·yx·S, deleting x from
+    each side leaves the identical string P·y·S, so the pair shares a
+    key (property-tested against a brute-force OSA reference).
+
+    Returns (d1, d2, dam) with d1 < d2, dam in {0, 1}.
+    """
+    cand = _sym_delete_candidates(df, id_col, text_col, max_dist=1)
+    diffs = F.expr(
+        "filter(slice(sequence(1, length(t1) + 1), 1, length(t1)), "
+        "i -> substring(t1, i, 1) != substring(t2, i, 1))"
+    )
+    is_transpose = (
+        (F.length("t1") == F.length("t2"))
+        & (F.size("_diffs") == 2)
+        & (F.element_at("_diffs", 2) == F.element_at("_diffs", 1) + 1)
+        & (
+            F.expr("substring(t1, _diffs[0], 1) = substring(t2, _diffs[1], 1)")
+            & F.expr("substring(t1, _diffs[1], 1) = substring(t2, _diffs[0], 1)")
+        )
+    )
+    lev = F.levenshtein("t1", "t2")
+    dam = F.when(lev <= 1, lev).when(is_transpose, F.lit(1))
     return (
-        cand.join(t1, "d1")
-        .join(t2, "d2")
-        .withColumn("lev", F.levenshtein("t1", "t2").cast("int"))
-        .where(F.col("lev") <= max_dist)
-        .select("d1", "d2", "lev")
+        cand.withColumn("_diffs", diffs)
+        .withColumn("dam", dam.cast("int"))
+        .where(F.col("dam").isNotNull())
+        .select("d1", "d2", "dam")
     )
 
 

@@ -882,3 +882,44 @@ def dedup_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.winnow_overlap_pairs(
         docs, "doc_id", "text", k=WINNOW_K, w=WINNOW_W, min_shared=WINNOW_MIN_SHARED
     )
+
+
+@register(
+    "customer_name_damerau1_pairs",
+    oracle="""
+    WITH keys AS (
+      SELECT c_custkey, c_name AS t,
+             unnest(list_distinct(list_prepend(c_name,
+               [substr(c_name, 1, i - 1) || substr(c_name, i + 1)
+                FOR i IN range(1, length(c_name) + 1)]))) AS k
+      FROM customer
+    ),
+    cand AS (
+      SELECT DISTINCT a.c_custkey AS d1, b.c_custkey AS d2,
+                      a.t AS t1, b.t AS t2
+      FROM keys a JOIN keys b ON a.k = b.k AND a.c_custkey < b.c_custkey
+    )
+    SELECT d1, d2, CAST(damerau_levenshtein(t1, t2) AS INTEGER) AS dam
+    FROM cand
+    WHERE damerau_levenshtein(t1, t2) <= 1
+    """,
+    # graded=False THIS round only (window exactly full — see
+    # dedup_winnow_overlap); oracle-checked by the local sweep, promote
+    # to graded=True in r8.
+    graded=False,
+    tags=("dedup", "text", "er"),
+)
+def customer_name_damerau1_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transposition-aware fuzzy join (operators/dedup.py:damerau1_pairs):
+    customer-name pairs within Damerau-Levenshtein distance 1 — catches
+    the adjacent digit/character swaps ("...012"/"...021") plain
+    Levenshtein charges 2 for. Same single-deletion symmetric-delete
+    blocking as the d=1 Levenshtein query (the key neighborhood provably
+    covers transpositions); the Spark verify tests the transposition
+    shape with built-ins, the oracle uses DuckDB's native
+    damerau_levenshtein — at threshold 1 the OSA and unrestricted
+    variants coincide, so both engines accept the identical pair set."""
+    from distributed_api_etl_spark.operators import dedup as D
+
+    cust = table(spark, sf_dir, "customer")
+    return D.damerau1_pairs(cust, "c_custkey", "c_name")

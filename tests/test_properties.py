@@ -1008,3 +1008,48 @@ def test_winnowing_matches_reference_and_detects_planted_span(
     for ai, a in enumerate(planted):
         for b in planted[ai + 1 :]:
             assert (a, b) in pairs, (a, b)
+
+
+def _osa(a, b):
+    m, n = len(a), len(b)
+    d = [[0] * (n + 1) for _ in range(m + 1)]
+    for i in range(m + 1):
+        d[i][0] = i
+    for j in range(n + 1):
+        d[0][j] = j
+    for i in range(1, m + 1):
+        for j in range(1, n + 1):
+            c = 0 if a[i - 1] == b[j - 1] else 1
+            d[i][j] = min(d[i - 1][j] + 1, d[i][j - 1] + 1, d[i - 1][j - 1] + c)
+            if i > 1 and j > 1 and a[i - 1] == b[j - 2] and a[i - 2] == b[j - 1]:
+                d[i][j] = min(d[i][j], d[i - 2][j - 2] + 1)
+    return d[m][n]
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    st.lists(
+        st.text(alphabet="abc", max_size=6), min_size=2, max_size=25, unique=True
+    )
+)
+def test_damerau1_pairs_matches_bruteforce(spark_global, strs):
+    """Transposition coverage of the single-deletion blocking plus the
+    explicit swap-shape verify, against brute-force OSA on a 3-letter
+    alphabet (dense key collisions, empty strings, repeated chars whose
+    'transpositions' are really equalities or substitutions)."""
+    from distributed_api_etl_spark.operators.dedup import damerau1_pairs
+
+    import itertools
+
+    rows = [(i, s) for i, s in enumerate(strs)]
+    df = spark_global.createDataFrame(rows, "id bigint, name string")
+    got = {
+        (r["d1"], r["d2"]): r["dam"]
+        for r in damerau1_pairs(df, "id", "name").collect()
+    }
+    expected = {
+        (i, j): _osa(a, b)
+        for (i, a), (j, b) in itertools.combinations(rows, 2)
+        if _osa(a, b) <= 1
+    }
+    assert got == expected
