@@ -113,24 +113,41 @@ def main() -> None:
         spread_pct[name] = round(100.0 * (worst / best - 1.0), 1)
         total += best
 
-    # VERDICT r6 #3: the r6 bench's wall rows were 1.1-1.5x inflated by
-    # EXTERNAL box load with byte-identical shuffle counters — record the
-    # 1-min loadavg at both ends so load-window contamination is
-    # self-documenting in every BENCH_r{N}.json from now on.
+    # VERDICT r7 #1: the r7 official bench record was unparseable because one
+    # giant JSON line (31 walls + shuffle counters + spread + loadavg) outgrew
+    # the driver's tail capture and lost its head. Output framing is now:
+    #   line 1 (detail): shuffle_write_mb / run_spread_pct / loadavg — the
+    #     diagnostics a human reads; also written to docs/bench_detail_last.json
+    #     so the evidence survives even if the driver drops the line.
+    #   line 2 (LAST): the compact summary the driver parses — total +
+    #     per-query walls rounded to 2 dp, nothing else. Tail-capture safe.
+    detail = {
+        "metric": "bench_detail",
+        "sf": float(sf),
+        "runs_per_query": RUNS,
+        "agg": "min",
+        "shuffle_write_mb": shuffle_mb,
+        "run_spread_pct": spread_pct,
+        "loadavg_start": round(load_start, 2),
+        "loadavg_end": round(os.getloadavg()[0], 2),
+    }
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "docs", "bench_detail_last.json"
+    )
+    try:
+        with open(detail_path, "w") as f:
+            json.dump(detail, f, indent=1, sort_keys=True)
+    except OSError:
+        pass
+    print(json.dumps(detail))
     print(
         json.dumps(
             {
                 "metric": "bench_total_sec",
                 "value": round(total, 3),
                 "unit": "sec",
-                "queries": timings,
+                "queries": {n: round(t, 2) for n, t in timings.items()},
                 "sf": float(sf),
-                "runs_per_query": RUNS,
-                "shuffle_write_mb": shuffle_mb,
-                "agg": "min",
-                "loadavg_start": round(load_start, 2),
-                "loadavg_end": round(os.getloadavg()[0], 2),
-                "run_spread_pct": spread_pct,
             }
         )
     )

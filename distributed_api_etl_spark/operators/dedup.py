@@ -598,7 +598,11 @@ def latest_by_key(
 
 
 def edit_distance_pairs(
-    df: DataFrame, id_col: str, text_col: str, max_dist: int = 1
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_dist: int = 1,
+    representative_pass: bool = False,
 ) -> DataFrame:
     """All pairs within Levenshtein distance ``max_dist`` (1 or 2), via
     symmetric-delete blocking (SymSpell, public algorithm): each string's
@@ -629,10 +633,26 @@ def edit_distance_pairs(
     at d=2 — ~170 keys for a 18-char name), bucket sizes are governed by
     near-duplicate density (the same argument as LSH bands); the verify
     runs on distinct candidates only. The one universal bucket is the
-    empty-string key shared by ALL strings of length <= max_dist — fine
-    for names/titles, a documented hazard if the column holds 1-char
-    tokens. For ``max_dist`` > 2 the key count is O(len^d) — not
-    implemented.
+    empty-string key shared by ALL strings of length <= max_dist. That
+    bucket is output-bound, not blocking waste: any two strings of
+    length <= d are themselves within distance d (delete one, insert the
+    other), so every candidate it generates verifies TRUE and the
+    quadratic cost IS the answer's size — the blocking never does
+    quadratic work the output doesn't force (ADVICE r7 analysis). For
+    ``max_dist`` > 2 the key count is O(len^d) — not implemented.
+
+    The same output-bound regime appears on ANY dup-dense column (SCALE.md
+    round-7 probe: 2.68M emitted pairs at 10x when half the rows are
+    copies). ``representative_pass=True`` is the guardrail: collapse
+    exact-duplicate texts first (the :func:`exact_fingerprint_groups`
+    grouping, expressed as ``groupBy(text) -> min(id)`` so the
+    representative keeps its text), run the blocking + verify over ONE
+    representative per distinct string, and return representative pairs
+    only — the shuffle and the output are then quadratic in DISTINCT
+    near-duplicate content, not in copy count. The full pair set is
+    recoverable exactly (property-tested) with
+    :func:`expand_representative_pairs`, which is itself output-bound by
+    construction (it IS the answer).
 
     Contract: ``id_col`` must be unique per row (same per-key uniqueness
     contract as scd2_apply); a repeated id would join multiple texts back
@@ -640,13 +660,70 @@ def edit_distance_pairs(
     raising.
 
     Returns (d1, d2, lev) with d1 < d2, exact distances <= max_dist.
+    With ``representative_pass=True`` the ids are representative ids
+    (min id per distinct text) and lev >= 1 — identical-text pairs are
+    implied by group membership, not emitted.
     """
+    if representative_pass:
+        df = df.groupBy(F.col(text_col)).agg(F.min(id_col).alias(id_col))
     cand = _sym_delete_candidates(df, id_col, text_col, max_dist)
-    return (
+    out = (
         cand.withColumn("lev", F.levenshtein("t1", "t2").cast("int"))
         .where(F.col("lev") <= max_dist)
         .select("d1", "d2", "lev")
     )
+    if representative_pass:
+        # distinct texts => lev >= 1 already; the guard documents the
+        # contract rather than trusting it
+        out = out.where(F.col("lev") >= 1)
+    return out
+
+
+def expand_representative_pairs(
+    rep_pairs: DataFrame, df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Recover the FULL (d1, d2, lev) pair set from a
+    ``representative_pass=True`` run of :func:`edit_distance_pairs`.
+
+    Two tiers, both pure equi-joins on the membership frame
+    (id -> representative id, built by re-deriving the same
+    ``groupBy(text) -> min(id)`` grouping):
+
+    * within-group: every pair of ids sharing a text, lev = 0 (the pairs
+      the representative pass elided);
+    * cross-group: each representative pair fans out over the two
+      groups' members — lev is a function of the two TEXTS, so every
+      member pair inherits the representatives' distance exactly.
+
+    Output volume is the true answer's volume (output-bound by
+    construction); use it only when the expanded pair set is genuinely
+    needed downstream — cluster-level consumers should stay on
+    representatives + membership.
+    """
+    members = df.select(F.col(id_col).alias("_m"), F.col(text_col).alias("_t"))
+    reps = members.groupBy("_t").agg(F.min("_m").alias("_r"))
+    membership = members.join(reps, "_t").select("_m", "_r")
+    a = membership.select(F.col("_m").alias("_a"), F.col("_r").alias("_ra"))
+    b = membership.select(F.col("_m").alias("_b"), F.col("_r").alias("_rb"))
+    within = (
+        a.join(b, F.col("_ra") == F.col("_rb"))
+        .where(F.col("_a") < F.col("_b"))
+        .select(
+            F.col("_a").alias("d1"),
+            F.col("_b").alias("d2"),
+            F.lit(0).cast("int").alias("lev"),
+        )
+    )
+    cross = (
+        rep_pairs.join(a, rep_pairs["d1"] == F.col("_ra"))
+        .join(b, rep_pairs["d2"] == F.col("_rb"))
+        .select(
+            F.least("_a", "_b").alias("d1"),
+            F.greatest("_a", "_b").alias("d2"),
+            rep_pairs["lev"].cast("int").alias("lev"),
+        )
+    )
+    return within.unionByName(cross)
 
 
 def _sym_delete_candidates(
@@ -776,7 +853,8 @@ def passage_exact_dedup(
     exchange for state that is derivable per row):
 
     1. Passages are a per-row array (map-side); only their 128-bit
-       fingerprints (two xxhash64 seeds) explode into the stats
+       fingerprints (two independent xxhash64 values, the second salted
+       with a constant column) explode into the stats
        aggregate — a 16-bytes-per-passage, map-side-combinable shuffle.
        Collision odds at 1e12 passages are ~1e-15, and the fingerprint is
        an internal key only, never an output.
@@ -989,7 +1067,9 @@ def sliding_span_dedup(
     than ``window_tokens`` have no windows and pass through untouched.
 
     Plan — same corpus-text-never-shuffles contract as
-    :func:`passage_exact_dedup`: window fingerprints (two xxhash64 seeds,
+    :func:`passage_exact_dedup`: window fingerprints (two independent
+    xxhash64 values — the second derived by hashing the window together
+    with a constant salt column, the same idiom as passage dedup;
     16 bytes each) are computed INSIDE the map-side projection off the
     cached token array and are the only corpus-proportional exchange
     (w x the grid variant's volume — the price of alignment freedom);

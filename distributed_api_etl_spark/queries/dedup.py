@@ -858,10 +858,9 @@ def _winnow_oracle_sql() -> str:
 @register(
     "dedup_winnow_overlap",
     oracle=_winnow_oracle_sql(),
-    # graded=False THIS round only because the r7 window is exactly full
-    # (6 never-green + 44 r4-stale re-validations = 50); fully
-    # oracle-checked by the local sweep, promote to graded=True in r8.
-    graded=False,
+    # promoted r8 (VERDICT r7 #3): held graded=False in r7 only because
+    # that round's window was exactly full.
+    graded=True,
     # bench head from day one so r8 has a counter baseline (5.28 MB at
     # sf0.1 vs 9.09 for the all-gram join — SCALE.md round-7 entry)
     bench=True,
@@ -886,27 +885,20 @@ def dedup_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "customer_name_damerau1_pairs",
+    # Brute-force quadratic oracle (ADVICE r7 #1): grading the Spark plan's
+    # deletion-blocking against GROUND TRUTH, not against a mirrored
+    # blocking — a shared blocking-completeness bug for transpositions
+    # would be invisible to a blocked oracle. Same grading posture as
+    # supplier_name_edit2_pairs.
     oracle="""
-    WITH keys AS (
-      SELECT c_custkey, c_name AS t,
-             unnest(list_distinct(list_prepend(c_name,
-               [substr(c_name, 1, i - 1) || substr(c_name, i + 1)
-                FOR i IN range(1, length(c_name) + 1)]))) AS k
-      FROM customer
-    ),
-    cand AS (
-      SELECT DISTINCT a.c_custkey AS d1, b.c_custkey AS d2,
-                      a.t AS t1, b.t AS t2
-      FROM keys a JOIN keys b ON a.k = b.k AND a.c_custkey < b.c_custkey
-    )
-    SELECT d1, d2, CAST(damerau_levenshtein(t1, t2) AS INTEGER) AS dam
-    FROM cand
-    WHERE damerau_levenshtein(t1, t2) <= 1
+    SELECT a.c_custkey AS d1, b.c_custkey AS d2,
+           CAST(damerau_levenshtein(a.c_name, b.c_name) AS INTEGER) AS dam
+    FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+    WHERE damerau_levenshtein(a.c_name, b.c_name) <= 1
     """,
-    # graded=False THIS round only (window exactly full — see
-    # dedup_winnow_overlap); oracle-checked by the local sweep, promote
-    # to graded=True in r8.
-    graded=False,
+    # promoted r8 (VERDICT r7 #3): held graded=False in r7 only because
+    # that round's window was exactly full.
+    graded=True,
     tags=("dedup", "text", "er"),
 )
 def customer_name_damerau1_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -154,12 +154,24 @@ class LoggingMiddleware:
 
 
 class TimingMiddleware:
+    """Per-request wall timing into response metadata.
+
+    ``started_monotonic`` is the pipeline entry instant on the worker's
+    monotonic clock — the request's ISSUE time, taken AFTER the token
+    bucket's acquire (the rate limiter gates entry in the consumer loop),
+    so a downstream aggregation over a partition's starts observes the
+    limiter-shaped issue schedule: count <= burst + rate * (max(start) -
+    min(start)) is the token-bucket invariant the rate-limit audit query
+    grades. Monotonic values compare only WITHIN one partition's chunk
+    (same process, same clock) — never across partitions or runs.
+    """
+
     async def __call__(self, exchange: RequestExchange, next_call: NextCall) -> RequestExchange:
         start = time.monotonic()
         result = await next_call(exchange)
-        result.metadata.setdefault("timing", {})["total_seconds"] = (
-            time.monotonic() - start
-        )
+        timing = result.metadata.setdefault("timing", {})
+        timing["started_monotonic"] = start
+        timing["total_seconds"] = time.monotonic() - start
         return result
 
 

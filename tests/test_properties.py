@@ -944,6 +944,55 @@ def test_edit_distance_blocking_matches_bruteforce(spark_global, strs, d):
     assert got == expected
 
 
+@settings(max_examples=6, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    st.lists(st.text(alphabet="ab", max_size=4), min_size=2, max_size=25),
+    st.sampled_from([1, 2]),
+)
+def test_edit_distance_representative_pass_expands_to_full(spark_global, strs, d):
+    """The dup-dense guardrail (VERDICT r7 #7): a representative pass over
+    distinct texts, expanded back over group membership, must reproduce the
+    full pair set EXACTLY. Duplicates are allowed (and likely — 2-letter
+    alphabet, length <= 4) so the within-group lev=0 tier and the
+    cross-group fan-out are both exercised, as is the universal
+    empty-string deletion bucket."""
+    from distributed_api_etl_spark.operators.dedup import (
+        edit_distance_pairs,
+        expand_representative_pairs,
+    )
+
+    import itertools
+
+    rows = [(i, s) for i, s in enumerate(strs)]
+    df = spark_global.createDataFrame(rows, "id bigint, name string")
+    full = {
+        (r["d1"], r["d2"]): r["lev"]
+        for r in edit_distance_pairs(df, "id", "name", max_dist=d).collect()
+    }
+    rep = edit_distance_pairs(
+        df, "id", "name", max_dist=d, representative_pass=True
+    )
+    rep_rows = rep.collect()
+    # representatives are min-id-per-distinct-text and never emit lev=0
+    min_id = {}
+    for i, s in rows:
+        min_id[s] = min(min_id.get(s, i), i)
+    rep_ids = set(min_id.values())
+    assert all(r["d1"] in rep_ids and r["d2"] in rep_ids for r in rep_rows)
+    assert all(r["lev"] >= 1 for r in rep_rows)
+    expanded = {
+        (r["d1"], r["d2"]): r["lev"]
+        for r in expand_representative_pairs(rep, df, "id", "name").collect()
+    }
+    expected = {
+        (i, j): _lev(a, b)
+        for (i, a), (j, b) in itertools.combinations(rows, 2)
+        if _lev(a, b) <= d
+    }
+    assert full == expected
+    assert expanded == expected
+
+
 # winnowing: selection equality + detection guarantee -------------------------
 def _winnow_ref(toks, k, w):
     import hashlib
