@@ -1104,7 +1104,12 @@ def ngram_logprob_micro_sql(order: int) -> str:
 
 
 def ngram_logprob_scores(
-    df: DataFrame, id_col: str, text_col: str, order: int = 5
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    order: int = 5,
+    prune_singletons: bool = True,
+    suffix_partitioning: bool = True,
 ) -> DataFrame:
     """Mean per-token surprisal under a corpus-fit interpolated
     ``order``-gram LM — the generalization the trigram gate's double-BOS
@@ -1116,31 +1121,58 @@ def ngram_logprob_scores(
     sufficient statistic: every lower-order suffix count (c_k), every
     prefix-context count (x_k), and the corpus total all roll up from it
     in a cascade of table-sized aggregations — adding a model order never
-    adds a corpus pass. The corpus pays ONE (g1..gN)-keyed exchange
-    (map-side combinable, persisted); rollups cascade child-from-parent
-    (s4 from s5, s3 from s4, ...) so no rollup rereads the corpus stream.
+    adds a corpus pass. Plan shape — score the DISTINCT grams, then ONE
+    stream join against the finished (gram -> micro) score table; this is
+    deliberately NOT the bespoke bigram/trigram gates' shape (stream
+    broadcast-joins every count table), which degrades to one corpus
+    shuffle PER model order once the tables outgrow broadcast at 100 TB.
+    The 4/5-gram heads live here; the 2/3 heads keep the bespoke shape by
+    measurement (SCALE.md, n-gram order sweep).
 
-    Plan shape — score the DISTINCT grams, then ONE stream join: the
-    interpolation joins run table-vs-table over the cascade and the
-    corpus stream joins only the finished (gram -> micro) score table.
-    This is deliberately NOT the bespoke bigram/trigram gates' shape
-    (stream broadcast-joins every count table): at sf0.1 every table
-    still broadcasts, so the bespoke shape measures slightly cheaper
-    there and the graded order-2/3 heads keep it (8.87 vs 10.49 MB at
-    order 3 — SCALE.md A/B); but a positions-sized full-order table can
-    NEVER broadcast at 100 TB, where the bespoke shape degrades to one
-    corpus-stream shuffle PER model order and this shape keeps it at
-    exactly one. The 4/5-gram heads therefore live here.
+    Round-9 structure (both knobs measured in SCALE.md, "singleton
+    pruning + suffix-aligned cascade"):
 
-    The cost that DOES grow with order is the TABLE, not the pass count:
-    on diverse text the distinct-``order``-gram count approaches the
-    corpus position count, so the exchange's combine stops compressing —
-    the measured growth curve (1.62/3.68/18.67/37.95 MB core shuffle for
-    orders 2-5 at sf0.1) and the production guidance (prune singleton
-    tails if the table must shrink) live in SCALE.md ("n-gram LM order
-    sweep"). Same output contract as the bigram/trigram gates: (id,
-    n_tokens, surprisal_micro_sum BIGINT, mean_surprisal_nats DOUBLE),
-    one row per doc with >= 1 token.
+    ``suffix_partitioning`` — the r8 breakdown probe showed the rollup
+    CASCADE, not the corpus exchange, dominates the counter (27 of
+    40.36 MB at order 5 / sf0.1): every s/x rollup re-exchanged a
+    near-table-sized frame on its own key set. HashPartitioning on a
+    SUBSET of the grouping keys satisfies ClusteredDistribution, so
+    keying the corpus exchange on the last two tokens (g_{N-1}, g_N)
+    makes every suffix rollup down to s2 exchange-free, and keying x_N's
+    exchange on (g_{N-3+1}..g_{N-1}) makes the x-chain (x_k rolls up
+    from x_{k+1} by summing out ITS first column — same identity as the
+    s-chain) free down to x3. Cost: the corpus exchange loses map-side
+    combine (raw positions instead of distinct grams — +9% rows on this
+    corpus; on dup-heavy corpora where combine compresses well, set
+    False) and the partitioning key is a token bigram, so corpora with a
+    pathologically hot trailing bigram inherit that skew in the cascade
+    stage (AQE splits join skew, not aggregate skew — the escape hatch
+    is ``suffix_partitioning=False``, which restores per-rollup
+    exchanges with full-key balance).
+
+    ``prune_singletons`` — 94% of distinct 5-grams on diverse text are
+    singletons (c_N = 1), and a singleton gram occurs at EXACTLY ONE
+    corpus position in exactly one doc. Carrying min(id) through the
+    corpus aggregation therefore lets the singleton rows' per-doc
+    contribution aggregate TABLE-SIDE (groupBy that one doc id), so 86%
+    of stream positions never participate in the stream-score join at
+    any scale, and the score table the stream does join shrinks 18x —
+    it stays broadcastable far further up the scale curve, and when it
+    finally does shuffle, Catalyst's runtime bloom filter (enabled in
+    session.py) has a small, selective build side to prune the stream
+    scan with. Output is hash-identical BY CONSTRUCTION: the score
+    build is one chain over ALL grams (identical joins, identical
+    shared micro-nat SQL on identical bigint inputs), split only
+    AFTERWARD into disjoint c_N=1 / c_N>=2 subsets whose per-doc
+    partial sums (exact integers) recombine under an order-free sum —
+    asserted hash-identical against the unpruned shape in
+    tests/test_operators.py and by the unchanged DuckDB oracle.
+
+    The cost that grows with order is the TABLE, not the pass count
+    (measured curve and singleton shares in SCALE.md). Same output
+    contract as the bigram/trigram gates: (id, n_tokens,
+    surprisal_micro_sum BIGINT, mean_surprisal_nats DOUBLE), one row per
+    doc with >= 1 token.
     """
     if order not in NGRAM_WEIGHTS:
         raise ValueError(f"order must be one of {sorted(NGRAM_WEIGHTS)}")
@@ -1160,56 +1192,106 @@ def ngram_logprob_scores(
     stream = df.select(F.col(id_col), F.explode(arr).alias("_g")).select(
         F.col(id_col), *[F.col(f"_g.{c}").alias(c) for c in gcols]
     )
-    # suffix-count cascade: s[k] counts the k-token suffix (g_{N-k+1}..g_N);
-    # s[order] is the one corpus-keyed aggregation, every other table is a
-    # rollup of its parent (read 3x each: child rollup, context rollup,
-    # score join -> persist)
+    # ONE corpus exchange. With suffix_partitioning it is keyed on the
+    # deepest suffix every s-rollup shares (last two tokens) and the
+    # persisted exchanged stream ALSO serves as the probe side of the
+    # final score join; without, it is the classic full-key groupBy with
+    # map-side combine.
+    s_part = gcols[max(0, order - 2) :]
+    if suffix_partitioning:
+        stream = scoped_persist(stream.repartition(*s_part))
+    # s[order] carries min(id): for a singleton gram (c_N = 1) this IS the
+    # one doc holding its one occurrence — the column the pruned shape's
+    # table-side per-doc aggregation keys on. min() is map-side combinable
+    # so the extra column never changes the exchange structure.
     s: dict[int, DataFrame] = {}
     # lazy persist suffices: a suspected cache race between the parallel
     # broadcast job and the rollup stages was A/B-measured at order 5 and
     # does not exist — shuffle is byte-identical with and without an eager
     # materialize (the apparent win came from a flawed probe whose pruned
     # output columns dropped the context tables; SCALE.md, order sweep)
-    s[order] = scoped_persist(
-        stream.groupBy(*gcols).agg(F.count("*").alias(f"c_{order}"))
-    )
+    aggs = [F.count("*").alias(f"c_{order}")]
+    if prune_singletons:
+        aggs.append(F.min(id_col).alias("_one_doc"))
+    s[order] = scoped_persist(stream.groupBy(*gcols).agg(*aggs))
     for k in range(order - 1, 0, -1):
         keys = gcols[order - k :]
         s[k] = scoped_persist(
             s[k + 1].groupBy(*keys).agg(F.sum(f"c_{k + 1}").alias(f"c_{k}"))
         )
-    # prefix-context counts: x[k] aggregates s[k] over its last token
-    x: dict[int, DataFrame] = {
-        k: s[k]
-        .groupBy(*gcols[order - k : order - 1])
-        .agg(F.sum(f"c_{k}").alias(f"x_{k}"))
-        for k in range(2, order + 1)
-    }
+    # prefix-context counts: x_k sums c_k over the suffix's LAST token, so
+    # x[order] aggregates s[order] and — because summing out x_{k+1}'s
+    # FIRST column yields exactly x_k — every lower x rolls up from its
+    # parent x. With suffix_partitioning, x[order]'s one exchange is keyed
+    # on the two tokens every x-rollup's keys share (ending at g_{N-1}),
+    # making the x-chain exchange-free below it.
+    x: dict[int, DataFrame] = {}
+    xN = s[order].select(*gcols[:-1], f"c_{order}")
+    x_part = gcols[max(0, order - 3) : order - 1]
+    if suffix_partitioning and x_part:
+        xN = xN.repartition(*x_part)
+    x[order] = scoped_persist(
+        xN.groupBy(*gcols[:-1]).agg(F.sum(f"c_{order}").alias(f"x_{order}"))
+    )
+    for k in range(order - 1, 1, -1):
+        keys = gcols[order - k : order - 1]
+        x[k] = scoped_persist(
+            x[k + 1].groupBy(*keys).agg(F.sum(f"x_{k + 1}").alias(f"x_{k}"))
+        )
     total = s[1].agg(F.sum("c_1").alias("total_tok"))
-    # score each DISTINCT order-gram once: the interpolation joins run
-    # table-vs-table (every side a rollup of s[order], orders of magnitude
-    # smaller than the corpus stream on duplicate-bearing text), and the
-    # corpus stream pays exactly ONE join against the finished score table
-    # — not one per model order (the first cut joined the stream 2N-1
-    # times; 9 corpus-sized sort-merge joins at order 5)
+    # score each DISTINCT order-gram once, in ONE chain over ALL grams
+    # (identical inputs whether pruning or not — the hash-identity proof
+    # rests on this): table-vs-table interpolation joins, then the shared
+    # micro-nat expression.
     score_table = s[order]
     for k in range(order, 1, -1):
         score_table = score_table.join(x[k], gcols[order - k : order - 1])
     for k in range(order - 1, 0, -1):
         score_table = score_table.join(s[k], gcols[order - k :])
+    keep = [*gcols, f"c_{order}", "_one_doc", "micro"] if prune_singletons else [
+        *gcols,
+        "micro",
+    ]
     score_table = (
         score_table.crossJoin(F.broadcast(total))
         .withColumn("micro", F.expr(ngram_logprob_micro_sql(order)))
-        .select(*gcols, "micro")
+        .select(*keep)
     )
-    scored = (
-        stream.join(score_table, gcols)
-        .groupBy(id_col)
-        .agg(
-            F.count("*").alias("n_tokens"),
-            F.sum("micro").alias("surprisal_micro_sum"),
+    if prune_singletons:
+        score_table = scoped_persist(score_table)
+        # singleton tail: per-doc contribution aggregated table-side —
+        # these positions never join the stream
+        sing = (
+            score_table.filter(F.col(f"c_{order}") == 1)
+            .groupBy(F.col("_one_doc").alias(id_col))
+            .agg(
+                F.count("*").alias("_n"),
+                F.sum("micro").alias("_m"),
+            )
         )
-    )
+        pruned = score_table.filter(F.col(f"c_{order}") >= 2).select(*gcols, "micro")
+        nonsing = (
+            stream.join(pruned, gcols)
+            .groupBy(id_col)
+            .agg(F.count("*").alias("_n"), F.sum("micro").alias("_m"))
+        )
+        scored = (
+            nonsing.unionByName(sing)
+            .groupBy(id_col)
+            .agg(
+                F.sum("_n").alias("n_tokens"),
+                F.sum("_m").alias("surprisal_micro_sum"),
+            )
+        )
+    else:
+        scored = (
+            stream.join(score_table.select(*gcols, "micro"), gcols)
+            .groupBy(id_col)
+            .agg(
+                F.count("*").alias("n_tokens"),
+                F.sum("micro").alias("surprisal_micro_sum"),
+            )
+        )
     return scored.select(
         id_col,
         F.col("n_tokens").cast("bigint").alias("n_tokens"),
