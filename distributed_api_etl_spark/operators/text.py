@@ -1076,8 +1076,11 @@ def trigram_logprob_scores(
 # floats: the SAME scientific-notation literal must appear in both engines'
 # SQL (bare decimals parse as DECIMAL on both Spark and DuckDB and their
 # decimal division rounds differently — the round-5 lesson). Each weight set
-# sums to exactly 1, every ratio is <= 1, so the -ln argument is in (0, 1]
-# and the micro-nat value is a non-negative exact integer.
+# sums to 1 in the reals; as DOUBLEs the order-5 set's sum carries a ~2e-16
+# float excess, so the -ln argument can exceed 1 by at most one ulp and the
+# micro-nat value can be -0 before the floor(x*1e6 + 0.5) half-up rounding,
+# which absorbs it back to exact integer 0 (ADVICE r8 #4: the rounding, not
+# the weights, is what guarantees a non-negative exact integer).
 NGRAM_WEIGHTS: dict[int, tuple[str, ...]] = {
     2: ("7e-1", "3e-1"),
     3: ("5e-1", "3e-1", "2e-1"),
@@ -1110,6 +1113,7 @@ def ngram_logprob_scores(
     order: int = 5,
     prune_singletons: bool = True,
     suffix_partitioning: bool = True,
+    fp128_score_join: bool = False,
 ) -> DataFrame:
     """Mean per-token surprisal under a corpus-fit interpolated
     ``order``-gram LM — the generalization the trigram gate's double-BOS
@@ -1196,7 +1200,14 @@ def ngram_logprob_scores(
     # deepest suffix every s-rollup shares (last two tokens) and the
     # persisted exchanged stream ALSO serves as the probe side of the
     # final score join; without, it is the classic full-key groupBy with
-    # map-side combine.
+    # map-side combine. Storage cost (ADVICE r9 #4): this persist holds
+    # the full exploded POSITION stream (positions x order token columns)
+    # at MEMORY_AND_DISK — a corpus-sized materialization the unaligned
+    # shape avoids by recomputing the explode per consumer. At 100 TB
+    # that is a deliberate disk-for-shuffle trade: the persist spills to
+    # local disk (sequential, node-local) to delete a full cascade of
+    # cluster-wide exchanges; executors sized for the shuffle the old
+    # shape did would hold the same bytes anyway, just on the wire.
     s_part = gcols[max(0, order - 2) :]
     if suffix_partitioning:
         stream = scoped_persist(stream.repartition(*s_part))
@@ -1270,11 +1281,33 @@ def ngram_logprob_scores(
             )
         )
         pruned = score_table.filter(F.col(f"c_{order}") >= 2).select(*gcols, "micro")
-        nonsing = (
-            stream.join(pruned, gcols)
-            .groupBy(id_col)
-            .agg(F.count("*").alias("_n"), F.sum("micro").alias("_m"))
-        )
+        if fp128_score_join:
+            # 128-bit fingerprint join key (two independent xxhash64, the
+            # second salted — the passage-dedup idiom; internal key only,
+            # never output; collision odds ~1e-15 at 1e12 distinct grams).
+            # Measured in SCALE.md ("fp128 stream-score join key A/B") and
+            # OFF by default: in the broadcast regime it only narrows an
+            # exchange that does not exist, and in the forced-shuffle
+            # regime the string key lets the join REUSE the stream's
+            # trailing-bigram partitioning (HashPartitioning on a subset
+            # of the join keys — the table side aligns instead), which the
+            # fingerprint destroys by replacing the suffix columns.
+            fp = [
+                F.xxhash64(*gcols).alias("_fp1"),
+                F.xxhash64(*gcols, F.lit(-1640531527)).alias("_fp2"),
+            ]
+            nonsing = (
+                stream.select(id_col, *fp)
+                .join(pruned.select(*fp, "micro"), ["_fp1", "_fp2"])
+                .groupBy(id_col)
+                .agg(F.count("*").alias("_n"), F.sum("micro").alias("_m"))
+            )
+        else:
+            nonsing = (
+                stream.join(pruned, gcols)
+                .groupBy(id_col)
+                .agg(F.count("*").alias("_n"), F.sum("micro").alias("_m"))
+            )
         scored = (
             nonsing.unionByName(sing)
             .groupBy(id_col)

@@ -175,11 +175,21 @@ class PipelineOrchestrator:
             )
             sink_reader = self._sink_reader() if not dry_run else (lambda: None)
             if dry_run:
-                # single pass, no idempotency loop (nothing is persisted)
+                # single pass, no idempotency loop (nothing is persisted) —
+                # but execution.num_partitions must still bind, exactly as in
+                # BatchProcessor.process: without it a multi-partition source
+                # would hand each partition its own process-scoped resources
+                # (e.g. a fresh RateLimiter bucket), silently voiding
+                # single-partition invariants (ADVICE r8 #1 / VERDICT r9 #2).
                 total = source.count()
                 todo, n = processor.assign_batches(source, total)
+                parts = ex.num_partitions or n
                 for b in range(n):
-                    handler.process(todo.where(F.col("batch_id") == b).drop("batch_id"))
+                    handler.process(
+                        todo.where(F.col("batch_id") == b)
+                        .drop("batch_id")
+                        .repartition(min(parts, ex.batch_size))
+                    )
                 stats = BatchRunStats(
                     total_rows=total, processed_rows=total, attempts=1, batches_ok=n
                 )

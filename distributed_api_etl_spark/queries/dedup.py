@@ -333,9 +333,11 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
     """,
     tags=("dedup", "graph"),
-    # graded=False: dedup_clusters_two_phase grades the identical contract
-    # with the scale-safe O(log n) algorithm; this stays in library/tests
-    graded=False,
+    # promoted r10 (VERDICT r9 #3): held graded=False while
+    # dedup_clusters_two_phase graded the identical contract, but its own
+    # driver evidence had aged to r2/r3 — the only entries that old — so
+    # it rejoins the rotation for fresh evidence on the label-prop path.
+    graded=True,
 )
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairwise near-dups -> canonical clusters: connected components
@@ -900,6 +902,11 @@ def dedup_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     # that round's window was exactly full.
     graded=True,
     tags=("dedup", "text", "er"),
+    # The brute-force oracle is ~112M damerau evaluations at sf0.1
+    # (ADVICE r8 #3) and a length pre-filter prunes nothing here (every
+    # TPC-H c_name is exactly 18 chars) — pin the LOCAL sweep to sf0.01
+    # (~1.1M evals); the driver grades at sf0.01 regardless.
+    oracle_max_sf=0.01,
 )
 def customer_name_damerau1_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transposition-aware fuzzy join (operators/dedup.py:damerau1_pairs):

@@ -339,9 +339,11 @@ def events_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM events e JOIN dim d USING (event_type)
     """,
     tags=("events", "skew", "join"),
-    # graded=False: the salted-join family is graded via
-    # events_salted_distinct_users; this variant stays in library/tests
-    graded=False,
+    # promoted r10 (VERDICT r9 #3): the salted-join family was graded via
+    # events_salted_distinct_users, but this variant's own driver evidence
+    # had aged to r2/r3 — rejoins the rotation for fresh evidence on the
+    # dim-enrichment path.
+    graded=True,
 )
 def events_salted_type_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dimension enrichment through the salted join: event_type is the

@@ -33,6 +33,13 @@ class QuerySpec:
     # whose contract is already covered by a scale-safer sibling (e.g. the
     # label-prop CC vs the two-phase CC).
     graded: bool = True
+    # Largest SF at which the LOCAL full-oracle sweep should run this
+    # query's oracle (ADVICE r8 #3): deliberately-brute-force ground-truth
+    # oracles (quadratic distance sweeps) get pinned so the sf0.1 sweep
+    # doesn't spend minutes in DuckDB re-proving what sf0.01 already
+    # proves. The driver itself always grades at sf0.01, below every pin;
+    # sweep_sf_dir() applies the substitution for local harnesses.
+    oracle_max_sf: float | None = None
 
 
 REGISTRY: dict[str, QuerySpec] = {}
@@ -44,16 +51,51 @@ def register(
     bench: bool = False,
     tags: tuple[str, ...] = (),
     graded: bool = True,
+    oracle_max_sf: float | None = None,
 ) -> Callable[[BuildFn], BuildFn]:
     def deco(fn: BuildFn) -> BuildFn:
         if name in REGISTRY:
             raise ValueError(f"duplicate query name: {name}")
         REGISTRY[name] = QuerySpec(
-            name=name, build=fn, oracle=oracle, bench=bench, tags=tags, graded=graded
+            name=name,
+            build=fn,
+            oracle=oracle,
+            bench=bench,
+            tags=tags,
+            graded=graded,
+            oracle_max_sf=oracle_max_sf,
         )
         return fn
 
     return deco
+
+
+def sweep_sf_dir(spec: QuerySpec, sf_dir: str) -> str:
+    """The sf_dir a LOCAL oracle sweep should use for ``spec``.
+
+    Honors ``oracle_max_sf``: when sweeping above the pin (parsed from the
+    trailing ``sf<float>`` path component), substitute the pinned scale's
+    sibling directory — both engines still run and hash-compare, just at
+    the largest scale the oracle's cost budget allows. Unparseable or
+    custom directories pass through untouched.
+    """
+    if spec.oracle_max_sf is None:
+        return sf_dir
+    import os
+    import re
+
+    head, tail = os.path.split(sf_dir.rstrip("/"))
+    m = re.fullmatch(r"sf([0-9.]+)", tail)
+    if not m:
+        return sf_dir
+    try:
+        sf = float(m.group(1))
+    except ValueError:
+        return sf_dir
+    if sf <= spec.oracle_max_sf:
+        return sf_dir
+    pinned = os.path.join(head, f"sf{spec.oracle_max_sf:g}")
+    return pinned if os.path.isdir(pinned) else sf_dir
 
 
 def pin_events_confs(spark: SparkSession) -> None:

@@ -332,9 +332,10 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY ROLLUP (l_returnflag, l_linestatus)
     """,
     tags=("analytics",),
-    # graded=False: q1_cube_summary's grouping sets are a strict superset of
-    # this rollup, so the cube grade covers the grouping-sets code path
-    graded=False,
+    # promoted r10 (VERDICT r9 #3): q1_cube_summary's grouping sets cover
+    # the code path, but this head's own driver evidence had aged to
+    # r2/r3 — rejoins the rotation for fresh evidence on the rollup shape.
+    graded=True,
 )
 def q1_rollup_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem")

@@ -34,7 +34,7 @@ VARIANTS = [
 for _ in range(2):
     for label, ps, sp in VARIANTS:
         best, mb = None, None
-        for _r in range(1):
+        for _r in range(2):
             release_caches()
             spark.catalog.clearCache()
             w0, _ = shuffle_bytes_snapshot(spark)
