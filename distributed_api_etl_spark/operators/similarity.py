@@ -332,6 +332,53 @@ def dequantize(qvec_col: str = "qvec", scale_col: str = "scale"):
     )
 
 
+def quantized_rerank_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    k_cand: int,
+    levels: int = 127,
+) -> DataFrame:
+    """Two-tier ANN serving: int8 candidate generation, full-precision
+    re-rank — the production pattern the quantized-recall measurement
+    licenses (serve candidates from the 4x-compressed tier, pay full
+    precision only on ``k_cand`` rows per query).
+
+    Tier 1 scans the QUANTIZED corpus (at 100 TB that is the stored
+    serving copy — 4x less I/O than float32) with broadcast query
+    vectors, keeping ``k_cand`` >= ``k`` candidates per query. Tier 2
+    touches full-precision vectors for ONLY the candidate set:
+    ``n_queries x k_cand`` pairs broadcast back onto the corpus scan
+    (no shuffle of the big side at any point; ranking is per-query
+    window over k_cand rows). Exact cosine decides the final order, so
+    a true neighbor is lost only if the int8 tier drops it from the
+    top-``k_cand`` — the recall@k_cand number, strictly better than the
+    recall@k the ann_quantized_recall_at_k head grades.
+    """
+    quant = quantize_embeddings(emb, id_col, vec_col, levels)
+    qq = quant.join(F.broadcast(queries.select(id_col)), id_col)
+    cands = bruteforce_topk(quant, qq, id_col, "qvec", k_cand).select(
+        "query_id", "neighbor_id"
+    )
+    nv = emb.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nv"))
+    qv = emb.join(F.broadcast(queries.select(id_col)), id_col).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    scored = (
+        nv.join(F.broadcast(cands), "neighbor_id")
+        .join(F.broadcast(qv), "query_id")
+        .withColumn("cosine", cosine_similarity("qv", "nv"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "rnk", F.round("cosine", 6).alias("cosine"))
+    )
+
+
 def kmeans_centroids(
     emb: DataFrame,
     id_col: str,

@@ -1286,12 +1286,15 @@ def ngram_logprob_scores(
             # second salted — the passage-dedup idiom; internal key only,
             # never output; collision odds ~1e-15 at 1e12 distinct grams).
             # Measured in SCALE.md ("fp128 stream-score join key A/B") and
-            # OFF by default: in the broadcast regime it only narrows an
-            # exchange that does not exist, and in the forced-shuffle
-            # regime the string key lets the join REUSE the stream's
-            # trailing-bigram partitioning (HashPartitioning on a subset
-            # of the join keys — the table side aligns instead), which the
-            # fingerprint destroys by replacing the suffix columns.
+            # OFF by default — vetoed on measurement: in the broadcast
+            # regime it narrows an exchange that does not exist (21.43 MB
+            # byte-identical), and in the forced-shuffle regime the
+            # promised severalfold width win collapses to -4.4% because
+            # LZ4 shuffle compression already shrinks low-entropy token
+            # strings to near the 16 incompressible fingerprint bytes.
+            # The string key also keeps the join compatible with the
+            # stream's trailing-bigram partitioning (HashPartitioning on
+            # a subset of the join keys), which the fingerprint destroys.
             fp = [
                 F.xxhash64(*gcols).alias("_fp1"),
                 F.xxhash64(*gcols, F.lit(-1640531527)).alias("_fp2"),
