@@ -379,6 +379,87 @@ def quantized_rerank_topk(
     )
 
 
+def ivf_int8_multiprobe_topk(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_centroids: int,
+    queries: DataFrame,
+    k: int,
+    k_cand: int,
+    nprobe: int = 2,
+    levels: int = 127,
+) -> DataFrame:
+    """The composed 100-TB ANN serving plan: IVF (multiprobe) candidate
+    generation over the INT8 tier, full-precision re-rank on only the
+    survivors.
+
+    :func:`quantized_rerank_topk`'s tier 1 is a linear scan of the
+    quantized corpus — correct as a labeled baseline, but at 100 TB
+    candidate generation must also prune WHICH vectors are scanned, not
+    just how wide each one is. This operator composes the two knobs the
+    sibling heads grade separately:
+
+      * **I/O width**: the scanned tier is the int8 corpus
+        (:func:`quantize_embeddings` — 4x less scan I/O than float32;
+        cosine is per-vector-scale invariant, so the stored ``scale`` never
+        participates in ranking),
+      * **scan fraction**: IVF bucketing over the SAME quantized vectors
+        (centroids = the ``n_centroids`` lowest-id quantized vectors, the
+        :func:`ivf_topk` convention) with :func:`ivf_probe_assign`'s
+        top-``nprobe`` probe selection — per query only
+        ~``nprobe/n_centroids`` of the corpus is scored, via the disjoint
+        bucket equi-join (broadcast probe side, zero corpus shuffle),
+      * **ranking fidelity**: top-``k_cand`` quantized candidates per query
+        are re-ranked with exact full-precision cosine; full-width vectors
+        are touched for only ``n_queries x k_cand`` rows (two broadcast
+        equi-joins back onto the corpus scan).
+
+    Every join is an equi-join on ``centroid_id`` / ``neighbor_id`` /
+    ``query_id`` with the bounded side broadcast — no BNLJ anywhere in the
+    serving path (the brute-force tier this composes AGAINST in the recall
+    head is the only non-equi join, and it is the labeled verifier).
+    """
+    quant = quantize_embeddings(emb, id_col, vec_col, levels)
+    centroids = (
+        quant.orderBy(F.col(id_col)).limit(n_centroids).select(id_col, "qvec")
+    )
+    assigned = ivf_assign(quant, centroids, id_col, "qvec")
+    qvecs = queries.select(id_col).join(quant.select(id_col, "qvec"), id_col)
+    probes = ivf_probe_assign(qvecs, centroids, id_col, "qvec", nprobe)
+    cand = assigned.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col("qvec").alias("nqv"),
+        "centroid_id",
+    )
+    qscored = (
+        cand.join(F.broadcast(probes), "centroid_id")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("qcos", cosine_similarity("qv", "nqv"))
+    )
+    wc = Window.partitionBy("query_id").orderBy(F.desc("qcos"), F.asc("neighbor_id"))
+    cands = (
+        qscored.withColumn("crnk", F.row_number().over(wc))
+        .where(F.col("crnk") <= k_cand)
+        .select("query_id", "neighbor_id")
+    )
+    nv = emb.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nv"))
+    qv = emb.join(F.broadcast(queries.select(id_col)), id_col).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    scored = (
+        nv.join(F.broadcast(cands), "neighbor_id")
+        .join(F.broadcast(qv), "query_id")
+        .withColumn("cosine", cosine_similarity("qv", "nv"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "rnk", F.round("cosine", 6).alias("cosine"))
+    )
+
+
 def kmeans_centroids(
     emb: DataFrame,
     id_col: str,

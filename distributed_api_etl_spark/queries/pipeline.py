@@ -298,8 +298,8 @@ def api_pipeline_rate_limited(spark: SparkSession, sf_dir: str) -> DataFrame:
     a 25-row frame; monotonic stamps never compare across partitions:
     ``execution.num_partitions: 1`` is applied by the orchestrator's
     dry_run branch via the same repartition as BatchProcessor.process
-    (tests/test_pipeline.py proves the invariant survives a
-    multi-partition source)."""
+    (tests/test_pipeline_e2e.py::test_dry_run_num_partitions_binds_on_multipartition_source
+    proves the invariant survives a multi-partition source)."""
     from distributed_api_etl_spark.orchestration import run_pipeline
 
     cfg = {

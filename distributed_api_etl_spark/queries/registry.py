@@ -95,7 +95,19 @@ def sweep_sf_dir(spec: QuerySpec, sf_dir: str) -> str:
     if sf <= spec.oracle_max_sf:
         return sf_dir
     pinned = os.path.join(head, f"sf{spec.oracle_max_sf:g}")
-    return pinned if os.path.isdir(pinned) else sf_dir
+    if not os.path.isdir(pinned):
+        # falling through silently would re-enable the minutes-long
+        # quadratic oracle sweep the pin exists to avoid — make it loud
+        import warnings
+
+        warnings.warn(
+            f"sweep_sf_dir({spec.name}): pinned dir {pinned!r} missing; "
+            f"falling back to {sf_dir!r} — the brute-force oracle will run "
+            "at full scale",
+            stacklevel=2,
+        )
+        return sf_dir
+    return pinned
 
 
 def pin_events_confs(spark: SparkSession) -> None:

@@ -571,6 +571,55 @@ def test_ivf_multiprobe_improves_on_single_probe(spark, sf_dir):
     assert pall == exact
 
 
+def test_ivf_int8_rerank_degenerates_to_exact(spark, sf_dir):
+    """The composed IVF+int8+rerank serving path at exhaustive settings
+    (nprobe = n_centroids => every bucket probed; k_cand >= corpus => no
+    candidate ever cut) must return EXACTLY the full-precision brute-force
+    top-k — same pairs, same ranks, same cosines — because the final
+    ranking is full-precision over an uncut candidate set. Also: at
+    serving settings the output pair set can only shrink vs exhaustive."""
+    from distributed_api_etl_spark.operators.similarity import (
+        bruteforce_topk,
+        ivf_int8_multiprobe_topk,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 6).select("vec_id")
+    n = emb.count()
+
+    def rows(df):
+        return {
+            (r.query_id, r.neighbor_id, r.rnk, r.cosine) for r in df.collect()
+        }
+
+    exact = rows(
+        bruteforce_topk(emb, emb.where(F.col("vec_id") < 6), "vec_id", "embedding", 3)
+    )
+    exhaustive = rows(
+        ivf_int8_multiprobe_topk(
+            emb, "vec_id", "embedding", 8, queries, 3, k_cand=n, nprobe=8
+        )
+    )
+    assert exhaustive == exact
+    served = rows(
+        ivf_int8_multiprobe_topk(
+            emb, "vec_id", "embedding", 8, queries, 3, k_cand=10, nprobe=2
+        )
+    )
+    # per query: ranks are contiguous 1..k (a window over the candidate
+    # set, never gapped by the probe/depth cuts)
+    by_q = {}
+    for q, _nb, r, _c in served:
+        by_q.setdefault(q, []).append(r)
+    assert all(sorted(v) == list(range(1, len(v) + 1)) for v in by_q.values())
+    # every served pair that IS a true neighbor carries the identical
+    # full-precision cosine (rerank restores exact scores)
+    exact_cos = {(q, nb): c for (q, nb, _r, c) in exact}
+    for q, nb, _r, c in served:
+        if (q, nb) in exact_cos:
+            assert c == exact_cos[(q, nb)]
+
+
 def test_pii_redact_masks_and_counts(spark):
     from distributed_api_etl_spark.operators.text import pii_redact
 

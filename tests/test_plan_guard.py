@@ -59,6 +59,10 @@ ALLOW_BNLJ = {
     "semantic_diversity_sample": "bounded broadcast k-row centroid set (ivf_assign argmax)",
     "ann_ivf_multiprobe_topk": "bounded broadcast centroid/query sides",
     "ann_recall_at_k": "bounded broadcast query sides (ivf tier + labeled exact ground-truth tier)",
+    "ann_int8_rerank_topk": "bounded broadcast query side (int8 tier) + n_queries*k_cand-row candidate set (full-precision rerank tier)",
+    "ann_quantized_recall_at_k": "bounded broadcast query sides (labeled quantized-tier baseline vs the same labeled exact ground-truth tier as ann_recall_at_k)",
+    "ann_ivf_int8_rerank_recall_at_k": "1-row broadcast centroid-array sides (ivf_assign/probe_assign) + the labeled exact ground-truth tier; bucket/rerank joins are broadcast equi-joins",
+    "ann_rerank_depth_recall_at_k": "bounded broadcast query side (int8 linear-scan tier per k_cand) + the labeled exact ground-truth tier",
     "ann_multiprobe_recall_at_k": "bounded broadcast centroid/query sides per nprobe tier + the same labeled exact ground-truth tier as ann_recall_at_k",
     "documents_fivegram_logppl": "1-row total-token scalar",
     "documents_bm25_relevance": "1-row corpus-stats scalar (N, total tokens)",
