@@ -420,14 +420,98 @@ def ivf_int8_multiprobe_topk(
     serving path (the brute-force tier this composes AGAINST in the recall
     head is the only non-equi join, and it is the labeled verifier).
     """
+    index, centroids = build_ivf_int8_index(emb, id_col, vec_col, n_centroids, levels)
+    return ivf_int8_topk_from_index(
+        index,
+        centroids,
+        emb,
+        queries,
+        id_col,
+        vec_col,
+        k,
+        k_cand,
+        nprobe,
+        # inline form: the index is a subtree of this very plan, not a
+        # partitioned store — a static IN-filter would add a driver
+        # collect for no file-level pruning to gain
+        prune_partitions=False,
+    )
+
+
+def build_ivf_int8_index(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_centroids: int,
+    levels: int = 127,
+) -> tuple[DataFrame, DataFrame]:
+    """The ingest half of the IVF+int8 serving path: (index, centroids).
+
+    ``index`` is the quantized corpus with its centroid assignment —
+    ``(id_col, qvec, centroid_id)`` — the frame a production system
+    computes ONCE at write time and stores PARTITIONED BY ``centroid_id``
+    (``index.write.partitionBy("centroid_id")``). ``centroids`` is the
+    tiny ``(id_col, qvec)`` quantized centroid table the query router
+    keeps. Both are map-side projections over one corpus scan (zero
+    shuffle: quantization is per-row, assignment is an argmax fold over
+    one broadcast centroid-array row).
+
+    The serving-side counterpart :func:`ivf_int8_topk_from_index` reads
+    the stored layout back and probes it with partition pruning — see
+    SCALE.md "ANN serving A/B" for why splitting ingest from serving is
+    the form that wins at 100 TB (this inline-assignment cost is paid
+    once per ingest, amortized over every query batch).
+    """
     quant = quantize_embeddings(emb, id_col, vec_col, levels)
     centroids = (
         quant.orderBy(F.col(id_col)).limit(n_centroids).select(id_col, "qvec")
     )
-    assigned = ivf_assign(quant, centroids, id_col, "qvec")
-    qvecs = queries.select(id_col).join(quant.select(id_col, "qvec"), id_col)
+    index = ivf_assign(quant, centroids, id_col, "qvec").select(
+        id_col, "qvec", "centroid_id"
+    )
+    return index, centroids
+
+
+def ivf_int8_topk_from_index(
+    index: DataFrame,
+    centroids: DataFrame,
+    emb: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    k_cand: int,
+    nprobe: int = 2,
+    prune_partitions: bool = True,
+) -> DataFrame:
+    """Serve top-k from a STORED IVF+int8 index
+    (:func:`build_ivf_int8_index`, written ``partitionBy("centroid_id")``)
+    with full-precision rerank — the deployed form of
+    :func:`ivf_int8_multiprobe_topk`, identical output.
+
+    With ``prune_partitions`` (default), the bounded probed-bucket set —
+    ``<= n_queries x nprobe`` distinct centroid ids, METADATA-bounded
+    like orchestration/backfill.py's package collect, never
+    corpus-scaling — is collected and applied as a static
+    ``centroid_id IN (...)`` filter BEFORE the bucket join, so a
+    centroid-partitioned parquet layout prunes unprobed buckets at the
+    FILE level (``PartitionFilters`` in the scan, asserted in
+    tests/test_operators.py): the scan reads ~nprobe/n_centroids of the
+    index's FILES, not just of its rows. This is how the query router of
+    a 100-TB deployment turns probe selection into I/O savings — without
+    it the filter is still correct but relies on the join to discard
+    rows after they are read.
+    """
+    qvecs = queries.select(id_col).join(index.select(id_col, "qvec"), id_col)
     probes = ivf_probe_assign(qvecs, centroids, id_col, "qvec", nprobe)
-    cand = assigned.select(
+    cand_src = index
+    if prune_partitions:
+        probed = sorted(
+            r["centroid_id"]
+            for r in probes.select("centroid_id").distinct().collect()
+        )
+        cand_src = index.where(F.col("centroid_id").isin(probed))
+    cand = cand_src.select(
         F.col(id_col).alias("neighbor_id"),
         F.col("qvec").alias("nqv"),
         "centroid_id",

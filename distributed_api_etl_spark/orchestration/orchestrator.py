@@ -185,6 +185,11 @@ class PipelineOrchestrator:
                 todo, n = processor.assign_batches(source, total)
                 parts = ex.num_partitions or n
                 for b in range(n):
+                    # batch_size caps the PARTITION count only as a
+                    # proxy upper bound: one batch holds <= batch_size
+                    # rows, so more partitions than rows is guaranteed
+                    # dead weight; any configured num_partitions below
+                    # that passes through unchanged
                     handler.process(
                         todo.where(F.col("batch_id") == b)
                         .drop("batch_id")

@@ -107,5 +107,71 @@ for name, build in (
         mb = round((w1 - w0) / 1e6, 2)
     print(f"{name}: shuffle={mb} MB  wall={best:.2f}s", flush=True)
 
+# stage 3: the DEPLOYED form — index stored partitionBy(centroid_id),
+# served with the router's probed-bucket IN-filter (file-level pruning)
+import shutil
+import tempfile
+
+from distributed_api_etl_spark.operators.similarity import (
+    build_ivf_int8_index,
+    ivf_int8_topk_from_index,
+)
+
+tmp = tempfile.mkdtemp(prefix="ivf_int8_index_")
+try:
+    index, cents_df = build_ivf_int8_index(
+        fan_out(table(spark, SF, "embeddings")), "vec_id", "embedding", N_CENTROIDS
+    )
+    t0 = time.perf_counter()
+    index.write.partitionBy("centroid_id").parquet(tmp, mode="overwrite")
+    print(f"ingest (quantize+assign+write): {time.perf_counter() - t0:.2f}s", flush=True)
+    stored = spark.read.parquet(tmp)
+    n_files_all = (
+        stored.select(F.input_file_name().alias("f")).distinct().count()
+    )
+    best, mb = None, None
+    for _r in range(2):
+        release_caches()
+        spark.catalog.clearCache()
+        w0, _ = shuffle_bytes_snapshot(spark)
+        t0 = time.perf_counter()
+        ivf_int8_topk_from_index(
+            spark.read.parquet(tmp),
+            cents_df,
+            fan_out(table(spark, SF, "embeddings")),
+            queries,
+            "vec_id",
+            "embedding",
+            K,
+            K_CAND,
+            nprobe=NPROBE,
+        ).write.format("noop").mode("overwrite").save()
+        dt = time.perf_counter() - t0
+        w1, _ = shuffle_bytes_snapshot(spark)
+        best = dt if best is None else min(best, dt)
+        mb = round((w1 - w0) / 1e6, 2)
+    qv2 = queries.join(quant.select("vec_id", "qvec"), "vec_id")
+    probed = sorted(
+        r.centroid_id
+        for r in ivf_probe_assign(qv2, cents, "vec_id", "qvec", NPROBE)
+        .select("centroid_id")
+        .distinct()
+        .collect()
+    )
+    n_files_probed = (
+        stored.where(F.col("centroid_id").isin(probed))
+        .select(F.input_file_name().alias("f"))
+        .distinct()
+        .count()
+    )
+    print(
+        f"stored_ivf_int8_rerank: shuffle={mb} MB  wall={best:.2f}s  "
+        f"index_files_read={n_files_probed}/{n_files_all} "
+        f"(probed buckets {probed})",
+        flush=True,
+    )
+finally:
+    shutil.rmtree(tmp, ignore_errors=True)
+
 release_caches()
 spark.stop()

@@ -620,6 +620,78 @@ def test_ivf_int8_rerank_degenerates_to_exact(spark, sf_dir):
             assert c == exact_cos[(q, nb)]
 
 
+def test_ivf_int8_stored_index_roundtrip_and_partition_pruning(
+    spark, tmp_path, sf_dir
+):
+    """The deployed form of the IVF+int8+rerank path: build the index once
+    (build_ivf_int8_index), store it partitionBy(centroid_id), serve from
+    the stored layout (ivf_int8_topk_from_index). Must (a) reproduce the
+    inline operator's output exactly, and (b) prune unprobed buckets at
+    the FILE level — the scan's plan carries a centroid_id
+    PartitionFilter and reads only the probed buckets' files."""
+    from distributed_api_etl_spark.operators.similarity import (
+        build_ivf_int8_index,
+        ivf_int8_multiprobe_topk,
+        ivf_int8_topk_from_index,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 4).select("vec_id")
+    index, cents = build_ivf_int8_index(emb, "vec_id", "embedding", 8)
+    path = str(tmp_path / "ivf_int8_index")
+    index.write.partitionBy("centroid_id").parquet(path)
+    stored = spark.read.parquet(path)
+
+    inline = ivf_int8_multiprobe_topk(
+        emb, "vec_id", "embedding", 8, queries, 3, k_cand=10, nprobe=2
+    )
+    served = ivf_int8_topk_from_index(
+        stored, cents, emb, queries, "vec_id", "embedding", 3, k_cand=10, nprobe=2
+    )
+    rows = lambda df: {tuple(r) for r in df.collect()}  # noqa: E731
+    assert rows(served) == rows(inline)
+
+    # file-level pruning: the probed-bucket IN-filter must reach the
+    # partitioned scan as a PartitionFilter (not a post-scan Filter) ...
+    jmode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    plan = served._jdf.queryExecution().explainString(jmode)
+    import re
+
+    m = re.search(
+        r"ivf_int8_index[^\n]*\n(?:.*\n)*?.*PartitionFilters: \[([^\]]*)\]", plan
+    )
+    assert m is not None and "centroid_id" in m.group(1), plan
+    # ... and it must touch strictly fewer index files than the full
+    # 8-bucket layout whenever the queries don't probe every bucket
+    from distributed_api_etl_spark.operators.similarity import (
+        ivf_probe_assign,
+        quantize_embeddings,
+    )
+
+    qvecs = queries.join(
+        quantize_embeddings(emb, "vec_id", "embedding").select("vec_id", "qvec"),
+        "vec_id",
+    )
+    probed = sorted(
+        r.centroid_id
+        for r in ivf_probe_assign(qvecs, cents, "vec_id", "qvec", 2)
+        .select("centroid_id")
+        .distinct()
+        .collect()
+    )
+    def files_read(df):
+        # input_file_name() over the executed rows = files ACTUALLY read
+        # (inputFiles() lists the relation pre-pruning and can't see it)
+        return df.select(F.input_file_name().alias("f")).distinct().count()
+
+    n_all = files_read(stored)
+    n_probed = files_read(stored.where(F.col("centroid_id").isin(probed)))
+    assert len(probed) < 8  # 4 queries x 2 probes share buckets on this corpus
+    assert n_probed < n_all
+
+
 def test_pii_redact_masks_and_counts(spark):
     from distributed_api_etl_spark.operators.text import pii_redact
 
