@@ -472,6 +472,69 @@ def build_ivf_int8_index(
     return index, centroids
 
 
+def assign_to_ivf_int8_index(
+    new_emb: DataFrame,
+    centroids: DataFrame,
+    id_col: str,
+    vec_col: str,
+    levels: int = 127,
+) -> DataFrame:
+    """Incremental ingest for the stored IVF+int8 index: quantize and
+    assign ONLY the new batch against the FROZEN centroid table, yielding
+    rows append-able to the partitioned layout
+    (``.write.partitionBy("centroid_id").mode("append")``).
+
+    The standing index is never re-read, never re-assigned, never
+    shuffled — the same never-touch-the-corpus contract as
+    dedup.py's incremental MinHash ingest. Cost is one map-side scan of
+    the BATCH (quantization per-row, assignment an argmax fold over one
+    broadcast centroid-array row); an appended index is row-identical to
+    a from-scratch rebuild under the same centroids
+    (tests/test_operators.py asserts it), because assignment depends
+    only on (vector, centroid table), not on what else is in the index.
+    Centroid drift under sustained append is a re-train decision the
+    bucket-size distribution informs — re-training rewrites the layout,
+    appending never does.
+    """
+    quant = quantize_embeddings(new_emb, id_col, vec_col, levels)
+    return ivf_assign(quant, centroids, id_col, "qvec").select(
+        id_col, "qvec", "centroid_id"
+    )
+
+
+def ivf_index_stats(index: DataFrame) -> DataFrame:
+    """Bucket-size distribution of a stored IVF index — the measurement
+    that decides when sustained :func:`assign_to_ivf_int8_index` appends
+    have drifted the layout far enough to re-train centroids.
+
+    One row per ``centroid_id``: ``n_vectors``, ``share_ppm`` (integer
+    fixed-point of bucket/total), and ``vs_uniform_ppm`` (share relative
+    to the perfectly-balanced 1e6/n_buckets — >1e6 means hot). Probe cost
+    under multiprobe is proportional to the probed buckets' share, so a
+    hot bucket is a direct latency/skew problem, same diagnosis role as
+    events_key_skew_report for the salting family. One tiny aggregation
+    (n_buckets rows) + a 1-row total broadcast back — never a corpus
+    shuffle beyond the count's partial aggregation.
+    """
+    counts = index.groupBy("centroid_id").agg(F.count("*").alias("n_vectors"))
+    totals = counts.agg(
+        F.sum("n_vectors").alias("_total"), F.count("*").alias("_nb")
+    )
+    return (
+        counts.crossJoin(F.broadcast(totals))
+        .select(
+            "centroid_id",
+            "n_vectors",
+            F.expr("div(1000000 * n_vectors, _total)")
+            .cast("bigint")
+            .alias("share_ppm"),
+            F.expr("div(1000000 * n_vectors * _nb, _total)")
+            .cast("bigint")
+            .alias("vs_uniform_ppm"),
+        )
+    )
+
+
 def ivf_int8_topk_from_index(
     index: DataFrame,
     centroids: DataFrame,

@@ -692,6 +692,76 @@ def test_ivf_int8_stored_index_roundtrip_and_partition_pruning(
     assert n_probed < n_all
 
 
+def test_ivf_int8_index_incremental_append_equals_rebuild(
+    spark, tmp_path, sf_dir
+):
+    """Appending a new batch to the stored IVF+int8 index (frozen
+    centroids, append-mode partitioned write) must yield the same index
+    CONTENT as a from-scratch rebuild over the union corpus with the
+    same centroids — and the served top-k from either layout is
+    identical. The append path touches only the batch: the standing
+    index is never re-read or re-assigned."""
+    from distributed_api_etl_spark.operators.similarity import (
+        assign_to_ivf_int8_index,
+        build_ivf_int8_index,
+        ivf_assign,
+        ivf_int8_topk_from_index,
+        quantize_embeddings,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    old = emb.where(F.col("vec_id") < 400)
+    new = emb.where(F.col("vec_id") >= 400)
+    path = str(tmp_path / "ivf_idx")
+
+    # initial build over the OLD corpus; centroids frozen from it
+    index0, cents = build_ivf_int8_index(old, "vec_id", "embedding", 8)
+    index0.write.partitionBy("centroid_id").parquet(path)
+    # incremental: assign only the NEW batch, append
+    assign_to_ivf_int8_index(new, cents, "vec_id", "embedding").write.partitionBy(
+        "centroid_id"
+    ).mode("append").parquet(path)
+    appended = spark.read.parquet(path)
+
+    # rebuild over the union with the SAME frozen centroids
+    rebuilt = ivf_assign(
+        quantize_embeddings(emb, "vec_id", "embedding"), cents, "vec_id", "qvec"
+    ).select("vec_id", "qvec", "centroid_id")
+    key = lambda df: {  # noqa: E731
+        (r.vec_id, tuple(r.qvec), r.centroid_id) for r in df.collect()
+    }
+    assert key(appended) == key(rebuilt)
+
+    # and serving from the appended layout == serving from the rebuilt frame
+    queries = emb.where(F.col("vec_id") < 4).select("vec_id")
+    serve = lambda idx: {  # noqa: E731
+        tuple(r)
+        for r in ivf_int8_topk_from_index(
+            idx, cents, emb, queries, "vec_id", "embedding", 3, 10, nprobe=2
+        ).collect()
+    }
+    assert serve(appended) == serve(rebuilt)
+
+
+def test_ivf_index_stats_shares_and_uniformity(spark, sf_dir):
+    from distributed_api_etl_spark.operators.similarity import (
+        build_ivf_int8_index,
+        ivf_index_stats,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    index, _ = build_ivf_int8_index(emb, "vec_id", "embedding", 8)
+    n = emb.count()
+    rows = {r.centroid_id: r for r in ivf_index_stats(index).collect()}
+    assert sum(r.n_vectors for r in rows.values()) == n
+    for r in rows.values():
+        assert r.share_ppm == (1_000_000 * r.n_vectors) // n
+        assert r.vs_uniform_ppm == (1_000_000 * r.n_vectors * len(rows)) // n
+    # shares sum to ~1e6 (truncating div loses < n_buckets ppm)
+    s = sum(r.share_ppm for r in rows.values())
+    assert 1_000_000 - len(rows) < s <= 1_000_000
+
+
 def test_pii_redact_masks_and_counts(spark):
     from distributed_api_etl_spark.operators.text import pii_redact
 
