@@ -485,6 +485,102 @@ def ann_ivf_int8_rerank_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFra
     return out
 
 
+IVF_NPROBE_SERVE = 2
+
+
+@register(
+    "ann_index_serving_roundtrip",
+    oracle=f"""
+    WITH {_QUANT_CTES},
+    cents AS (SELECT vec_id AS centroid_id, qvec AS cv FROM quant
+              WHERE vec_id < {IVF_CENTROIDS}),
+    assign0 AS (
+      SELECT qn.vec_id, qn.qvec, c.centroid_id,
+             row_number() OVER (PARTITION BY qn.vec_id
+               ORDER BY list_cosine_similarity(CAST(qn.qvec AS DOUBLE[]),
+                                               CAST(c.cv AS DOUBLE[])) DESC,
+                        c.centroid_id) AS arnk
+      FROM quant qn CROSS JOIN cents c
+    ),
+    corpus AS (SELECT vec_id, qvec, centroid_id FROM assign0 WHERE arnk = 1),
+    probes AS (
+      SELECT vec_id AS query_id, qvec AS qq, centroid_id
+      FROM assign0
+      WHERE vec_id >= {IVF_QUERY_LO} AND vec_id < {IVF_QUERY_HI}
+        AND arnk <= {IVF_NPROBE_SERVE}
+    ),
+    qsc AS (
+      SELECT p.query_id, c.vec_id AS neighbor_id,
+             list_cosine_similarity(CAST(p.qq AS DOUBLE[]),
+                                    CAST(c.qvec AS DOUBLE[])) AS qcos
+      FROM corpus c JOIN probes p ON c.centroid_id = p.centroid_id
+                                 AND c.vec_id <> p.query_id
+    ),
+    cand AS (
+      SELECT query_id, neighbor_id
+      FROM (SELECT *, row_number() OVER (
+              PARTITION BY query_id ORDER BY qcos DESC, neighbor_id) AS crnk
+            FROM qsc)
+      WHERE crnk <= {K_CAND_IVF}
+    ),
+    rer AS (
+      SELECT ca.query_id, ca.neighbor_id,
+             list_cosine_similarity(qv.v, nv.v) AS cosine
+      FROM cand ca
+      JOIN vecs qv ON qv.vec_id = ca.query_id
+      JOIN vecs nv ON nv.vec_id = ca.neighbor_id
+    )
+    SELECT query_id, neighbor_id, CAST(rnk AS INTEGER) AS rnk,
+           round(cosine, 6) AS cosine
+    FROM (SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
+          FROM rer)
+    WHERE rnk <= {IVF_K}
+    """,
+    tags=("similarity", "quantization", "sink", "partitioning"),
+)
+def ann_index_serving_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DEPLOYED ANN serving path graded end-to-end: the IVF+int8 index
+    is built once (operators/similarity.py:build_ivf_int8_index), written
+    ``partitionBy(centroid_id)`` — the storage layout whose unprobed
+    buckets are never read — read back, and served with the query
+    router's probed-bucket IN-filter + full-precision rerank
+    (ivf_int8_topk_from_index, prune_partitions=True). The oracle
+    computes the same top-k directly from the embeddings table, so the
+    grade asserts LAYOUT INVARIANCE: quantize -> partitioned parquet
+    roundtrip -> partition-pruned probe -> rerank returns exactly what
+    the in-memory math says, int8 values and all. Same contract shape as
+    partitioned_sink_roundtrip (events), composed with the ANN stack;
+    file-level pruning itself is plan-asserted in tests/test_operators.py
+    (PartitionFilters + files-actually-read). At 100 TB this head IS the
+    serving job: the index is the stored copy, probes prune directories,
+    and only n_queries x k_cand full-width rows are ever touched."""
+    import tempfile
+
+    emb = fan_out(table(spark, sf_dir, "embeddings"))
+    queries = emb.where(
+        (F.col("vec_id") >= IVF_QUERY_LO) & (F.col("vec_id") < IVF_QUERY_HI)
+    ).select("vec_id")
+    index, cents = S.build_ivf_int8_index(
+        emb, "vec_id", "embedding", IVF_CENTROIDS
+    )
+    out = tempfile.mkdtemp(prefix="ivf_int8_index_")
+    index.write.mode("overwrite").partitionBy("centroid_id").parquet(out)
+    stored = spark.read.parquet(out)
+    return S.ivf_int8_topk_from_index(
+        stored,
+        cents,
+        emb,
+        queries,
+        "vec_id",
+        "embedding",
+        IVF_K,
+        K_CAND_IVF,
+        nprobe=IVF_NPROBE_SERVE,
+        prune_partitions=True,
+    )
+
+
 K_CAND_SWEEP = (5, 10, 20)
 
 
