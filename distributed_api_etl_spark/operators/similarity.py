@@ -461,6 +461,16 @@ def build_ivf_int8_index(
     SCALE.md "ANN serving A/B" for why splitting ingest from serving is
     the form that wins at 100 TB (this inline-assignment cost is paid
     once per ingest, amortized over every query batch).
+
+    File-count note for the partitioned write: ``partitionBy`` emits up
+    to (upstream partitions x buckets) files — 256 for the sf0.1 probe's
+    2k rows, the classic small-files trap on a toy corpus. Do NOT "fix"
+    it with ``repartition("centroid_id")`` by default: that adds a full
+    corpus shuffle and caps write parallelism at n_buckets. At 100 TB the
+    many-files-per-bucket layout is exactly what you want (parallel scan
+    of a probed bucket); bound file size with
+    ``spark.sql.files.maxRecordsPerFile``, and only coalesce per bucket
+    when buckets are genuinely small.
     """
     quant = quantize_embeddings(emb, id_col, vec_col, levels)
     centroids = (
