@@ -435,6 +435,7 @@ def ivf_int8_multiprobe_topk(
         # partitioned store — a static IN-filter would add a driver
         # collect for no file-level pruning to gain
         prune_partitions=False,
+        levels=levels,
     )
 
 
@@ -512,7 +513,11 @@ def assign_to_ivf_int8_index(
     )
 
 
-def ivf_index_stats(index: DataFrame) -> DataFrame:
+def ivf_index_stats(
+    index: DataFrame,
+    centroids: DataFrame | None = None,
+    id_col: str | None = None,
+) -> DataFrame:
     """Bucket-size distribution of a stored IVF index — the measurement
     that decides when sustained :func:`assign_to_ivf_int8_index` appends
     have drifted the layout far enough to re-train centroids.
@@ -525,8 +530,25 @@ def ivf_index_stats(index: DataFrame) -> DataFrame:
     events_key_skew_report for the salting family. One tiny aggregation
     (n_buckets rows) + a 1-row total broadcast back — never a corpus
     shuffle beyond the count's partial aggregation.
+
+    Pass the ``centroids`` table (and its ``id_col``) to make the
+    uniformity baseline honest under drift: the groupBy drops buckets
+    that have gone EMPTY, so a counts-only denominator shrinks as
+    appends skew the layout and understates exactly the signal this
+    function exists to measure. With ``centroids``, empty buckets are
+    emitted as zero-count rows and the uniform share is 1e6/n_centroids
+    regardless of occupancy.
     """
     counts = index.groupBy("centroid_id").agg(F.count("*").alias("n_vectors"))
+    if centroids is not None:
+        cids = centroids.select(F.col(id_col).alias("centroid_id"))
+        counts = (
+            cids.join(F.broadcast(counts), "centroid_id", "left")
+            .select(
+                "centroid_id",
+                F.coalesce("n_vectors", F.lit(0)).cast("bigint").alias("n_vectors"),
+            )
+        )
     totals = counts.agg(
         F.sum("n_vectors").alias("_total"), F.count("*").alias("_nb")
     )
@@ -556,6 +578,7 @@ def ivf_int8_topk_from_index(
     k_cand: int,
     nprobe: int = 2,
     prune_partitions: bool = True,
+    levels: int = 127,
 ) -> DataFrame:
     """Serve top-k from a STORED IVF+int8 index
     (:func:`build_ivf_int8_index`, written ``partitionBy("centroid_id")``)
@@ -574,8 +597,22 @@ def ivf_int8_topk_from_index(
     a 100-TB deployment turns probe selection into I/O savings — without
     it the filter is still correct but relies on the join to discard
     rows after they are read.
+
+    Query vectors are quantized HERE from the embeddings side
+    (:func:`quantize_embeddings` is per-row deterministic, so
+    re-quantizing with the build-time ``levels`` reproduces the stored
+    ``qvec`` bit-exactly) rather than looked up from the index — a
+    lookup join against the stored layout would scan every index file
+    for the probe-assignment subtree and defeat the pruning this
+    function exists to provide. With the lookup gone, the ONLY scan of
+    the index layout in the served plan is the pruned candidate scan.
     """
-    qvecs = queries.select(id_col).join(index.select(id_col, "qvec"), id_col)
+    qvecs = quantize_embeddings(
+        emb.join(F.broadcast(queries.select(id_col)), id_col),
+        id_col,
+        vec_col,
+        levels,
+    ).select(id_col, "qvec")
     probes = ivf_probe_assign(qvecs, centroids, id_col, "qvec", nprobe)
     cand_src = index
     if prune_partitions:

@@ -555,6 +555,7 @@ def ann_index_serving_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     (PartitionFilters + files-actually-read). At 100 TB this head IS the
     serving job: the index is the stored copy, probes prune directories,
     and only n_queries x k_cand full-width rows are ever touched."""
+    import os
     import tempfile
 
     emb = fan_out(table(spark, sf_dir, "embeddings"))
@@ -564,7 +565,15 @@ def ann_index_serving_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     index, cents = S.build_ivf_int8_index(
         emb, "vec_id", "embedding", IVF_CENTROIDS
     )
-    out = tempfile.mkdtemp(prefix="ivf_int8_index_")
+    # deterministic path + overwrite: repeated harness/bench/sweep runs
+    # reuse ONE directory instead of stranding a fresh mkdtemp copy per
+    # invocation (the returned DataFrame is lazy, so delete-after-consume
+    # isn't available to a registered head); keyed by sf basename so
+    # concurrent sweeps at different scales don't overwrite each other
+    out = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_ivf_int8_index_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
     index.write.mode("overwrite").partitionBy("centroid_id").parquet(out)
     stored = spark.read.parquet(out)
     return S.ivf_int8_topk_from_index(

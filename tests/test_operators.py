@@ -659,10 +659,24 @@ def test_ivf_int8_stored_index_roundtrip_and_partition_pruning(
     plan = served._jdf.queryExecution().explainString(jmode)
     import re
 
-    m = re.search(
-        r"ivf_int8_index[^\n]*\n(?:.*\n)*?.*PartitionFilters: \[([^\]]*)\]", plan
-    )
-    assert m is not None and "centroid_id" in m.group(1), plan
+    # pair each scan node's Location with ITS PartitionFilters (explain
+    # prints them per scan block; matching "the first PartitionFilters
+    # after the path mention" depends on node ordering, which is not a
+    # contract). The served plan must scan the index layout and EVERY
+    # scan of it must be partition-pruned — since the query-vector
+    # lookup quantizes from the embeddings side, the pruned candidate
+    # scan is the only read of the stored index.
+    idx_pfs, loc = [], ""
+    for line in plan.splitlines():
+        s = line.strip()
+        if s.startswith("Location:"):
+            loc = s
+        m2 = re.search(r"PartitionFilters: \[([^\]]*)\]", s)
+        if m2 and "ivf_int8_index" in loc:
+            idx_pfs.append(m2.group(1))
+            loc = ""
+    assert idx_pfs, plan
+    assert all("centroid_id" in pf for pf in idx_pfs), plan
     # ... and it must touch strictly fewer index files than the full
     # 8-bucket layout whenever the queries don't probe every bucket
     from distributed_api_etl_spark.operators.similarity import (
@@ -760,6 +774,23 @@ def test_ivf_index_stats_shares_and_uniformity(spark, sf_dir):
     # shares sum to ~1e6 (truncating div loses < n_buckets ppm)
     s = sum(r.share_ppm for r in rows.values())
     assert 1_000_000 - len(rows) < s <= 1_000_000
+
+    # with the centroid table, EMPTY buckets stay in the report as zero
+    # rows and the uniformity denominator is n_centroids, not the count
+    # of non-empty buckets — otherwise drift that empties a bucket
+    # silently shrinks the baseline and understates skew
+    some_cid = next(iter(rows))
+    drifted = index.where(F.col("centroid_id") != some_cid)
+    emb2 = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    _, cents = build_ivf_int8_index(emb2, "vec_id", "embedding", 8)
+    full = {
+        r.centroid_id: r
+        for r in ivf_index_stats(drifted, cents, "vec_id").collect()
+    }
+    assert len(full) == 8 and full[some_cid].n_vectors == 0
+    n2 = n - rows[some_cid].n_vectors
+    for r in full.values():
+        assert r.vs_uniform_ppm == (1_000_000 * r.n_vectors * 8) // n2
 
 
 def test_pii_redact_masks_and_counts(spark):
