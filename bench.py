@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import json
 import os
+import subprocess
 import sys
 import time
 
@@ -121,16 +122,38 @@ def main() -> None:
     #     so the evidence survives even if the driver drops the line.
     #   line 2 (LAST): the compact summary the driver parses — total +
     #     per-query walls rounded to 2 dp, nothing else. Tail-capture safe.
+    try:
+        git_head = (
+            subprocess.run(
+                ["git", "rev-parse", "--short", "HEAD"],
+                cwd=os.path.dirname(os.path.abspath(__file__)),
+                capture_output=True,
+                text=True,
+                timeout=10,
+            ).stdout.strip()
+            or None
+        )
+    except Exception:
+        git_head = None
     detail = {
         "metric": "bench_detail",
         "sf": float(sf),
         "runs_per_query": RUNS,
         "agg": "min",
+        "git_head": git_head,
+        # walls live here too so a quiet-box detail file IS the trend
+        # snapshot (VERDICT r11: quiet walls existed only in round notes)
+        "total_s": round(total, 2),
+        "query_walls_s": timings,
         "shuffle_write_mb": shuffle_mb,
         "run_spread_pct": spread_pct,
         "loadavg_start": round(load_start, 2),
         "loadavg_end": round(os.getloadavg()[0], 2),
     }
+    # UNTRACKED live path (.gitignore'd): the driver's post-commit bench run
+    # overwrote the committed copy every round and left the tree dirty at
+    # round end (VERDICT r9/r10/r11). Quiet-box runs worth keeping are
+    # copied to explicit names, e.g. docs/bench_r12_quiet.json.
     detail_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "docs", "bench_detail_last.json"
     )
