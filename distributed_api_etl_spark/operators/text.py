@@ -1337,3 +1337,207 @@ def ngram_logprob_scores(
             / (F.lit(1000000.0) * F.col("n_tokens").cast("double"))
         ).alias("mean_surprisal_nats"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Gopher REPETITION rules (Rae et al. 2021 Table A1 — the other half of the
+# quality gate gopher_quality_flags implements). Thresholds are the paper's:
+# a document is removed when any fraction EXCEEDS its bound.
+GOPHER_REP_MAX_DUP_LINE_PPM = 300_000        # duplicate-line fraction  > 0.30
+GOPHER_REP_MAX_DUP_PARA_PPM = 300_000        # duplicate-paragraph frac > 0.30
+GOPHER_REP_MAX_DUP_LINE_CHAR_PPM = 200_000   # chars in dup lines       > 0.20
+GOPHER_REP_MAX_DUP_PARA_CHAR_PPM = 200_000   # chars in dup paragraphs  > 0.20
+GOPHER_REP_MAX_TOP_NGRAM_CHAR_PPM = {2: 200_000, 3: 180_000, 4: 160_000}
+GOPHER_REP_MAX_DUP_NGRAM_CHAR_PPM = {
+    5: 150_000, 6: 140_000, 7: 130_000, 8: 120_000, 9: 110_000, 10: 100_000,
+}
+
+
+def _sum_len(arr: Column) -> Column:
+    """bigint sum of string lengths over an array column (one fold)."""
+    return F.aggregate(
+        arr, F.lit(0).cast("bigint"), lambda acc, x: acc + F.length(x)
+    )
+
+
+def _top_gram_num(grams: Column) -> Column:
+    """``count(most frequent gram) * length(that gram)`` as bigint.
+
+    Sorted-runs fold: after ``array_sort`` equal grams are adjacent, so
+    one O(G) pass tracks the current run and keeps the best strictly-
+    greater run — count ties therefore resolve to the lexicographically
+    SMALLEST gram (its run completes first in sorted order), which the
+    oracle mirrors with ``ORDER BY c DESC, g``. Empty input -> 0.
+    O(G log G) per row with zero shuffle, vs the exploded
+    groupBy(doc, gram) alternative that exchanges the whole gram table.
+
+    A top gram occurring ONCE is not repetition — its numerator is 0 (a
+    short document would otherwise fail the char-share bound on a gram
+    that never repeats; Gopher's rule targets repeated boilerplate).
+    """
+    init = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).cast("bigint").alias("run"),
+        F.lit(0).cast("bigint").alias("bc"),
+        F.lit(0).cast("bigint").alias("bl"),
+    )
+
+    def step(acc, x):
+        # x == NULL-prev is NULL -> otherwise(1): a fresh run
+        run2 = F.when(x == acc["prev"], acc["run"] + 1).otherwise(
+            F.lit(1).cast("bigint")
+        )
+        better = run2 > acc["bc"]
+        return F.struct(
+            x.alias("prev"),
+            run2.alias("run"),
+            F.when(better, run2).otherwise(acc["bc"]).alias("bc"),
+            F.when(better, F.length(x).cast("bigint"))
+            .otherwise(acc["bl"])
+            .alias("bl"),
+        )
+
+    return F.aggregate(
+        F.array_sort(grams),
+        init,
+        step,
+        lambda acc: F.when(acc["bc"] >= 2, acc["bc"] * acc["bl"]).otherwise(
+            F.lit(0).cast("bigint")
+        ),
+    )
+
+
+def _dup_gram_chars(grams: Column) -> Column:
+    """Chars in ALL occurrences of grams that occur more than once
+    (``sum over grams with count>1 of count*length``), as one sorted-runs
+    fold: when a run reaches its 2nd element both occurrences enter the
+    sum, each further element adds itself."""
+    init = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).cast("bigint").alias("run"),
+        F.lit(0).cast("bigint").alias("dc"),
+    )
+
+    def step(acc, x):
+        eq = x == acc["prev"]
+        run2 = F.when(eq, acc["run"] + 1).otherwise(F.lit(1).cast("bigint"))
+        add = (
+            F.when(eq & (acc["run"] == 1), F.length(x).cast("bigint") * 2)
+            .when(eq, F.length(x).cast("bigint"))
+            .otherwise(F.lit(0).cast("bigint"))
+        )
+        return F.struct(
+            x.alias("prev"), run2.alias("run"), (acc["dc"] + add).alias("dc")
+        )
+
+    return F.aggregate(F.array_sort(grams), init, step, lambda acc: acc["dc"])
+
+
+def _ppm_expr(num: str, den: str) -> Column:
+    """Truncating fixed-point ppm over exact non-negative bigints —
+    ``div`` truncates toward zero in Spark exactly as ``//`` does in
+    DuckDB, so the fraction grades bit-exactly on both engines."""
+    return F.expr(
+        f"CAST(CASE WHEN {den} > 0 THEN div(1000000 * {num}, {den}) "
+        f"ELSE 0 END AS BIGINT)"
+    )
+
+
+def gopher_repetition_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Gopher repetition rules (Rae et al. 2021 Table A1): duplicate-line
+    and duplicate-paragraph fractions (row and character weighted),
+    top-{2,3,4}-gram character share, and duplicate-{5..10}-gram character
+    share, each as fixed-point ppm, plus the flag bitmask and keep
+    decision. The filter every public LLM curation pipeline (Gopher,
+    RefinedWeb, FineWeb) runs alongside the heuristic rules of
+    :func:`gopher_quality_flags`.
+
+    Semantics (pinned so both engines agree exactly):
+
+    * lines split on ``\\n``, paragraphs on ``\\n\\n``; empty segments are
+      dropped on both sides. "Duplicate" = occurrences beyond the first of
+      an identical segment; the char-weighted form divides chars of ALL
+      duplicate occurrences (total minus one budget per distinct value) by
+      total segment chars.
+    * word metrics tokenize the whitespace-NORMALIZED text (``\\s+`` -> one
+      space, trimmed); n-grams are space-joined word windows; the char
+      denominator is the normalized text length; a gram's chars = its
+      joined string length (Gopher leaves tokenizer/char accounting
+      unspecified — this choice is exact-integer on any engine).
+    * ties for "most frequent n-gram" resolve to the lexicographically
+      smallest gram so the numerator is engine-independent.
+
+    Entirely MAP-SIDE like :func:`gopher_quality_flags` — every metric is
+    an ``array_sort`` + one fold over per-row arrays (O(G log G) per doc,
+    zero exchanges); at 100 TB the gate runs at parquet scan speed, and no
+    corpus-wide gram table is ever shuffled. All fractions are truncating
+    integer ppm, so the grade is bit-exact on any engine.
+
+    Flag bits (set when the fraction EXCEEDS the Gopher bound): 1
+    dup-line, 2 dup-line-chars, 4 dup-para, 8 dup-para-chars, 16/32/64
+    top-2/3/4-gram chars, 128..4096 dup-5..10-gram chars.
+    """
+    raw = F.coalesce(F.col(text_col), F.lit(""))
+    lines = F.filter(F.split(raw, "\n"), lambda x: x != "")
+    paras = F.filter(F.split(raw, "\n\n"), lambda x: x != "")
+    norm = F.trim(F.regexp_replace(raw, r"\s+", " "))
+
+    stats = df.select(
+        F.col(id_col),
+        F.size(lines).cast("bigint").alias("n_lines"),
+        F.size(F.array_distinct(lines)).cast("bigint").alias("nd_lines"),
+        _sum_len(lines).alias("lc_tot"),
+        _sum_len(F.array_distinct(lines)).alias("lc_dist"),
+        F.size(paras).cast("bigint").alias("n_paras"),
+        F.size(F.array_distinct(paras)).cast("bigint").alias("nd_paras"),
+        _sum_len(paras).alias("pc_tot"),
+        _sum_len(F.array_distinct(paras)).alias("pc_dist"),
+        F.length(norm).cast("bigint").alias("den_chars"),
+        *[
+            _top_gram_num(token_shingles(norm, n)).alias(f"top{n}_num")
+            for n in GOPHER_REP_MAX_TOP_NGRAM_CHAR_PPM
+        ],
+        *[
+            _dup_gram_chars(token_shingles(norm, n)).alias(f"dup{n}_chars")
+            for n in GOPHER_REP_MAX_DUP_NGRAM_CHAR_PPM
+        ],
+    )
+    derived = stats.select(
+        F.col(id_col),
+        "n_lines",
+        "n_paras",
+        _ppm_expr("(n_lines - nd_lines)", "n_lines").alias("dup_line_frac_ppm"),
+        _ppm_expr("(lc_tot - lc_dist)", "lc_tot").alias("dup_line_char_frac_ppm"),
+        _ppm_expr("(n_paras - nd_paras)", "n_paras").alias("dup_para_frac_ppm"),
+        _ppm_expr("(pc_tot - pc_dist)", "pc_tot").alias("dup_para_char_frac_ppm"),
+        *[
+            _ppm_expr(f"top{n}_num", "den_chars").alias(f"top{n}_char_frac_ppm")
+            for n in GOPHER_REP_MAX_TOP_NGRAM_CHAR_PPM
+        ],
+        *[
+            _ppm_expr(f"dup{n}_chars", "den_chars").alias(f"dup{n}_char_frac_ppm")
+            for n in GOPHER_REP_MAX_DUP_NGRAM_CHAR_PPM
+        ],
+    )
+    flags = (
+        F.when(F.col("dup_line_frac_ppm") > GOPHER_REP_MAX_DUP_LINE_PPM, 1)
+        .otherwise(0)
+        + F.when(
+            F.col("dup_line_char_frac_ppm") > GOPHER_REP_MAX_DUP_LINE_CHAR_PPM, 2
+        ).otherwise(0)
+        + F.when(F.col("dup_para_frac_ppm") > GOPHER_REP_MAX_DUP_PARA_PPM, 4)
+        .otherwise(0)
+        + F.when(
+            F.col("dup_para_char_frac_ppm") > GOPHER_REP_MAX_DUP_PARA_CHAR_PPM, 8
+        ).otherwise(0)
+    )
+    bit = 16
+    for n, thr in GOPHER_REP_MAX_TOP_NGRAM_CHAR_PPM.items():
+        flags = flags + F.when(F.col(f"top{n}_char_frac_ppm") > thr, bit).otherwise(0)
+        bit *= 2
+    for n, thr in GOPHER_REP_MAX_DUP_NGRAM_CHAR_PPM.items():
+        flags = flags + F.when(F.col(f"dup{n}_char_frac_ppm") > thr, bit).otherwise(0)
+        bit *= 2
+    return derived.withColumn(
+        "rep_flags", flags.cast("bigint")
+    ).withColumn("keep", F.col("rep_flags") == 0)

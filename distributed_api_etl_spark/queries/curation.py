@@ -104,7 +104,9 @@ def _curation_oracle_sql() -> str:
     bench=True,
     tags=("dedup", "text", "ml", "pipeline"),
 )
-def documents_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+def documents_curation_pipeline(
+    spark: SparkSession, sf_dir: str, repetition_gate: bool = False
+) -> DataFrame:
     """End-to-end curation: gopher gate -> MinHash/LSH near-dup keep-set
     (on RAW gated text) -> passage-level exact dedup of the keepers ->
     husk drop -> leakage-safe split keyed on the near-dup cluster id.
@@ -117,22 +119,36 @@ def documents_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     fingerprints, and the split is a map-side hash. The composition adds
     only the keeper semi-join between stages; its shuffle counter
     decomposes into the per-stage counters already in BENCH history.
+
+    ``repetition_gate=True`` also applies the Gopher REPETITION rules
+    (operators/text.py:gopher_repetition_stats, graded standalone as
+    documents_gopher_repetition_flags) in the same first-stage scan —
+    another zero-shuffle bitmask AND-ed into the gate. Default off so the
+    graded composition hash stays the r10 contract.
     """
     from distributed_api_etl_spark.operators.graph import dedup_cluster_assignment
     from distributed_api_etl_spark.operators.sampling import leakage_safe_split
-    from distributed_api_etl_spark.operators.text import gopher_quality_flags
+    from distributed_api_etl_spark.operators.text import (
+        gopher_quality_flags,
+        gopher_repetition_stats,
+    )
     from distributed_api_etl_spark.session import scoped_persist
 
     docs = fan_out(table(spark, sf_dir, "documents"))
     # cheapest gate first; gated feeds BOTH the shingle pass and the
     # keeper join, so one small cache saves a second parquet scan + gate
-    gated = scoped_persist(
-        docs.join(
-            gopher_quality_flags(docs, "doc_id", "text")
+    gate_ids = (
+        gopher_quality_flags(docs, "doc_id", "text").where("keep").select("doc_id")
+    )
+    if repetition_gate:
+        gate_ids = gate_ids.join(
+            gopher_repetition_stats(docs, "doc_id", "text")
             .where("keep")
             .select("doc_id"),
             "doc_id",
-        ).select("doc_id", "text")
+        )
+    gated = scoped_persist(
+        docs.join(gate_ids, "doc_id").select("doc_id", "text")
     )
     pairs = D.minhash_lsh_pairs(gated, "doc_id", "text", 3, 70).select("d1", "d2")
     clusters = dedup_cluster_assignment(

