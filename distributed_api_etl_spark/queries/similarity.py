@@ -1140,3 +1140,176 @@ def ann_multiprobe_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     for t in tiers[1:]:
         out = out.unionByName(t)
     return out
+
+
+def _int8_serving_tail_sql(q_lo: int, q_hi: int, nprobe: int, k_cand: int, k: int) -> str:
+    """The stored-index serving chain as oracle SQL, shared by the
+    roundtrip-family heads: int8 assignment against a ``qcent`` CTE
+    (columns ``centroid_id, cq``), multiprobe selection, int8 candidate
+    scoring, full-precision rerank. Callers prepend ``_QUANT_CTES`` and
+    their own ``qcent`` definition — lowest-id quantized vectors for the
+    convention heads, the quantized Lloyd's centroids for the learned
+    composition."""
+    return f"""
+    assign0 AS (
+      SELECT qn.vec_id, qn.qvec, c.centroid_id,
+             row_number() OVER (PARTITION BY qn.vec_id
+               ORDER BY list_cosine_similarity(CAST(qn.qvec AS DOUBLE[]),
+                                               CAST(c.cq AS DOUBLE[])) DESC,
+                        c.centroid_id) AS arnk
+      FROM quant qn CROSS JOIN qcent c
+    ),
+    corpus AS (SELECT vec_id, qvec, centroid_id FROM assign0 WHERE arnk = 1),
+    probes AS (
+      SELECT vec_id AS query_id, qvec AS qq, centroid_id
+      FROM assign0
+      WHERE vec_id >= {q_lo} AND vec_id < {q_hi} AND arnk <= {nprobe}
+    ),
+    qsc AS (
+      SELECT p.query_id, c.vec_id AS neighbor_id,
+             list_cosine_similarity(CAST(p.qq AS DOUBLE[]),
+                                    CAST(c.qvec AS DOUBLE[])) AS qcos
+      FROM corpus c JOIN probes p ON c.centroid_id = p.centroid_id
+                                 AND c.vec_id <> p.query_id
+    ),
+    cand AS (
+      SELECT query_id, neighbor_id
+      FROM (SELECT *, row_number() OVER (
+              PARTITION BY query_id ORDER BY qcos DESC, neighbor_id) AS crnk
+            FROM qsc)
+      WHERE crnk <= {k_cand}
+    ),
+    rer AS (
+      SELECT ca.query_id, ca.neighbor_id,
+             list_cosine_similarity(qv.v, nv.v) AS cosine
+      FROM cand ca
+      JOIN vecs qv ON qv.vec_id = ca.query_id
+      JOIN vecs nv ON nv.vec_id = ca.neighbor_id
+    )
+    SELECT query_id, neighbor_id, CAST(rnk AS INTEGER) AS rnk,
+           round(cosine, 6) AS cosine
+    FROM (SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
+          FROM rer)
+    WHERE rnk <= {k}
+    """
+
+
+INGEST_SPLIT = 400
+INC_QUERY_LO, INC_QUERY_HI = 200, 210
+
+
+@register(
+    "ann_incremental_ingest_topk",
+    oracle=f"""
+    WITH {_QUANT_CTES},
+    qcent AS (SELECT vec_id AS centroid_id, qvec AS cq FROM quant
+              WHERE vec_id < {IVF_CENTROIDS}),
+    {_int8_serving_tail_sql(INC_QUERY_LO, INC_QUERY_HI, IVF_NPROBE_SERVE, K_CAND_IVF, IVF_K)}
+    """,
+    tags=("similarity", "quantization", "sink", "partitioning"),
+)
+def ann_incremental_ingest_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The incremental-ingest CONTRACT graded under the driver: the index
+    is built over batch 1 only (vec_id < {INGEST_SPLIT}), batch 2 is
+    quantized and assigned against the FROZEN centroid table
+    (operators/similarity.py:assign_to_ivf_int8_index — the standing
+    layout is never re-read or re-assigned) and APPENDED to the
+    partitioned store; serving runs over the union. The oracle knows
+    nothing about batches — it computes the from-scratch REBUILD over the
+    full corpus with the same centroids — so a green row certifies
+    append == rebuild end-to-end (the same upgrade
+    dedup_passage_incremental gave exact dedup). Assignment depends only
+    on (vector, centroid table), which is why the contract holds; the
+    pytest twin asserts row-level index equality, this head pins the
+    SERVED RESULTS under the driver's hash."""
+    import os
+    import tempfile
+
+    emb = fan_out(table(spark, sf_dir, "embeddings"))
+    old = emb.where(F.col("vec_id") < INGEST_SPLIT)
+    new = emb.where(F.col("vec_id") >= INGEST_SPLIT)
+    queries = emb.where(
+        (F.col("vec_id") >= INC_QUERY_LO) & (F.col("vec_id") < INC_QUERY_HI)
+    ).select("vec_id")
+    index0, cents = S.build_ivf_int8_index(
+        old, "vec_id", "embedding", IVF_CENTROIDS
+    )
+    out = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_ivf_inc_index_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    # overwrite resets the deterministic dir on re-entry, THEN batch 2
+    # appends — re-running never accumulates copies
+    index0.write.mode("overwrite").partitionBy("centroid_id").parquet(out)
+    S.assign_to_ivf_int8_index(new, cents, "vec_id", "embedding").write.mode(
+        "append"
+    ).partitionBy("centroid_id").parquet(out)
+    stored = spark.read.parquet(out)
+    return S.ivf_int8_topk_from_index(
+        stored,
+        cents,
+        emb,
+        queries,
+        "vec_id",
+        "embedding",
+        IVF_K,
+        K_CAND_IVF,
+        nprobe=IVF_NPROBE_SERVE,
+        prune_partitions=True,
+    )
+
+
+KM8_QUERY_LO, KM8_QUERY_HI = 300, 310
+
+
+def _kmeans_int8_oracle_sql() -> str:
+    """Lloyd's chain -> quantize the learned centroids (the exact
+    quantize_embeddings formula) -> the shared int8 serving tail."""
+    parts = _kmeans_parts()[1:]  # parts[0] is vecs, which _QUANT_CTES defines
+    return f"""
+    WITH {_QUANT_CTES},
+    {', '.join(parts)},
+    qcent AS (
+      SELECT centroid_id,
+             list_transform(cv, x -> CAST(round(x / s) AS INTEGER)) AS cq
+      FROM (SELECT centroid_id, cv,
+                   CASE WHEN list_max(list_transform(cv, x -> abs(x))) > 0
+                        THEN list_max(list_transform(cv, x -> abs(x))) / 127
+                        ELSE 1.0 END AS s
+            FROM c{KMEANS_ITERS})
+    ),
+    {_int8_serving_tail_sql(KM8_QUERY_LO, KM8_QUERY_HI, IVF_NPROBE_SERVE, K_CAND_IVF, IVF_K)}
+    """
+
+
+@register(
+    "ann_kmeans_int8_index_topk",
+    oracle=_kmeans_int8_oracle_sql(),
+    tags=("similarity", "quantization", "ml"),
+)
+def ann_kmeans_int8_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The last ANN composition: LEARNED centroids feed the int8 index.
+    kmeans_centroids (deterministic Lloyd's, 6-decimal-rounded means so
+    any engine reproduces the floats) -> build_ivf_int8_index(centroids=)
+    quantizes the centroid table with the corpus's levels ->
+    ivf_int8_topk_from_index serves with multiprobe + full-precision
+    rerank (operators/similarity.py:ivf_kmeans_int8_topk). Production
+    IVF trains centroids on a sample then quantizes — this head grades
+    that exact composition; the other int8 heads' lowest-id convention
+    was the oracle-friendly stand-in."""
+    emb = fan_out(table(spark, sf_dir, "embeddings"))
+    queries = emb.where(
+        (F.col("vec_id") >= KM8_QUERY_LO) & (F.col("vec_id") < KM8_QUERY_HI)
+    ).select("vec_id")
+    return S.ivf_kmeans_int8_topk(
+        emb,
+        "vec_id",
+        "embedding",
+        IVF_CENTROIDS,
+        queries,
+        IVF_K,
+        K_CAND_IVF,
+        nprobe=IVF_NPROBE_SERVE,
+        iters=KMEANS_ITERS,
+    )

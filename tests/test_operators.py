@@ -2091,3 +2091,49 @@ def test_curation_pipeline_repetition_gate_flag(spark, sf_dir):
         .collect()
     }
     assert gated <= base
+
+
+def test_ivf_kmeans_int8_composition_degenerates_to_bruteforce(spark, sf_dir):
+    """The learned-centroid int8 composition at exhaustive settings
+    (nprobe = n_centroids, k_cand >= corpus) must return exactly the
+    full-precision brute-force top-k: centroid choice (learned vs
+    lowest-id) affects WHICH buckets exist, but with every bucket probed
+    and no candidate cut, the full-precision rerank decides everything."""
+    from distributed_api_etl_spark.operators.similarity import (
+        bruteforce_topk,
+        ivf_kmeans_int8_topk,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 6).select("vec_id")
+    n = emb.count()
+
+    def rows(df):
+        return {
+            (r.query_id, r.neighbor_id, r.rnk, r.cosine) for r in df.collect()
+        }
+
+    exact = rows(
+        bruteforce_topk(emb, emb.where(F.col("vec_id") < 6), "vec_id", "embedding", 3)
+    )
+    exhaustive = rows(
+        ivf_kmeans_int8_topk(
+            emb, "vec_id", "embedding", 8, queries, 3, k_cand=n, nprobe=8, iters=2
+        )
+    )
+    assert exhaustive == exact
+    # at serving settings ranks stay contiguous 1..k per query and every
+    # served pair that IS a true top-k neighbor carries the exact cosine
+    served = rows(
+        ivf_kmeans_int8_topk(
+            emb, "vec_id", "embedding", 8, queries, 3, k_cand=10, nprobe=2, iters=2
+        )
+    )
+    by_q = {}
+    for q, _nb, r, _c in served:
+        by_q.setdefault(q, []).append(r)
+    assert all(sorted(v) == list(range(1, len(v) + 1)) for v in by_q.values())
+    exact_cos = {(q, nb): c for (q, nb, _r, c) in exact}
+    for q, nb, _r, c in served:
+        if (q, nb) in exact_cos:
+            assert c == exact_cos[(q, nb)]

@@ -64,6 +64,8 @@ ALLOW_BNLJ = {
     "ann_ivf_int8_rerank_recall_at_k": "1-row broadcast centroid-array sides (ivf_assign/probe_assign) + the labeled exact ground-truth tier; bucket/rerank joins are broadcast equi-joins",
     "ann_rerank_depth_recall_at_k": "bounded broadcast query side (int8 linear-scan tier per k_cand) + the labeled exact ground-truth tier",
     "ann_index_serving_roundtrip": "1-row broadcast centroid-array probe assignment; every serving join over the stored partitioned index is a broadcast equi-join",
+    "ann_incremental_ingest_topk": "1-row broadcast centroid-array sides (batch-2 ivf_assign + query probe_assign); serving joins over the appended partitioned index are broadcast equi-joins",
+    "ann_kmeans_int8_index_topk": "1-row broadcast centroid-array sides (Lloyd's per-iteration assignment, index build, query probe_assign); serving joins are broadcast equi-joins",
     "ann_multiprobe_recall_at_k": "bounded broadcast centroid/query sides per nprobe tier + the same labeled exact ground-truth tier as ann_recall_at_k",
     "documents_fivegram_logppl": "1-row total-token scalar",
     "documents_bm25_relevance": "1-row corpus-stats scalar (N, total tokens)",
