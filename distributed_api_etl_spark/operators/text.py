@@ -1478,11 +1478,34 @@ def gopher_repetition_stats(df: DataFrame, id_col: str, text_col: str) -> DataFr
     top-2/3/4-gram chars, 128..4096 dup-5..10-gram chars.
     """
     raw = F.coalesce(F.col(text_col), F.lit(""))
-    lines = F.filter(F.split(raw, "\n"), lambda x: x != "")
-    paras = F.filter(F.split(raw, "\n\n"), lambda x: x != "")
     norm = F.trim(F.regexp_replace(raw, r"\s+", " "))
+    # materialize the segment/token ARRAYS once: the metric projection
+    # below references lines 4x, paragraphs 4x and the token array 9x —
+    # without this boundary alias-substitution re-splits and re-normalizes
+    # the text per reference (the HOF re-inline trap; see
+    # simhash_signatures). One cache of three small arrays per row.
+    arrays = scoped_persist(
+        df.select(
+            F.col(id_col),
+            F.filter(F.split(raw, "\n"), lambda x: x != "").alias("_lines"),
+            F.filter(F.split(raw, "\n\n"), lambda x: x != "").alias("_paras"),
+            F.split(norm, " ").alias("_wt"),
+            F.length(norm).cast("bigint").alias("den_chars"),
+        )
+    )
 
-    stats = df.select(
+    def grams(n: int):
+        # token_shingles semantics inlined over the MATERIALIZED token
+        # array (one slice + join per gram; no re-split per metric)
+        wt = F.col("_wt")
+        upper = F.greatest(F.size(wt) - (n - 1), F.lit(0))
+        idx = F.when(upper > 0, F.sequence(F.lit(1), upper)).otherwise(
+            F.array().cast("array<int>")
+        )
+        return F.transform(idx, lambda i: F.array_join(F.slice(wt, i, n), " "))
+
+    lines, paras = F.col("_lines"), F.col("_paras")
+    stats = arrays.select(
         F.col(id_col),
         F.size(lines).cast("bigint").alias("n_lines"),
         F.size(F.array_distinct(lines)).cast("bigint").alias("nd_lines"),
@@ -1492,16 +1515,20 @@ def gopher_repetition_stats(df: DataFrame, id_col: str, text_col: str) -> DataFr
         F.size(F.array_distinct(paras)).cast("bigint").alias("nd_paras"),
         _sum_len(paras).alias("pc_tot"),
         _sum_len(F.array_distinct(paras)).alias("pc_dist"),
-        F.length(norm).cast("bigint").alias("den_chars"),
+        F.col("den_chars"),
         *[
-            _top_gram_num(token_shingles(norm, n)).alias(f"top{n}_num")
+            _top_gram_num(grams(n)).alias(f"top{n}_num")
             for n in GOPHER_REP_MAX_TOP_NGRAM_CHAR_PPM
         ],
         *[
-            _dup_gram_chars(token_shingles(norm, n)).alias(f"dup{n}_chars")
+            _dup_gram_chars(grams(n)).alias(f"dup{n}_chars")
             for n in GOPHER_REP_MAX_DUP_NGRAM_CHAR_PPM
         ],
     )
+    # second cache boundary: without it the chained selects below collapse
+    # into one projection and alias-substitution re-evaluates every fold
+    # ~6x (ppm num+den, the flag term, the keep term). ~15 bigints per doc.
+    stats = scoped_persist(stats)
     derived = stats.select(
         F.col(id_col),
         "n_lines",
