@@ -433,9 +433,18 @@ def ivf_int8_multiprobe_topk(
         nprobe,
         # inline form: the index is a subtree of this very plan, not a
         # partitioned store — a static IN-filter would add a driver
-        # collect for no file-level pruning to gain
+        # collect for no file-level pruning to gain, and the query-vector
+        # lookup SHOULD read the in-plan index subtree: it is shared with
+        # the candidate scan (computed once via subtree reuse), whereas
+        # re-quantizing from the embeddings side pays an extra scan +
+        # broadcast per call (measured 2x wall on the 5-tier recall head).
+        # The emb-side quantization exists for the STORED path, where a
+        # lookup join would scan every index file.
         prune_partitions=False,
         levels=levels,
+        qvecs=index.join(
+            F.broadcast(queries.select(id_col)), id_col
+        ).select(id_col, "qvec"),
     )
 
 
@@ -592,6 +601,7 @@ def ivf_int8_topk_from_index(
     nprobe: int = 2,
     prune_partitions: bool = True,
     levels: int = 127,
+    qvecs: DataFrame | None = None,
 ) -> DataFrame:
     """Serve top-k from a STORED IVF+int8 index
     (:func:`build_ivf_int8_index`, written ``partitionBy("centroid_id")``)
@@ -611,7 +621,7 @@ def ivf_int8_topk_from_index(
     it the filter is still correct but relies on the join to discard
     rows after they are read.
 
-    Query vectors are quantized HERE from the embeddings side
+    Query vectors are by default quantized HERE from the embeddings side
     (:func:`quantize_embeddings` is per-row deterministic, so
     re-quantizing with the build-time ``levels`` reproduces the stored
     ``qvec`` bit-exactly) rather than looked up from the index — a
@@ -619,13 +629,18 @@ def ivf_int8_topk_from_index(
     for the probe-assignment subtree and defeat the pruning this
     function exists to provide. With the lookup gone, the ONLY scan of
     the index layout in the served plan is the pruned candidate scan.
+    A caller that already holds the quantized query vectors (the inline
+    composition, whose index is an in-plan subtree shared with the
+    candidate scan) passes them via ``qvecs`` (``(id_col, qvec)``) and
+    skips the extra embeddings scan.
     """
-    qvecs = quantize_embeddings(
-        emb.join(F.broadcast(queries.select(id_col)), id_col),
-        id_col,
-        vec_col,
-        levels,
-    ).select(id_col, "qvec")
+    if qvecs is None:
+        qvecs = quantize_embeddings(
+            emb.join(F.broadcast(queries.select(id_col)), id_col),
+            id_col,
+            vec_col,
+            levels,
+        ).select(id_col, "qvec")
     probes = ivf_probe_assign(qvecs, centroids, id_col, "qvec", nprobe)
     cand_src = index
     if prune_partitions:
