@@ -95,11 +95,6 @@ def main():
     try:
         index.write.partitionBy("centroid_id").parquet(path)
         stored = spark.read.parquet(path)
-        n_files_total = sum(
-            len(files)
-            for root, _d, files in os.walk(path)
-            for f in [None]
-        )
         n_parquet_files = sum(
             1
             for root, _d, files in os.walk(path)
