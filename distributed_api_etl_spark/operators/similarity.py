@@ -214,6 +214,59 @@ def bruteforce_topk(
     )
 
 
+def truncated_rerank_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    k_cand: int,
+    dim: int,
+) -> DataFrame:
+    """Two-tier ANN serving with DIMENSION truncation (the
+    Matryoshka-style serving knob): tier 1 scores cosine over only the
+    FIRST ``dim`` components of each vector, tier 2 re-ranks the
+    top-``k_cand`` survivors with full-width exact cosine.
+
+    Alongside int8 quantization (:func:`quantized_rerank_topk`, scan
+    WIDTH per element) and IVF (:func:`ivf_topk` family, scan FRACTION),
+    truncation is the third independent axis a 100-TB deployment budgets:
+    the stored serving copy keeps only a prefix of each embedding
+    (``dim/full`` of the I/O and FLOPs per scored pair), and — like the
+    int8 tier — a true neighbor is lost only if the truncated ranking
+    drops it below ``k_cand``. Prefix truncation is exact for
+    Matryoshka-trained embeddings by construction; for arbitrary
+    embeddings the recall sweep (ann_dim_truncation_recall_at_k) is the
+    measurement that says whether the prefix carries enough of the
+    geometry. ``dim`` >= the full width degenerates to exact brute-force
+    ranking. Plan shape is the shared two-tier one: broadcast query side
+    against the (narrower) corpus scan, bounded rerank joins — no shuffle
+    of the corpus anywhere.
+    """
+    tr = emb.select(
+        F.col(id_col), F.slice(F.col(vec_col), 1, dim).alias("tvec")
+    )
+    qq = tr.join(F.broadcast(queries.select(id_col)), id_col)
+    cands = bruteforce_topk(tr, qq, id_col, "tvec", k_cand).select(
+        "query_id", "neighbor_id"
+    )
+    nv = emb.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nv"))
+    qv = emb.join(F.broadcast(queries.select(id_col)), id_col).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    scored = (
+        nv.join(F.broadcast(cands), "neighbor_id")
+        .join(F.broadcast(qv), "query_id")
+        .withColumn("cosine", cosine_similarity("qv", "nv"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "rnk", F.round("cosine", 6).alias("cosine"))
+    )
+
+
 def ivf_assign(
     emb: DataFrame, centroids: DataFrame, id_col: str, vec_col: str
 ) -> DataFrame:

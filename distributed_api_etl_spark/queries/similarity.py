@@ -1314,3 +1314,135 @@ def ann_kmeans_int8_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         nprobe=IVF_NPROBE_SERVE,
         iters=KMEANS_ITERS,
     )
+
+
+DIM_SWEEP = (8, 16, 32, 64)
+
+
+def _dim_truncation_recall_oracle_sql() -> str:
+    """Per-dim truncated-scan + full-width rerank tiers, recall vs the
+    shared brute-force truth (the rerank-depth oracle's shape with the
+    candidate cut replaced by prefix truncation)."""
+    tiers = []
+    unions = []
+    for d in DIM_SWEEP:
+        tiers.append(
+            f"""
+    tsc_{d} AS (
+      SELECT q.query_id, c.vec_id AS neighbor_id,
+             list_cosine_similarity(list_slice(q.qv, 1, {d}),
+                                    list_slice(c.v, 1, {d})) AS tcos
+      FROM vecs c CROSS JOIN q
+      WHERE c.vec_id <> q.query_id
+    ),
+    cand_{d} AS (
+      SELECT query_id, neighbor_id
+      FROM (SELECT *, row_number() OVER (
+              PARTITION BY query_id ORDER BY tcos DESC, neighbor_id) AS crnk
+            FROM tsc_{d})
+      WHERE crnk <= {K_CAND_IVF}
+    ),
+    rer_{d} AS (
+      SELECT ca.query_id, ca.neighbor_id,
+             list_cosine_similarity(qv.v, nv.v) AS cosine
+      FROM cand_{d} ca
+      JOIN vecs qv ON qv.vec_id = ca.query_id
+      JOIN vecs nv ON nv.vec_id = ca.neighbor_id
+    ),
+    top_{d} AS (
+      SELECT query_id, neighbor_id
+      FROM (SELECT *, row_number() OVER (
+              PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
+            FROM rer_{d})
+      WHERE rnk <= {TOP_K}
+    ),
+    hits_{d} AS (
+      SELECT i.query_id, count(*) AS n_hits
+      FROM top_{d} i JOIN ex_top e USING (query_id, neighbor_id)
+      GROUP BY i.query_id
+    )"""
+        )
+        unions.append(
+            f"""
+      SELECT CAST({d} AS INTEGER) AS dim, q.query_id,
+             COALESCE(h.n_hits, 0) AS n_hits
+      FROM q LEFT JOIN hits_{d} h ON q.query_id = h.query_id"""
+        )
+    return f"""
+    WITH vecs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM vecs WHERE vec_id < {N_QUERIES}),
+    ex_scored AS (
+      SELECT q.query_id, c.vec_id AS neighbor_id,
+             list_cosine_similarity(q.qv, c.v) AS cosine
+      FROM vecs c CROSS JOIN q
+      WHERE c.vec_id <> q.query_id
+    ),
+    ex_top AS (
+      SELECT query_id, neighbor_id
+      FROM (SELECT *, row_number() OVER (
+              PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
+            FROM ex_scored)
+      WHERE rnk <= {TOP_K}
+    ),{','.join(tiers)},
+    tiers AS ({' UNION ALL '.join(unions)})
+    SELECT dim, query_id, CAST({TOP_K} AS BIGINT) AS k,
+           CAST(n_hits AS BIGINT) AS n_hits,
+           CAST((1000000 * n_hits) // {TOP_K} AS BIGINT) AS recall_ppm
+    FROM tiers
+    """
+
+
+@register(
+    "ann_dim_truncation_recall_at_k",
+    oracle=_dim_truncation_recall_oracle_sql(),
+    tags=("similarity", "eval"),
+)
+def ann_dim_truncation_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The THIRD ANN serving axis graded: dimension truncation
+    (operators/similarity.py:truncated_rerank_topk — Matryoshka-style
+    prefix serving). IVF budgets scan FRACTION, int8 budgets scan WIDTH
+    per element; truncation budgets WIDTH in components — the stored
+    serving copy keeps only the first d of {DIM_SWEEP[-1]} dims, paying
+    d/{DIM_SWEEP[-1]} of the scan I/O and FLOPs per scored pair, with the
+    same full-precision-rerank safety net as the int8 tier (a true
+    neighbor is lost only if the truncated ranking drops it below
+    k_cand={K_CAND_IVF}). recall@{TOP_K} per query at d in {DIM_SWEEP}
+    vs the shared brute-force truth; d={DIM_SWEEP[-1]} is the full width
+    and must grade 1,000,000 ppm by construction (built-in degeneracy
+    tier). The sweep is the budget table that says whether THESE
+    embeddings concentrate enough geometry in their prefix to serve
+    truncated — the measurement, not an assumption (synthetic embeddings
+    have no Matryoshka training, so expect a real recall cliff at small
+    d; that honest cliff is exactly what the head documents)."""
+    emb = fan_out(table(spark, sf_dir, "embeddings"))
+    queries = emb.where(F.col("vec_id") < N_QUERIES)
+    exact = S.bruteforce_topk(emb, queries, "vec_id", "embedding", TOP_K).select(
+        "query_id", "neighbor_id"
+    )
+    qs = queries.select(F.col("vec_id").alias("query_id"))
+    tiers = []
+    for d in DIM_SWEEP:
+        topk = S.truncated_rerank_topk(
+            emb, queries.select("vec_id"), "vec_id", "embedding",
+            TOP_K, K_CAND_IVF, d,
+        ).select("query_id", "neighbor_id")
+        hits = (
+            topk.join(exact, ["query_id", "neighbor_id"])
+            .groupBy("query_id")
+            .agg(F.count("*").alias("n_hits"))
+        )
+        tiers.append(
+            qs.join(hits, "query_id", "left").select(
+                F.lit(d).cast("int").alias("dim"),
+                "query_id",
+                F.lit(TOP_K).cast("bigint").alias("k"),
+                F.coalesce(F.col("n_hits"), F.lit(0)).cast("bigint").alias("n_hits"),
+                F.expr(f"div(1000000 * coalesce(n_hits, 0), {TOP_K})")
+                .cast("bigint")
+                .alias("recall_ppm"),
+            )
+        )
+    out = tiers[0]
+    for t in tiers[1:]:
+        out = out.unionByName(t)
+    return out
