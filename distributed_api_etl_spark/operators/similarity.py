@@ -1034,3 +1034,267 @@ def lsh_params_for(
 
     band_bits = max(2, min(16, math.ceil(math.log2(max(n_vectors, 2) / target_bucket))))
     return n_bands * band_bits, band_bits
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — the vector-compression half of IVF-PQ, the
+# layout production vector stores (FAISS-style) actually deploy at 100 TB.
+# Scalar int8 (quantize_embeddings) compresses each COMPONENT to one byte;
+# PQ compresses each SUBVECTOR to one code: m codes per vector (m bytes at
+# k<=256 codes) instead of dim bytes — 8x smaller than int8 here — and
+# queries score candidates WITHOUT reconstructing vectors via per-query
+# lookup tables (ADC, asymmetric distance computation).
+
+
+def _sq_l2(a, b) -> Column:
+    """Sequential-fold squared L2 distance — ((0+t1)+t2)+... exactly, which
+    DuckDB's list_reduce reproduces term for term (0+t1 == t1 in IEEE)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _cb_array(codebook: DataFrame) -> DataFrame:
+    """Collapse a codebook to ONE broadcastable row holding the
+    (s, code)-sorted array<struct{s, code, cw}> — the ivf_assign shape."""
+    return codebook.agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("s"), F.col("code"), F.col("cw")))
+        ).alias("_cb")
+    )
+
+
+def _sub_slice(vec_col: str, s, d_sub: int):
+    """Double-cast subvector s of a packed vector column (1-based slice);
+    ``s`` may be a python int or a Column."""
+    start = (s * d_sub + 1) if isinstance(s, int) else (s * F.lit(d_sub) + 1)
+    return F.transform(
+        F.slice(F.col(vec_col), start, d_sub), lambda x: x.cast("double")
+    )
+
+
+def pq_train(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    m: int = 8,
+    k_codes: int = 16,
+    iters: int = 2,
+    round_decimals: int = 6,
+) -> DataFrame:
+    """Deterministic PQ codebook: per subspace s (the s-th ``dim//m``
+    consecutive components), Lloyd's k-means with MIN-SQUARED-L2
+    assignment (ties -> lowest code id; L2 is the standard PQ training
+    objective — it bounds the inner-product quantization error ADC
+    serving cares about). Init = the subvectors of the ``k_codes``
+    lowest-id vectors, cluster means rounded to ``round_decimals`` each
+    iteration so an independent engine reproduces every centroid float
+    exactly (the :func:`kmeans_centroids` discipline). Returns
+    ``(s, code, cw)``.
+
+    Scale: one exploded (corpus x m) frame per iteration for the means
+    (a k*m*d_sub-cell aggregate — tiny), assignment via one broadcast
+    codebook-array row folded inside the scan; at 100 TB train on a
+    ``.sample`` — the iteration loop is unchanged.
+    """
+    d_sub = dim // m
+    sub_entries = F.array(
+        *[
+            F.struct(
+                F.lit(s).cast("int").alias("s"),
+                _sub_slice(vec_col, s, d_sub).alias("sv"),
+            )
+            for s in range(m)
+        ]
+    )
+    subv = emb.select(F.col(id_col), F.explode(sub_entries).alias("e")).select(
+        F.col(id_col), F.col("e.s").alias("s"), F.col("e.sv").alias("sv")
+    )
+    cents = subv.where(F.col(id_col) < k_codes).select(
+        "s", F.col(id_col).cast("int").alias("code"), F.col("sv").alias("cw")
+    )
+    for _ in range(iters):
+        assigned = _pq_assign_subv(subv, cents)
+        comps = assigned.select(
+            "s", "code", F.posexplode(F.col("sv")).alias("pos", "x")
+        )
+        means = comps.groupBy("s", "code", "pos").agg(
+            F.round(F.avg("x"), round_decimals).alias("v")
+        )
+        cents = means.groupBy("s", "code").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "v"))),
+                lambda t: t["v"],
+            ).alias("cw")
+        )
+    return cents
+
+
+def _pq_assign_subv(subv: DataFrame, codebook: DataFrame) -> DataFrame:
+    """(id, s, sv) -> + ``code``: min-squared-L2 code within the row's own
+    subspace, via one broadcast codebook-array row (strictly-less keeps
+    the lowest code on exact ties because the array is (s, code)-sorted)."""
+    init = F.struct(
+        F.lit(float("inf")).alias("d"), F.lit(None).cast("int").alias("code")
+    )
+
+    def chooser(acc, c):
+        cand = F.struct(
+            _sq_l2(F.col("sv"), c["cw"]).alias("d"), c["code"].alias("code")
+        )
+        return F.when(cand["d"] < acc["d"], cand).otherwise(acc)
+
+    return subv.crossJoin(F.broadcast(_cb_array(codebook))).select(
+        *[c for c in subv.columns],
+        F.aggregate(
+            F.filter(F.col("_cb"), lambda c: c["s"] == F.col("s")),
+            init,
+            chooser,
+        )["code"].alias("code"),
+    )
+
+
+def pq_encode(
+    emb: DataFrame,
+    codebook: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    m: int = 8,
+) -> DataFrame:
+    """Encode each vector as its m nearest-codeword ids —
+    ``(id_col, codes array<int>)`` with position = subspace. ENTIRELY
+    MAP-SIDE: m argmin folds over one broadcast codebook-array row inside
+    the corpus scan, no explode, no shuffle — this is the ingest
+    projection a 100-TB system runs once at write time and stores as the
+    m-byte serving copy (alongside ``centroid_id`` when composed with
+    IVF)."""
+    d_sub = dim // m
+    init = F.struct(
+        F.lit(float("inf")).alias("d"), F.lit(None).cast("int").alias("code")
+    )
+
+    def code_for(s: int):
+        sv = _sub_slice(vec_col, s, d_sub)
+
+        def chooser(acc, c):
+            cand = F.struct(
+                _sq_l2(sv, c["cw"]).alias("d"), c["code"].alias("code")
+            )
+            return F.when(cand["d"] < acc["d"], cand).otherwise(acc)
+
+        return F.aggregate(
+            F.filter(F.col("_cb"), lambda c: c["s"] == F.lit(s)), init, chooser
+        )["code"]
+
+    return emb.crossJoin(F.broadcast(_cb_array(codebook))).select(
+        F.col(id_col),
+        F.array(*[code_for(s) for s in range(m)]).alias("codes"),
+    )
+
+
+#: LUT map key stride: key = s * PQ_KEY_STRIDE + code (codes < stride).
+PQ_KEY_STRIDE = 100_000
+#: ADC fixed-point scale: LUT entries are floor(dot * 1e9 + 0.5) bigints,
+#: so the per-candidate score is an ORDER-FREE integer sum — engines may
+#: sum the m terms in any order and still agree bit-exactly (the same
+#: micro-unit discipline as the LM log-prob tables).
+PQ_ADC_SCALE = "1e9"
+
+
+def pq_adc_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    codebook: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    m: int,
+    k: int,
+    k_cand: int,
+) -> DataFrame:
+    """Two-tier PQ serving: ADC candidate generation, full-precision
+    rerank. Per query, a lookup table of ``m x |codes|`` integer
+    dot-product contributions is built ONCE against the codebook
+    (asymmetric: the query stays full-precision, only the corpus is
+    quantized); each candidate's score is then m map lookups + an integer
+    sum over its codes — no vector math per scored pair at all, which is
+    why PQ scan cost is independent of ``dim``. Top-``k_cand`` ADC
+    survivors get exact full-width cosine rerank, the int8/truncation
+    safety net: a true neighbor is lost only if ADC drops it below
+    ``k_cand``. All query-side frames broadcast; the corpus never
+    shuffles. At 100 TB compose with IVF exactly like
+    :func:`ivf_int8_topk_from_index` — the bucket equi-join replaces this
+    labeled brute ADC scan as candidate source; the LUT/rerank stages are
+    unchanged.
+    """
+    d_sub = dim // m
+    encoded = pq_encode(emb, codebook, id_col, vec_col, dim, m)
+    qv_src = emb.join(F.broadcast(queries.select(id_col)), id_col)
+    luts = qv_src.crossJoin(F.broadcast(_cb_array(codebook))).select(
+        F.col(id_col).alias("query_id"),
+        F.map_from_entries(
+            F.transform(
+                F.col("_cb"),
+                lambda c: F.struct(
+                    (c["s"].cast("bigint") * PQ_KEY_STRIDE + c["code"]).alias(
+                        "key"
+                    ),
+                    F.floor(
+                        F.aggregate(
+                            F.zip_with(
+                                _sub_slice(vec_col, c["s"], d_sub),
+                                c["cw"],
+                                lambda x, y: x * y,
+                            ),
+                            F.lit(0.0),
+                            lambda acc, x: acc + x,
+                        )
+                        * F.expr(PQ_ADC_SCALE)
+                        + F.lit(0.5)
+                    )
+                    .cast("bigint")
+                    .alias("value"),
+                ),
+            )
+        ).alias("lut"),
+    )
+    adc = None
+    for s in range(m):
+        term = F.element_at(
+            F.col("lut"),
+            F.lit(s * PQ_KEY_STRIDE).cast("bigint")
+            + F.element_at(F.col("codes"), s + 1).cast("bigint"),
+        )
+        adc = term if adc is None else adc + term
+    scored = encoded.join(
+        F.broadcast(luts), F.col(id_col) != F.col("query_id")
+    ).select(
+        "query_id",
+        F.col(id_col).alias("neighbor_id"),
+        adc.alias("adc"),
+    )
+    wc = Window.partitionBy("query_id").orderBy(F.desc("adc"), F.asc("neighbor_id"))
+    cands = (
+        scored.withColumn("crnk", F.row_number().over(wc))
+        .where(F.col("crnk") <= k_cand)
+        .select("query_id", "neighbor_id")
+    )
+    nv = emb.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nv"))
+    qv = emb.join(F.broadcast(queries.select(id_col)), id_col).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    rescored = (
+        nv.join(F.broadcast(cands), "neighbor_id")
+        .join(F.broadcast(qv), "query_id")
+        .withColumn("cosine", cosine_similarity("qv", "nv"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        rescored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "rnk", F.round("cosine", 6).alias("cosine"))
+    )

@@ -2137,3 +2137,29 @@ def test_ivf_kmeans_int8_composition_degenerates_to_bruteforce(spark, sf_dir):
     for q, nb, _r, c in served:
         if (q, nb) in exact_cos:
             assert c == exact_cos[(q, nb)]
+
+
+def test_pq_encode_is_map_side_and_codes_are_codebook_members(spark, sf_dir):
+    """The PQ ingest projection must run at scan speed: with the (tiny)
+    codebook provided as a static table, pq_encode's plan contains NO
+    Exchange — m argmin folds over one broadcast codebook row inside the
+    corpus scan. And every emitted code is a codebook member for its own
+    subspace (assignment can only pick from the broadcast array)."""
+    from distributed_api_etl_spark.operators.similarity import pq_encode, pq_train
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cb = spark.createDataFrame(
+        pq_train(emb, "vec_id", "embedding", 64, m=4, k_codes=8, iters=1).collect(),
+        "s int, code int, cw array<double>",
+    )
+    enc = pq_encode(emb, cb, "vec_id", "embedding", 64, 4)
+    plan = enc._jdf.queryExecution().executedPlan().toString()
+    # the ONLY exchange allowed is the SinglePartition collect of the
+    # 32-row codebook into its broadcast array — the corpus side must
+    # never hash-shuffle (that would scale with the 100-TB side)
+    assert "Exchange hashpartitioning" not in plan, plan
+    valid = {(r.s, r.code) for r in cb.collect()}
+    for r in enc.collect():
+        assert len(r.codes) == 4
+        for s, code in enumerate(r.codes):
+            assert (s, code) in valid

@@ -67,6 +67,7 @@ ALLOW_BNLJ = {
     "ann_incremental_ingest_topk": "1-row broadcast centroid-array sides (batch-2 ivf_assign + query probe_assign); serving joins over the appended partitioned index are broadcast equi-joins",
     "ann_kmeans_int8_index_topk": "1-row broadcast centroid-array sides (Lloyd's per-iteration assignment, index build, query probe_assign); serving joins are broadcast equi-joins",
     "ann_dim_truncation_recall_at_k": "bounded broadcast query side (truncated-scan tier per dim) + the labeled exact ground-truth tier",
+    "ann_pq_adc_recall_at_k": "1-row broadcast codebook-array sides (training assignment, encode, LUT build) + bounded broadcast per-query LUT maps (ADC tier) + the labeled exact ground-truth tier",
     "ann_multiprobe_recall_at_k": "bounded broadcast centroid/query sides per nprobe tier + the same labeled exact ground-truth tier as ann_recall_at_k",
     "documents_fivegram_logppl": "1-row total-token scalar",
     "documents_bm25_relevance": "1-row corpus-stats scalar (N, total tokens)",
