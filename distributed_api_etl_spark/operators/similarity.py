@@ -1113,7 +1113,12 @@ def pq_train(
     subv = emb.select(F.col(id_col), F.explode(sub_entries).alias("e")).select(
         F.col(id_col), F.col("e.s").alias("s"), F.col("e.sv").alias("sv")
     )
-    cents = subv.where(F.col(id_col) < k_codes).select(
+    # seeds = the k_codes LOWEST-id vectors' subvectors (the ivf_topk /
+    # kmeans_centroids convention — works for any id distribution, not
+    # just 0..n dense; code ids keep their seed ids and must stay below
+    # PQ_KEY_STRIDE for the ADC map keys)
+    seed_ids = emb.select(id_col).orderBy(F.col(id_col)).limit(k_codes)
+    cents = subv.join(F.broadcast(seed_ids), id_col).select(
         "s", F.col(id_col).cast("int").alias("code"), F.col("sv").alias("cw")
     )
     for _ in range(iters):
