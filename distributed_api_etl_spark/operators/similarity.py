@@ -859,6 +859,13 @@ def ivf_kmeans_int8_topk(
         # inline composition (no stored layout) — nothing to file-prune
         prune_partitions=False,
         levels=levels,
+        # the index is an in-plan subtree shared with the candidate scan:
+        # look the query vectors up from it (computed once via subtree
+        # reuse) instead of paying the emb-side re-quantization's extra
+        # scan + broadcast — the same reasoning as ivf_int8_multiprobe_topk
+        qvecs=index.join(
+            F.broadcast(queries.select(id_col)), id_col
+        ).select(id_col, "qvec"),
     )
 
 
@@ -1090,7 +1097,9 @@ def pq_train(
     assignment (ties -> lowest code id; L2 is the standard PQ training
     objective — it bounds the inner-product quantization error ADC
     serving cares about). Init = the subvectors of the ``k_codes``
-    lowest-id vectors, cluster means rounded to ``round_decimals`` each
+    lowest-id vectors, with code ids remapped DENSE (0..k_codes-1 by
+    seed-id rank) so the ADC LUT keys ``s*PQ_KEY_STRIDE+code`` never
+    collide for any id distribution; cluster means rounded to ``round_decimals`` each
     iteration so an independent engine reproduces every centroid float
     exactly (the :func:`kmeans_centroids` discipline). Returns
     ``(s, code, cw)``.
@@ -1115,11 +1124,21 @@ def pq_train(
     )
     # seeds = the k_codes LOWEST-id vectors' subvectors (the ivf_topk /
     # kmeans_centroids convention — works for any id distribution, not
-    # just 0..n dense; code ids keep their seed ids and must stay below
-    # PQ_KEY_STRIDE for the ADC map keys)
-    seed_ids = emb.select(id_col).orderBy(F.col(id_col)).limit(k_codes)
+    # just 0..n dense), REMAPPED to dense codes 0..k_codes-1 by seed-id
+    # rank: raw seed ids as codes would collide across subspaces in the
+    # ADC map keys (key = s*PQ_KEY_STRIDE + code) whenever a corpus's
+    # lowest ids reach PQ_KEY_STRIDE, silently corrupting top-k. The
+    # row_number window runs over exactly k_codes rows — a single tiny
+    # partition, not a corpus sort.
+    seed_w = Window.orderBy(F.col(id_col))
+    seed_ids = (
+        emb.select(id_col)
+        .orderBy(F.col(id_col))
+        .limit(k_codes)
+        .select(id_col, (F.row_number().over(seed_w) - 1).cast("int").alias("code"))
+    )
     cents = subv.join(F.broadcast(seed_ids), id_col).select(
-        "s", F.col(id_col).cast("int").alias("code"), F.col("sv").alias("cw")
+        "s", "code", F.col("sv").alias("cw")
     )
     for _ in range(iters):
         assigned = _pq_assign_subv(subv, cents)

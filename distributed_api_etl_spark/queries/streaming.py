@@ -36,10 +36,24 @@ LAST_EXECUTED_PLAN: str | None = None
 
 def _stream_source(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """File-stream over one table (FileStreamSource requires a directory, so
-    the single parquet file is symlinked into a temp dir)."""
+    the single parquet file is symlinked into a temp dir).
+
+    The dir is DETERMINISTIC per (sf basename, table) and reused across
+    invocations — a fresh mkdtemp per call stranded a symlink dir every
+    harness sweep across ~10 streaming heads (VERDICT r12). The symlink is
+    re-pointed if a different absolute sf path maps to the same basename.
+    """
     src_file = os.path.abspath(f"{sf_dir}/{name}.parquet")
-    d = tempfile.mkdtemp(prefix=f"stream_{name}_")
-    os.symlink(src_file, os.path.join(d, f"{name}.parquet"))
+    d = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_stream_src_{os.path.basename(sf_dir.rstrip('/'))}_{name}",
+    )
+    os.makedirs(d, exist_ok=True)
+    link = os.path.join(d, f"{name}.parquet")
+    if os.path.islink(link) and os.readlink(link) != src_file:
+        os.remove(link)
+    if not os.path.lexists(link):
+        os.symlink(src_file, link)
     schema = spark.read.parquet(src_file).schema
     return spark.readStream.schema(schema).parquet(d)
 
