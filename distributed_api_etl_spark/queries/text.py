@@ -1581,13 +1581,19 @@ def documents_fivegram_logppl(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_logprob_scores(docs, "doc_id", "text", order=5)
 
 
-def _gopher_repetition_oracle_sql() -> str:
+def _gopher_repetition_oracle_sql(constructed: bool = True) -> str:
     """Independent relational implementation of the Gopher repetition
     rules over the SAME constructed multi-line corpus the Spark head
     builds: unnest + GROUP BY per (doc, segment/gram) instead of the
     operator's sorted-runs folds — a genuinely different algorithm
     agreeing on every fixed-point fraction is the strongest form of the
-    grade."""
+    grade.
+
+    ``constructed=False`` skips the doubled-token/3-word-line/6-line-
+    paragraph construction and applies the rules to the RAW document
+    text — the form the composed curation pipeline gates with
+    (queries/curation.py), where the corpus is fed to the operator
+    unmodified."""
     from distributed_api_etl_spark.operators.text import (
         GOPHER_REP_MAX_DUP_LINE_CHAR_PPM,
         GOPHER_REP_MAX_DUP_LINE_PPM,
@@ -1670,8 +1676,8 @@ def _gopher_repetition_oracle_sql() -> str:
     gram_ctes_sql = ",".join(gram_ctes)
     joins_sql = " ".join(joins)
 
-    return f"""
-    WITH tk AS (
+    if constructed:
+        base_ctes = """tk AS (
       SELECT doc_id, string_split(coalesce(text, ''), ' ') AS t0
       FROM documents
     ),
@@ -1695,7 +1701,13 @@ def _gopher_repetition_oracle_sql() -> str:
                                                    chr(10))),
                chr(10) || chr(10)) AS text2
       FROM lns
-    ),
+    )"""
+    else:
+        base_ctes = """base AS (
+      SELECT doc_id, coalesce(text, '') AS text2 FROM documents
+    )"""
+    return f"""
+    WITH {base_ctes},
     lseg AS (SELECT doc_id,
                     unnest(list_filter(string_split(text2, chr(10)),
                                        x -> x <> '')) AS s
