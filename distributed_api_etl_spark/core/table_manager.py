@@ -217,6 +217,7 @@ def compact_files(
     location: str,
     fmt: str = "parquet",
     target_file_mb: int = 128,
+    partition_by: tuple[str, ...] = (),
 ) -> dict:
     """Compact a fragmented append sink into ~target-sized files.
 
@@ -224,6 +225,18 @@ def compact_files(
     at 200 partitions x many batches the file count grows unbounded and
     scan planning slows. Rewrite with a size-derived partition count
     (parquet has no OPTIMIZE; Delta users should prefer OPTIMIZE/Z-ORDER).
+
+    Pass ``partition_by`` for a HIVE-PARTITIONED layout (e.g. the stored
+    IVF index's ``centroid_id`` buckets, which a streaming
+    foreachBatch append fragments one-file-per-batch-per-bucket): the
+    rewrite repartitions BY the partition columns (each bucket lands
+    wholly in one task -> exactly one file per bucket) and writes
+    ``partitionBy`` so directory structure — and with it file-level
+    partition pruning — survives compaction. The size-derived count then
+    only bounds write parallelism. Appropriate when buckets are small
+    relative to ``target_file_mb`` (the small-files regime that needs
+    compacting); a bucket larger than the target should stay multi-file
+    and skip compaction.
 
     The rewrite goes through a temp dir, then two Hadoop FileSystem
     ``rename`` calls (location -> old, tmp -> location) and a recursive
@@ -249,12 +262,15 @@ def compact_files(
     n_out = max(1, math.ceil(total_bytes / (target_file_mb * 1024 * 1024)))
     tmp = location.rstrip("/") + "__compact_tmp"
     old = location.rstrip("/") + "__compact_old"
-    (
-        df.repartition(n_out)
-        .write.format(fmt)
-        .mode("overwrite")
-        .save(tmp)
-    )
+    if partition_by:
+        writer = (
+            df.repartition(n_out, *[df[c] for c in partition_by])
+            .write.format(fmt)
+            .partitionBy(*partition_by)
+        )
+    else:
+        writer = df.repartition(n_out).write.format(fmt)
+    writer.mode("overwrite").save(tmp)
     if not fs.rename(jvm_path(location), jvm_path(old)):
         raise OSError(f"compact_files: rename {location} -> {old} failed")
     if not fs.rename(jvm_path(tmp), jvm_path(location)):
