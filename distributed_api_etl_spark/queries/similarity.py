@@ -1908,3 +1908,137 @@ def ann_ivf_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     index, cents = S.build_ivf_int8_index(emb, "vec_id", "embedding", IVF_CENTROIDS)
     pruned = index.where(F.col("centroid_id") != STATS_DROP_BUCKET)
     return S.ivf_index_stats(pruned, centroids=cents, id_col="vec_id")
+
+
+PQ_INC_QUERY_LO, PQ_INC_QUERY_HI = 340, 350
+
+
+def _ivf_pq_incremental_oracle_sql() -> str:
+    """From-scratch IVF-PQ REBUILD over the full corpus (same frozen
+    codebook/centroid training replay), served at nprobe=IVF_NPROBE_SERVE
+    — the oracle knows nothing about batches, so a green row certifies
+    append == rebuild for the PQ layout end-to-end."""
+    d = PQ_SUBDIM
+    return f"""
+    WITH {_QUANT_CTES},
+    cents AS (SELECT vec_id AS centroid_id, qvec AS cv FROM quant
+              WHERE vec_id < {IVF_CENTROIDS}),
+    assign0 AS (
+      SELECT qn.vec_id, c.centroid_id,
+             row_number() OVER (PARTITION BY qn.vec_id
+               ORDER BY list_cosine_similarity(CAST(qn.qvec AS DOUBLE[]),
+                                               CAST(c.cv AS DOUBLE[])) DESC,
+                        c.centroid_id) AS arnk
+      FROM quant qn CROSS JOIN cents c
+    ),
+    corpus AS (SELECT vec_id, centroid_id FROM assign0 WHERE arnk = 1),
+    {', '.join(_pq_train_parts())},
+    q AS (SELECT vec_id AS query_id, v AS qv FROM vecs
+          WHERE vec_id >= {PQ_INC_QUERY_LO} AND vec_id < {PQ_INC_QUERY_HI}),
+    lut AS (
+      SELECT q.query_id, c.s, c.code,
+             CAST(floor(list_reduce(list_transform(generate_series(1, {d}),
+                    i -> q.qv[c.s * {d} + i] * c.cw[i]), (a, b) -> a + b)
+                  * 1e9 + 0.5) AS BIGINT) AS val
+      FROM q CROSS JOIN c{PQ_ITERS} c),
+    probes AS (
+      SELECT vec_id AS query_id, centroid_id
+      FROM assign0
+      WHERE vec_id >= {PQ_INC_QUERY_LO} AND vec_id < {PQ_INC_QUERY_HI}
+        AND arnk <= {IVF_NPROBE_SERVE}
+    ),
+    adc AS (
+      SELECT p.query_id, co.vec_id AS neighbor_id,
+             CAST(sum(l.val) AS BIGINT) AS adc
+      FROM corpus co
+      JOIN probes p ON co.centroid_id = p.centroid_id
+                   AND co.vec_id <> p.query_id
+      JOIN enc e ON e.vec_id = co.vec_id
+      JOIN lut l ON l.query_id = p.query_id AND l.s = e.s AND l.code = e.code
+      GROUP BY p.query_id, co.vec_id
+    ),
+    cand AS (
+      SELECT query_id, neighbor_id
+      FROM (SELECT *, row_number() OVER (
+              PARTITION BY query_id ORDER BY adc DESC, neighbor_id) AS crnk
+            FROM adc)
+      WHERE crnk <= {K_CAND_IVF}
+    ),
+    rer AS (
+      SELECT ca.query_id, ca.neighbor_id,
+             list_cosine_similarity(qv.v, nv.v) AS cosine
+      FROM cand ca
+      JOIN vecs qv ON qv.vec_id = ca.query_id
+      JOIN vecs nv ON nv.vec_id = ca.neighbor_id
+    )
+    SELECT query_id, neighbor_id, CAST(rnk AS INTEGER) AS rnk,
+           round(cosine, 6) AS cosine
+    FROM (SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
+          FROM rer)
+    WHERE rnk <= {IVF_K}
+    """
+
+
+@register(
+    "ann_ivf_pq_incremental_ingest_topk",
+    oracle=_ivf_pq_incremental_oracle_sql(),
+    tags=("similarity", "quantization", "sink", "partitioning"),
+)
+def ann_ivf_pq_incremental_ingest_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONTINUOUS INGEST for the IVF-PQ layout, graded: the base index is
+    built over vec_id < {INGEST_SPLIT} and stored partitionBy(centroid_id);
+    the remaining vectors arrive as a second batch, bucket-assigned and
+    PQ-encoded against the FROZEN centroid table + codebook
+    (operators/similarity.py:assign_to_ivf_pq_index — one map-side batch
+    scan, the standing index never re-read), and APPENDED to the
+    partitioned store. Serving runs over the union via
+    ivf_pq_topk_from_index with file-level probe pruning. The oracle is
+    the from-scratch REBUILD over the full corpus under the same frozen
+    tables, so a green row certifies append == rebuild for the PQ copy —
+    the ann_incremental_ingest_topk contract extended to the m-byte
+    layout. The codebook/centroids are the frozen training snapshot both
+    sides share (training provenance is orthogonal to the layout
+    contract this head grades; production freezes whatever snapshot it
+    trained offline)."""
+    import os
+    import tempfile
+
+    emb = fan_out(table(spark, sf_dir, "embeddings"))
+    old = emb.where(F.col("vec_id") < INGEST_SPLIT)
+    new = emb.where(F.col("vec_id") >= INGEST_SPLIT)
+    queries = emb.where(
+        (F.col("vec_id") >= PQ_INC_QUERY_LO) & (F.col("vec_id") < PQ_INC_QUERY_HI)
+    ).select("vec_id")
+    cb = S.pq_train(
+        emb, "vec_id", "embedding", 64, m=PQ_M, k_codes=PQ_CODES, iters=PQ_ITERS
+    )
+    index0, cents, _ = S.build_ivf_pq_index(
+        old, "vec_id", "embedding", 64, IVF_CENTROIDS,
+        m=PQ_M, k_codes=PQ_CODES, iters=PQ_ITERS, codebook=cb,
+    )
+    # deterministic single-writer dir per sf (see ann_incremental_ingest_topk)
+    out = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_ivf_pq_inc_index_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    index0.write.mode("overwrite").partitionBy("centroid_id").parquet(out)
+    S.assign_to_ivf_pq_index(
+        new, cents, cb, "vec_id", "embedding", 64, m=PQ_M
+    ).write.mode("append").partitionBy("centroid_id").parquet(out)
+    stored = spark.read.parquet(out)
+    return S.ivf_pq_topk_from_index(
+        stored,
+        cents,
+        cb,
+        emb,
+        queries,
+        "vec_id",
+        "embedding",
+        64,
+        PQ_M,
+        IVF_K,
+        K_CAND_IVF,
+        nprobe=IVF_NPROBE_SERVE,
+        prune_partitions=True,
+    )

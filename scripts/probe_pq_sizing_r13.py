@@ -13,7 +13,10 @@ Run: python scripts/probe_pq_sizing_r13.py [sf_dir]
 from __future__ import annotations
 
 import json
+import os
 import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
