@@ -1546,3 +1546,167 @@ def assign_to_ivf_pq_index(
     return pq_encode(
         assigned, codebook, id_col, vec_col, dim, m, extra_cols=("centroid_id",)
     )
+
+
+def _dot(a, b) -> Column:
+    """Sequential-fold dot product — ((0+t1)+t2)+... exactly, matching
+    DuckDB's list_reduce term for term (the _sq_l2 discipline)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def _residual_frame(
+    emb: DataFrame,
+    cents_q: DataFrame,
+    cents_full: DataFrame,
+    id_col: str,
+    vec_col: str,
+    levels: int,
+) -> DataFrame:
+    """(id, vec, centroid_id, rvec = v - centroid_vector): the residual
+    projection residual-PQ trains on and encodes. Assignment runs in the
+    shared int8 space (one broadcast centroid-array fold); the subtraction
+    joins the tiny full-precision centroid table broadcast — still one
+    corpus scan, zero shuffle."""
+    _, qvec = _qvec_expr(vec_col, levels)
+    withq = emb.select(F.col(id_col), F.col(vec_col), qvec.alias("qvec"))
+    assigned = ivf_assign(withq, cents_q, id_col, "qvec")
+    return assigned.join(F.broadcast(cents_full), "centroid_id").select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.col("centroid_id"),
+        F.zip_with(
+            F.transform(F.col(vec_col), lambda x: x.cast("double")),
+            F.col("cv"),
+            lambda a, b: a - b,
+        ).alias("rvec"),
+    )
+
+
+def build_ivf_rpq_index(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    n_centroids: int,
+    m: int = 8,
+    k_codes: int = 16,
+    iters: int = 2,
+    levels: int = 127,
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
+    """RESIDUAL IVF-PQ ingest — the exact FAISS ``IVF*,PQ*`` form:
+    vectors are PQ-encoded as their residual ``v - c(v)`` against the
+    assigned coarse centroid's FULL-PRECISION vector, not as raw ``v``.
+    Residuals have a fraction of the raw dynamic range (the coarse
+    quantizer already explains the centroid component), so a fixed code
+    budget spends its cells on what the bucket DOESN'T know — the reason
+    production stores default to residual encoding. Returns
+    ``(index, cents_q, cents_full, codebook)``: the partitionable
+    ``(id, codes, centroid_id)`` index, the int8 routing centroids, the
+    full-precision centroid table serving needs for the per-bucket
+    ``dot(q, c)`` term, and the residual codebook.
+
+    Scale shape is unchanged from :func:`build_ivf_pq_index` — the
+    residual projection adds one broadcast equi-join (tiny centroid
+    table) inside the same single corpus scan; training aggregates the
+    residual frame exactly as pq_train aggregates raw vectors.
+    """
+    quant = quantize_embeddings(emb, id_col, vec_col, levels)
+    cents_q = quant.orderBy(F.col(id_col)).limit(n_centroids).select(id_col, "qvec")
+    cents_full = (
+        emb.orderBy(F.col(id_col))
+        .limit(n_centroids)
+        .select(
+            F.col(id_col).alias("centroid_id"),
+            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("cv"),
+        )
+    )
+    resid = _residual_frame(emb, cents_q, cents_full, id_col, vec_col, levels)
+    codebook = pq_train(resid, id_col, "rvec", dim, m, k_codes, iters)
+    index = pq_encode(
+        resid, codebook, id_col, "rvec", dim, m, extra_cols=("centroid_id",)
+    )
+    return index, cents_q, cents_full, codebook
+
+
+def ivf_rpq_topk_from_index(
+    index: DataFrame,
+    cents_q: DataFrame,
+    cents_full: DataFrame,
+    codebook: DataFrame,
+    emb: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    m: int,
+    k: int,
+    k_cand: int,
+    nprobe: int = 2,
+    prune_partitions: bool = True,
+    levels: int = 127,
+) -> DataFrame:
+    """Serve top-k from a stored RESIDUAL IVF-PQ index. The asymmetric
+    score decomposes exactly: ``dot(q, c + r̂) = dot(q, c) + dot(q, r̂)``
+    — a per-(query, probed-bucket) integer scalar (n_queries x nprobe
+    values, broadcast with the probes) plus the same m LUT lookups as
+    raw PQ (the codebook is global over residuals, so the per-query LUT
+    is built ONCE, not per bucket). Candidate cost is therefore identical
+    to :func:`ivf_pq_topk_from_index`; the residual form changes WHAT the
+    codes approximate, not what serving pays. Exact full-precision rerank
+    on the top-``k_cand`` as everywhere in the family.
+    """
+    qvecs = quantize_embeddings(
+        emb.join(F.broadcast(queries.select(id_col)), id_col),
+        id_col,
+        vec_col,
+        levels,
+    ).select(id_col, "qvec")
+    probes = ivf_probe_assign(qvecs, cents_q, id_col, "qvec", nprobe).select(
+        "query_id", "centroid_id"
+    )
+    qfull = emb.join(F.broadcast(queries.select(id_col)), id_col).select(
+        F.col(id_col).alias("query_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("qv_full"),
+    )
+    probes_qc = (
+        probes.join(F.broadcast(cents_full), "centroid_id")
+        .join(F.broadcast(qfull), "query_id")
+        .select(
+            "query_id",
+            "centroid_id",
+            F.floor(_dot(F.col("qv_full"), F.col("cv")) * F.expr(PQ_ADC_SCALE) + F.lit(0.5))
+            .cast("bigint")
+            .alias("qc"),
+        )
+    )
+    cand_src = index
+    if prune_partitions:
+        # bounded metadata collect: <= n_queries x nprobe distinct ids
+        probed = sorted(
+            r["centroid_id"]
+            for r in probes.select("centroid_id").distinct().collect()
+        )
+        cand_src = index.where(F.col("centroid_id").isin(probed))
+    luts = _pq_luts(emb, queries, codebook, id_col, vec_col, dim, m)
+    scored = (
+        cand_src.select(
+            F.col(id_col).alias("neighbor_id"), "codes", "centroid_id"
+        )
+        .join(F.broadcast(probes_qc), "centroid_id")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .join(F.broadcast(luts), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            (F.col("qc") + _adc_sum(m)).alias("adc"),
+        )
+    )
+    wc = Window.partitionBy("query_id").orderBy(F.desc("adc"), F.asc("neighbor_id"))
+    cands = (
+        scored.withColumn("crnk", F.row_number().over(wc))
+        .where(F.col("crnk") <= k_cand)
+        .select("query_id", "neighbor_id")
+    )
+    return _exact_rerank(emb, queries, cands, id_col, vec_col, k)

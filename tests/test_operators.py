@@ -2284,3 +2284,37 @@ def test_compact_streaming_appended_index_preserves_serving(spark, tmp_path, sf_
     # pruning still applies on the compacted layout
     some_bucket = stored.select("centroid_id").first()[0]
     assert files_read(stored.where(F.col("centroid_id") == some_bucket)) == 1
+
+
+def test_ivf_rpq_residuals_share_bucketing_and_zero_at_centroids(spark, sf_dir):
+    """Residual IVF-PQ invariants: (a) the residual index shares the int8
+    layout's bucket assignment exactly (one routing space, two payload
+    encodings); (b) the centroid rows' residuals are EXACTLY zero (v - v
+    in IEEE is +0.0 — the deterministic replay depends on it); (c) every
+    stored code is a codebook member for its own subspace."""
+    from distributed_api_etl_spark.operators.similarity import (
+        _residual_frame,
+        build_ivf_int8_index,
+        build_ivf_rpq_index,
+        quantize_embeddings,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    ridx, rcq, rcf, rcb = build_ivf_rpq_index(
+        emb, "vec_id", "embedding", 64, 8, m=4, k_codes=8, iters=1
+    )
+    iidx, _ = build_ivf_int8_index(emb, "vec_id", "embedding", 8)
+    a = {r.vec_id: r.centroid_id for r in ridx.select("vec_id", "centroid_id").collect()}
+    b = {r.vec_id: r.centroid_id for r in iidx.select("vec_id", "centroid_id").collect()}
+    assert a == b
+
+    quant = quantize_embeddings(emb, "vec_id", "embedding", 127)
+    cq = quant.orderBy("vec_id").limit(8).select("vec_id", "qvec")
+    resid = _residual_frame(emb, cq, rcf, "vec_id", "embedding", 127)
+    for r in resid.where(F.col("vec_id") < 8).select("vec_id", "rvec").collect():
+        assert all(x == 0.0 for x in r.rvec), r
+
+    valid = {(r.s, r.code) for r in rcb.collect()}
+    for r in ridx.select("codes").limit(50).collect():
+        for s, code in enumerate(r.codes):
+            assert (s, code) in valid
