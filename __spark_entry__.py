@@ -100,6 +100,14 @@ _ROUND_PRIORITY = frozenset(
 )
 
 
+# Queries whose BUILD AND ORACLE changed in lockstep this round (r13: the
+# curation pipeline now composes the repetition gate): lifted to the front
+# of their last-green tier so the changed pair re-grades inside THIS
+# round's window instead of waiting out its rotation slot. Re-point (or
+# empty) this set whenever a later round changes a graded head's contract.
+_CHANGED_CONTRACT_PRIORITY = frozenset({"documents_curation_pipeline"})
+
+
 def _grading_order(names: list[str]) -> list[str]:
     """Priority order for the driver's bounded grading window.
 
@@ -116,6 +124,7 @@ def _grading_order(names: list[str]) -> list[str]:
         names,
         key=lambda n: (
             last.get(n, -1),
+            n not in _CHANGED_CONTRACT_PRIORITY,
             n not in _VERDICT_PRIORITY,
             n not in _ROUND_PRIORITY,
             n,
