@@ -1794,11 +1794,23 @@ def ann_ivf_pq_rerank_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame
     import os
     import tempfile
 
+    from distributed_api_etl_spark.session import scoped_persist
+
     emb = fan_out(table(spark, sf_dir, "embeddings"))
     queries = emb.where(
         (F.col("vec_id") >= IVF_QUERY_LO) & (F.col("vec_id") < IVF_QUERY_HI)
     )
-    index, cents, cb = S.build_ivf_pq_index(
+    # train ONCE: the codebook frame is m x k_codes rows but its lineage is
+    # the full Lloyd's chain — unpersisted it would re-train for the ingest
+    # scan and again for every nprobe tier's LUT build (measured 12.6s ->
+    # the cache collapses the head to the int8 sibling's cost)
+    cb = scoped_persist(
+        S.pq_train(
+            emb, "vec_id", "embedding", 64, m=PQ_M, k_codes=PQ_CODES,
+            iters=PQ_ITERS,
+        )
+    )
+    index, cents, _ = S.build_ivf_pq_index(
         emb,
         "vec_id",
         "embedding",
@@ -1807,6 +1819,7 @@ def ann_ivf_pq_rerank_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame
         m=PQ_M,
         k_codes=PQ_CODES,
         iters=PQ_ITERS,
+        codebook=cb,
     )
     # deterministic single-writer dir per sf (see ann_index_serving_roundtrip)
     out = os.path.join(
@@ -2012,8 +2025,15 @@ def ann_ivf_pq_incremental_ingest_topk(spark: SparkSession, sf_dir: str) -> Data
     queries = emb.where(
         (F.col("vec_id") >= PQ_INC_QUERY_LO) & (F.col("vec_id") < PQ_INC_QUERY_HI)
     ).select("vec_id")
-    cb = S.pq_train(
-        emb, "vec_id", "embedding", 64, m=PQ_M, k_codes=PQ_CODES, iters=PQ_ITERS
+    from distributed_api_etl_spark.session import scoped_persist
+
+    # train ONCE (see ann_ivf_pq_rerank_recall_at_k): cb feeds the base
+    # build, the batch-2 append, and the serving LUT build
+    cb = scoped_persist(
+        S.pq_train(
+            emb, "vec_id", "embedding", 64, m=PQ_M, k_codes=PQ_CODES,
+            iters=PQ_ITERS,
+        )
     )
     index0, cents, _ = S.build_ivf_pq_index(
         old, "vec_id", "embedding", 64, IVF_CENTROIDS,
@@ -2197,10 +2217,16 @@ def ann_ivf_rpq_rerank_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFram
     queries = emb.where(
         (F.col("vec_id") >= IVF_QUERY_LO) & (F.col("vec_id") < IVF_QUERY_HI)
     )
+    from distributed_api_etl_spark.session import scoped_persist
+
     index, cents_q, cents_full, cb = S.build_ivf_rpq_index(
         emb, "vec_id", "embedding", 64, IVF_CENTROIDS,
         m=PQ_M, k_codes=PQ_CODES, iters=PQ_ITERS,
     )
+    # train ONCE: the residual codebook's lineage is the Lloyd's chain over
+    # the residual frame; caching it serves the ingest encode and every
+    # nprobe tier's LUT from one materialization (plan-keyed cache lookup)
+    cb = scoped_persist(cb)
     import os
     import tempfile
 
