@@ -2318,3 +2318,40 @@ def test_ivf_rpq_residuals_share_bucketing_and_zero_at_centroids(spark, sf_dir):
     for r in ridx.select("codes").limit(50).collect():
         for s, code in enumerate(r.codes):
             assert (s, code) in valid
+
+
+def test_ivf_pq_with_learned_centroids_degenerates_to_brute_adc(spark, tmp_path, sf_dir):
+    """build_ivf_pq_index composes with kmeans_centroids exactly like the
+    int8 index does (centroids= quantizes the learned table with the
+    corpus levels). At exhaustive settings — every bucket probed — the
+    stored learned-centroid IVF-PQ path must return exactly the labeled
+    brute ADC scan's result: bucketing (whatever the centroids) only
+    partitions the candidate set; it must never change what ADC+rerank
+    compute over the union of all buckets."""
+    from distributed_api_etl_spark.operators.similarity import (
+        build_ivf_pq_index,
+        ivf_pq_topk_from_index,
+        kmeans_centroids,
+        pq_adc_topk,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 4).select("vec_id")
+    k_cents = 4
+    cents_f = kmeans_centroids(emb, "vec_id", "embedding", k_cents, iters=1)
+    index, cents_q, cb = build_ivf_pq_index(
+        emb, "vec_id", "embedding", 64, k_cents, m=4, k_codes=8, iters=1,
+        centroids=cents_f,
+    )
+    path = str(tmp_path / "ivf_pq_kmeans_index")
+    index.write.partitionBy("centroid_id").parquet(path)
+    stored = spark.read.parquet(path)
+    assert stored.select("centroid_id").distinct().count() <= k_cents
+
+    rows = lambda df: {tuple(r) for r in df.collect()}  # noqa: E731
+    served = ivf_pq_topk_from_index(
+        stored, cents_q, cb, emb, queries, "vec_id", "embedding", 64, 4,
+        3, 10, nprobe=k_cents,
+    )
+    brute = pq_adc_topk(emb, queries, cb, "vec_id", "embedding", 64, 4, 3, 10)
+    assert rows(served) == rows(brute)
