@@ -830,18 +830,46 @@ def gopher_quality_flags(df: DataFrame, id_col: str, text_col: str) -> DataFrame
     every stat NULL, every flag condition NULL, otherwise(0) — is
     inverted, so both degenerate forms fail the min-word-count rule.
     """
+    return (
+        df.select(F.col(id_col), *_gopher_quality_base_cols(text_col))
+        .withColumn(
+            "mean_word_len_centi",
+            F.expr("div(100 * total_word_chars, n_words)").cast("bigint"),
+        )
+        .withColumn(
+            "alpha_word_ppm",
+            F.expr("div(1000000 * alpha_words, n_words)").cast("bigint"),
+        )
+        .withColumn("gopher_flags", _gopher_quality_flags_expr().cast("bigint"))
+        .withColumn("keep", F.col("gopher_flags") == 0)
+    )
+
+
+def _gopher_quality_base_cols(text_col: str) -> list[Column]:
+    """The four per-row base statistics of the Gopher quality gate — one
+    fold each over the row's own token array, shared by
+    :func:`gopher_quality_flags` and the fused
+    :func:`gopher_combined_gate` scan."""
     t = tokens(F.coalesce(F.col(text_col), F.lit("")))
-    n_words = F.size(t)
     total_chars = F.aggregate(
         F.transform(t, lambda w: F.length(w)),
         F.lit(0).cast("bigint"),
         lambda acc, x: acc + x,
     )
-    alpha_words = F.size(F.filter(t, lambda w: w.rlike("[A-Za-z]")))
-    stop_hits = _stopword_hits(t, LANG_STOPWORDS["en"])
-    mean_len_centi = F.expr("div(100 * total_word_chars, n_words)")
-    alpha_ppm = F.expr("div(1000000 * alpha_words, n_words)")
-    flags = (
+    return [
+        F.size(t).cast("bigint").alias("n_words"),
+        total_chars.cast("bigint").alias("total_word_chars"),
+        F.size(F.filter(t, lambda w: w.rlike("[A-Za-z]")))
+        .cast("bigint")
+        .alias("alpha_words"),
+        _stopword_hits(t, LANG_STOPWORDS["en"]).cast("bigint").alias("stop_hits"),
+    ]
+
+
+def _gopher_quality_flags_expr() -> Column:
+    """Quality flag bitmask over the named derived columns
+    (``n_words``/``mean_word_len_centi``/``alpha_word_ppm``/``stop_hits``)."""
+    return (
         F.when(
             (F.col("n_words") < GOPHER_MIN_WORDS)
             | (F.col("n_words") > GOPHER_MAX_WORDS),
@@ -858,19 +886,6 @@ def gopher_quality_flags(df: DataFrame, id_col: str, text_col: str) -> DataFrame
         + F.when(F.col("stop_hits") < GOPHER_MIN_STOP_HITS, F.lit(8)).otherwise(
             F.lit(0)
         )
-    )
-    return (
-        df.select(
-            F.col(id_col),
-            n_words.cast("bigint").alias("n_words"),
-            total_chars.cast("bigint").alias("total_word_chars"),
-            alpha_words.cast("bigint").alias("alpha_words"),
-            stop_hits.cast("bigint").alias("stop_hits"),
-        )
-        .withColumn("mean_word_len_centi", mean_len_centi.cast("bigint"))
-        .withColumn("alpha_word_ppm", alpha_ppm.cast("bigint"))
-        .withColumn("gopher_flags", flags.cast("bigint"))
-        .withColumn("keep", F.col("gopher_flags") == 0)
     )
 
 
@@ -1477,6 +1492,25 @@ def gopher_repetition_stats(df: DataFrame, id_col: str, text_col: str) -> DataFr
     dup-line, 2 dup-line-chars, 4 dup-para, 8 dup-para-chars, 16/32/64
     top-2/3/4-gram chars, 128..4096 dup-5..10-gram chars.
     """
+    derived = _gopher_rep_derived(df, id_col, text_col)
+    return derived.withColumn(
+        "rep_flags", _gopher_rep_flags_expr().cast("bigint")
+    ).withColumn("keep", F.col("rep_flags") == 0)
+
+
+def _gopher_rep_derived(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    extra_cols: tuple[Column, ...] = (),
+    extra_names: tuple[str, ...] = (),
+) -> DataFrame:
+    """The repetition gate's arrays -> stats -> ppm chain, shared by
+    :func:`gopher_repetition_stats` and :func:`gopher_combined_gate`.
+    ``extra_cols`` are additional per-row projections computed INSIDE the
+    same cached scan (the fused gate threads the quality base stats
+    through here — that is what makes the combined gate one corpus scan);
+    ``extra_names`` are their aliases, carried through each stage."""
     raw = F.coalesce(F.col(text_col), F.lit(""))
     norm = F.trim(F.regexp_replace(raw, r"\s+", " "))
     # materialize the segment/token ARRAYS once: the metric projection
@@ -1491,6 +1525,7 @@ def gopher_repetition_stats(df: DataFrame, id_col: str, text_col: str) -> DataFr
             F.filter(F.split(raw, "\n\n"), lambda x: x != "").alias("_paras"),
             F.split(norm, " ").alias("_wt"),
             F.length(norm).cast("bigint").alias("den_chars"),
+            *extra_cols,
         )
     )
 
@@ -1524,6 +1559,7 @@ def gopher_repetition_stats(df: DataFrame, id_col: str, text_col: str) -> DataFr
             _dup_gram_chars(grams(n)).alias(f"dup{n}_chars")
             for n in GOPHER_REP_MAX_DUP_NGRAM_CHAR_PPM
         ],
+        *[F.col(c) for c in extra_names],
     )
     # second cache boundary: without it the chained selects below collapse
     # into one projection and alias-substitution re-evaluates every fold
@@ -1545,7 +1581,14 @@ def gopher_repetition_stats(df: DataFrame, id_col: str, text_col: str) -> DataFr
             _ppm_expr(f"dup{n}_chars", "den_chars").alias(f"dup{n}_char_frac_ppm")
             for n in GOPHER_REP_MAX_DUP_NGRAM_CHAR_PPM
         ],
+        *[F.col(c) for c in extra_names],
     )
+    return derived
+
+
+def _gopher_rep_flags_expr() -> Column:
+    """Repetition flag bitmask over the named ppm columns of
+    :func:`_gopher_rep_derived`'s output."""
     flags = (
         F.when(F.col("dup_line_frac_ppm") > GOPHER_REP_MAX_DUP_LINE_PPM, 1)
         .otherwise(0)
@@ -1565,6 +1608,56 @@ def gopher_repetition_stats(df: DataFrame, id_col: str, text_col: str) -> DataFr
     for n, thr in GOPHER_REP_MAX_DUP_NGRAM_CHAR_PPM.items():
         flags = flags + F.when(F.col(f"dup{n}_char_frac_ppm") > thr, bit).otherwise(0)
         bit *= 2
-    return derived.withColumn(
-        "rep_flags", flags.cast("bigint")
-    ).withColumn("keep", F.col("rep_flags") == 0)
+    return flags
+
+
+def gopher_combined_gate(
+    df: DataFrame, id_col: str, text_col: str, carry: tuple[str, ...] = ()
+) -> DataFrame:
+    """The Gopher quality gate AND the Gopher repetition gate fused into
+    ONE corpus scan: the quality base statistics (four folds over the
+    row's token array) are threaded through the repetition chain's cached
+    arrays projection, so the combined keep decision costs one read of
+    the text instead of two scans + a doc_id keep-set join — at 100 TB
+    the text scans dominate the gate stage, so this halves it. Returns
+    ``(id_col, gopher_flags, rep_flags, keep, *carry)`` with keep = both
+    bitmasks zero; every flag formula is the SAME shared expression the
+    standalone graded operators use (:func:`_gopher_quality_flags_expr` /
+    :func:`_gopher_rep_flags_expr`), so keep here ==
+    ``gopher_quality_flags(...).keep AND gopher_repetition_stats(...).keep``
+    row for row (pinned by test).
+
+    ``carry`` names input columns to pass through (e.g. the text itself):
+    a consumer that needs gated ROWS, not just gated ids, carries them
+    here and skips the join back onto the corpus entirely — the id-keyed
+    exchange that join costs at scale never happens."""
+    derived = _gopher_rep_derived(
+        df,
+        id_col,
+        text_col,
+        extra_cols=tuple(_gopher_quality_base_cols(text_col))
+        + tuple(F.col(c) for c in carry),
+        extra_names=(
+            "n_words",
+            "total_word_chars",
+            "alpha_words",
+            "stop_hits",
+            *carry,
+        ),
+    )
+    return (
+        derived.withColumn(
+            "mean_word_len_centi",
+            F.expr("div(100 * total_word_chars, n_words)").cast("bigint"),
+        )
+        .withColumn(
+            "alpha_word_ppm",
+            F.expr("div(1000000 * alpha_words, n_words)").cast("bigint"),
+        )
+        .withColumn("gopher_flags", _gopher_quality_flags_expr().cast("bigint"))
+        .withColumn("rep_flags", _gopher_rep_flags_expr().cast("bigint"))
+        .withColumn(
+            "keep", (F.col("gopher_flags") == 0) & (F.col("rep_flags") == 0)
+        )
+        .select(id_col, "gopher_flags", "rep_flags", "keep", *carry)
+    )

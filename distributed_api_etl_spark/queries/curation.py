@@ -129,36 +129,43 @@ def documents_curation_pipeline(
 
     ``repetition_gate=True`` (the default — GRADED in composition since
     r13, closing VERDICT r12 #5) also applies the Gopher REPETITION rules
-    (operators/text.py:gopher_repetition_stats, graded standalone as
-    documents_gopher_repetition_flags) over the RAW text in the same
-    first-stage scan — another zero-shuffle bitmask AND-ed into the gate;
-    the oracle composes the raw-text variant of the repetition fragment
+    (graded standalone as documents_gopher_repetition_flags) over the RAW
+    text, FUSED with the quality rules into one corpus scan
+    (operators/text.py:gopher_combined_gate — the quality base folds ride
+    the repetition chain's cached arrays projection, so the combined gate
+    costs one text read, no keep-set join); the oracle composes the
+    raw-text variant of the repetition fragment
     (_gopher_repetition_oracle_sql(constructed=False)).
     """
     from distributed_api_etl_spark.operators.graph import dedup_cluster_assignment
     from distributed_api_etl_spark.operators.sampling import leakage_safe_split
     from distributed_api_etl_spark.operators.text import (
+        gopher_combined_gate,
         gopher_quality_flags,
-        gopher_repetition_stats,
     )
     from distributed_api_etl_spark.session import scoped_persist
 
     docs = fan_out(table(spark, sf_dir, "documents"))
     # cheapest gate first; gated feeds BOTH the shingle pass and the
-    # keeper join, so one small cache saves a second parquet scan + gate
-    gate_ids = (
-        gopher_quality_flags(docs, "doc_id", "text").where("keep").select("doc_id")
-    )
+    # keeper join, so one small cache saves a second parquet scan + gate.
+    # With the repetition gate on, BOTH rule families run fused in ONE
+    # text scan (gopher_combined_gate) that CARRIES the text through —
+    # no second scan AND no join back onto the corpus for the gated rows
     if repetition_gate:
-        gate_ids = gate_ids.join(
-            gopher_repetition_stats(docs, "doc_id", "text")
+        gated = scoped_persist(
+            gopher_combined_gate(docs, "doc_id", "text", carry=("text",))
             .where("keep")
-            .select("doc_id"),
-            "doc_id",
+            .select("doc_id", "text")
         )
-    gated = scoped_persist(
-        docs.join(gate_ids, "doc_id").select("doc_id", "text")
-    )
+    else:
+        gate_ids = (
+            gopher_quality_flags(docs, "doc_id", "text")
+            .where("keep")
+            .select("doc_id")
+        )
+        gated = scoped_persist(
+            docs.join(gate_ids, "doc_id").select("doc_id", "text")
+        )
     pairs = D.minhash_lsh_pairs(gated, "doc_id", "text", 3, 70).select("d1", "d2")
     clusters = dedup_cluster_assignment(
         pairs, gated.select("doc_id"), "doc_id", algorithm="two_phase"

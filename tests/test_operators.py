@@ -2355,3 +2355,41 @@ def test_ivf_pq_with_learned_centroids_degenerates_to_brute_adc(spark, tmp_path,
     )
     brute = pq_adc_topk(emb, queries, cb, "vec_id", "embedding", 64, 4, 3, 10)
     assert rows(served) == rows(brute)
+
+
+def test_gopher_combined_gate_is_one_scan_and_equals_standalone_and(spark, sf_dir):
+    """The fused Gopher gate must (a) agree row-for-row with the AND of
+    the two standalone graded operators' keep decisions, and (b) read
+    the corpus text EXACTLY ONCE with no join anywhere in the plan —
+    the property that halves the curation pipeline's gate stage at
+    100 TB."""
+    from distributed_api_etl_spark.operators.text import (
+        gopher_combined_gate,
+        gopher_quality_flags,
+        gopher_repetition_stats,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    comb = {
+        r.doc_id: r.keep
+        for r in gopher_combined_gate(docs, "doc_id", "text").collect()
+    }
+    q = {
+        r.doc_id: r.keep
+        for r in gopher_quality_flags(docs, "doc_id", "text").collect()
+    }
+    rp = {
+        r.doc_id: r.keep
+        for r in gopher_repetition_stats(docs, "doc_id", "text").collect()
+    }
+    assert len(comb) == len(q) == len(rp)
+    assert all(comb[d] == (q[d] and rp[d]) for d in comb)
+
+    plan = (
+        gopher_combined_gate(docs, "doc_id", "text")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("FileScan parquet") == 1, plan
+    assert "Join" not in plan, plan
