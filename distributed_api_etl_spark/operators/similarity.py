@@ -1409,10 +1409,11 @@ def build_ivf_pq_index(
     per iteration); at 100 TB train it on a ``.sample`` — codebook and
     centroid quality degrade gracefully with sample rate, the layout
     contract doesn't change. Pass ``centroids`` (full-precision table,
-    e.g. :func:`kmeans_centroids`) to bucket around learned centroids,
-    and/or ``codebook`` (``(s, code, cw)``, e.g. a pq_train output
-    materialized offline) to skip training and make the whole build one
-    pure ingest scan.
+    e.g. :func:`kmeans_centroids`) to bucket around learned centroids —
+    ``n_centroids`` is then ignored, the table's row count governs (the
+    :func:`build_ivf_int8_index` convention) — and/or ``codebook``
+    (``(s, code, cw)``, e.g. a pq_train output materialized offline) to
+    skip training and make the whole build one pure ingest scan.
     """
     if codebook is None:
         codebook = pq_train(emb, id_col, vec_col, dim, m, k_codes, iters)

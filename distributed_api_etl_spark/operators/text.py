@@ -1630,7 +1630,21 @@ def gopher_combined_gate(
     ``carry`` names input columns to pass through (e.g. the text itself):
     a consumer that needs gated ROWS, not just gated ids, carries them
     here and skips the join back onto the corpus entirely — the id-keyed
-    exchange that join costs at scale never happens."""
+    exchange that join costs at scale never happens. Carried columns ride
+    BOTH internal cache boundaries (DataFrame.persist is
+    MEMORY_AND_DISK, so an executor under pressure spills rather than
+    OOMs) — carry what downstream actually needs, not the whole row."""
+    reserved = {
+        "n_words", "total_word_chars", "alpha_words", "stop_hits",
+        "mean_word_len_centi", "alpha_word_ppm", "gopher_flags",
+        "rep_flags", "keep", "den_chars", "_lines", "_paras", "_wt",
+    }
+    clash = reserved.intersection(carry)
+    if clash:
+        raise ValueError(
+            f"gopher_combined_gate: carry column(s) {sorted(clash)} collide "
+            "with the gate's internal stat names — rename them upstream"
+        )
     derived = _gopher_rep_derived(
         df,
         id_col,
