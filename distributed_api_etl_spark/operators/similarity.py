@@ -1711,3 +1711,90 @@ def ivf_rpq_topk_from_index(
         .select("query_id", "neighbor_id")
     )
     return _exact_rerank(emb, queries, cands, id_col, vec_col, k)
+
+
+#: 32 sign bits per packed word (values stay below 2^32 in a BIGINT —
+#: the portable-bitmap discipline: neither engine shifts past bit 31).
+BINARY_WORD_BITS = 32
+
+
+def binary_quantize(
+    emb: DataFrame, id_col: str, vec_col: str, dim: int
+) -> DataFrame:
+    """Sign-bit (binary) quantization — the 1-bit-per-dimension serving
+    copy (dim/8 bytes: 8 B at dim=64, 32x smaller than int8, 256x than
+    float64): bit j of word w is 1 iff ``v[32w+j] > 0``. Returns
+    ``(id_col, bwords array<bigint>)`` with ``ceil(dim/32)`` packed
+    32-bit words per row — ENTIRELY map-side (one fold per word inside
+    the scan). Candidate scoring is Hamming distance
+    (:func:`binary_hamming_topk`): XOR + popcount per word, the cheapest
+    scan arithmetic any tier offers; for sign-quantized unit vectors
+    Hamming distance is a monotone proxy for angular distance
+    (cos ~ cos(pi * hamming / dim), the SimHash estimate), which is why
+    the tier ranks by it and full-precision rerank restores exact order.
+    """
+    n_words = (dim + BINARY_WORD_BITS - 1) // BINARY_WORD_BITS
+    words = [
+        F.expr(
+            f"aggregate(zip_with(slice({vec_col}, {w * BINARY_WORD_BITS + 1}, "
+            f"{BINARY_WORD_BITS}), sequence(0, {BINARY_WORD_BITS - 1}), "
+            "(x, i) -> IF(CAST(x AS DOUBLE) > 0.0, "
+            "shiftleft(CAST(1 AS BIGINT), i), CAST(0 AS BIGINT))), "
+            "CAST(0 AS BIGINT), (a, b) -> a + b)"
+        ).alias(f"w{w}")
+        for w in range(n_words)
+    ]
+    return emb.select(
+        F.col(id_col), F.array(*words).alias("bwords")
+    )
+
+
+def binary_hamming_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    k: int,
+    k_cand: int,
+) -> DataFrame:
+    """Two-tier binary serving: Hamming candidate generation over the
+    sign-quantized corpus, full-precision rerank — the fourth graded
+    compression axis (int8 width / dim truncation / PQ codes / sign
+    bits). The scanned tier is dim/8 bytes per vector — at dim=64 the
+    SAME 8-byte budget as PQ m=8, making the two graded recall curves
+    the budget-equal rival measurement. Per candidate the score is
+    ``n_words`` XOR+popcounts (integer, order-free, exact on both
+    engines); ties break to the lowest neighbor id. Query-side frames
+    broadcast; the corpus never shuffles.
+    """
+    n_words = (dim + BINARY_WORD_BITS - 1) // BINARY_WORD_BITS
+    bq = binary_quantize(emb, id_col, vec_col, dim)
+    qb = bq.join(F.broadcast(queries.select(id_col)), id_col).select(
+        F.col(id_col).alias("query_id"), F.col("bwords").alias("qwords")
+    )
+    ham = None
+    for w in range(n_words):
+        term = F.expr(
+            f"bit_count(element_at(bwords, {w + 1}) ^ "
+            f"element_at(qwords, {w + 1}))"
+        )
+        ham = term if ham is None else ham + term
+    scored = (
+        bq.select(F.col(id_col).alias("neighbor_id"), "bwords")
+        .join(F.broadcast(qb), F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            ham.cast("bigint").alias("hamming"),
+        )
+    )
+    wc = Window.partitionBy("query_id").orderBy(
+        F.asc("hamming"), F.asc("neighbor_id")
+    )
+    cands = (
+        scored.withColumn("crnk", F.row_number().over(wc))
+        .where(F.col("crnk") <= k_cand)
+        .select("query_id", "neighbor_id")
+    )
+    return _exact_rerank(emb, queries, cands, id_col, vec_col, k)

