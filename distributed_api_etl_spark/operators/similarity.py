@@ -518,6 +518,7 @@ def build_ivf_int8_index(
     n_centroids: int,
     levels: int = 127,
     centroids: DataFrame | None = None,
+    carry_cols: tuple[str, ...] = (),
 ) -> tuple[DataFrame, DataFrame]:
     """The ingest half of the IVF+int8 serving path: (index, centroids).
 
@@ -552,8 +553,19 @@ def build_ivf_int8_index(
     the centroid table is quantized with the same ``levels`` so ingest
     assignment and query-side probing share one representation, and
     ``n_centroids`` is ignored (the table's row count governs).
+
+    ``carry_cols`` names metadata columns of ``emb`` (tenant id, language,
+    label, ...) to store IN the index rows — the layout metadata-filtered
+    search requires: a filter evaluated at serving time must read its
+    column from the index scan itself, because joining a corpus-sized
+    attribute table onto the candidates would re-shuffle what the
+    partitioned layout exists to avoid
+    (:func:`ivf_int8_filtered_topk_from_index` consumes it).
     """
-    quant = quantize_embeddings(emb, id_col, vec_col, levels)
+    _, qvec = _qvec_expr(vec_col, levels)
+    quant = emb.select(
+        F.col(id_col), qvec.alias("qvec"), *[F.col(c) for c in carry_cols]
+    )
     if centroids is None:
         cents = quant.orderBy(F.col(id_col)).limit(n_centroids).select(
             id_col, "qvec"
@@ -563,7 +575,7 @@ def build_ivf_int8_index(
             id_col, "qvec"
         )
     index = ivf_assign(quant, cents, id_col, "qvec").select(
-        id_col, "qvec", "centroid_id"
+        id_col, "qvec", "centroid_id", *[F.col(c) for c in carry_cols]
     )
     return index, cents
 
@@ -743,6 +755,124 @@ def ivf_int8_topk_from_index(
         .where(F.col("rnk") <= k)
         .select("query_id", "neighbor_id", "rnk", F.round("cosine", 6).alias("cosine"))
     )
+
+
+def bruteforce_filtered_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    filter_col: str,
+    k: int,
+) -> DataFrame:
+    """Exact top-k among neighbors whose ``filter_col`` EQUALS the query's
+    own value (the multi-tenant / per-language predicate) — the ground
+    truth for metadata-filtered ANN. Same broadcast-query plan as
+    :func:`bruteforce_topk`; the equality rides the join condition, so
+    non-matching corpus rows are discarded at the scan-side join, never
+    ranked."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        F.col(filter_col).alias("qflt"),
+    )
+    c = emb.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("nv"),
+        F.col(filter_col).alias("nflt"),
+    )
+    scored = c.join(
+        F.broadcast(q),
+        (F.col("query_id") != F.col("neighbor_id"))
+        & (F.col("qflt") == F.col("nflt")),
+    ).withColumn("cosine", cosine_similarity("qv", "nv"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "rnk", F.round("cosine", 6).alias("cosine"))
+    )
+
+
+def ivf_int8_filtered_topk_from_index(
+    index: DataFrame,
+    centroids: DataFrame,
+    emb: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    filter_col: str,
+    k: int,
+    k_cand: int,
+    nprobe: int = 2,
+    prune_partitions: bool = True,
+    levels: int = 127,
+) -> DataFrame:
+    """Metadata-FILTERED serving from a stored IVF+int8 index — the
+    production axis every real vector store exposes (tenant, language,
+    label predicates): per query, rank only candidates whose
+    ``filter_col`` equals the query's own value, then full-precision
+    rerank. ``index`` must carry ``filter_col``
+    (:func:`build_ivf_int8_index` with ``carry_cols``) — the predicate is
+    evaluated on the INDEX SCAN's own columns, never by joining a
+    corpus-sized attribute table onto candidates.
+
+    This is PRE-filter semantics (filter before the ``k_cand`` cut): all
+    ``k_cand`` ADC/int8 survivors already satisfy the predicate, so
+    selectivity costs CANDIDATES, not slots — the alternative (post-filter:
+    cut first, then drop non-matching survivors) silently returns fewer
+    than ``k`` whenever selectivity < k/k_cand. The scale trade the recall
+    head prices: at selectivity ``s``, a probed bucket holds ~``s`` times
+    fewer eligible candidates, so filtered queries need proportionally
+    more probes to reach the same recall — nprobe is the compensating
+    knob, exactly like unfiltered IVF.
+
+    Plan shape is :func:`ivf_int8_topk_from_index` unchanged: probe
+    selection map-side, the bounded probed-bucket collect -> static
+    partition-pruning IN filter, the per-query equality filter riding the
+    broadcast bucket join (no extra exchange anywhere), bounded rerank
+    equi-joins. The corpus never shuffles.
+    """
+    qvecs = quantize_embeddings(
+        emb.join(F.broadcast(queries.select(id_col)), id_col),
+        id_col,
+        vec_col,
+        levels,
+    ).select(id_col, "qvec")
+    probes = ivf_probe_assign(qvecs, centroids, id_col, "qvec", nprobe)
+    qflt = emb.join(F.broadcast(queries.select(id_col)), id_col).select(
+        F.col(id_col).alias("query_id"), F.col(filter_col).alias("qflt")
+    )
+    probes = probes.join(F.broadcast(qflt), "query_id")
+    cand_src = index
+    if prune_partitions:
+        # bounded metadata collect: <= n_queries x nprobe distinct ids
+        probed = sorted(
+            r["centroid_id"]
+            for r in probes.select("centroid_id").distinct().collect()
+        )
+        cand_src = index.where(F.col("centroid_id").isin(probed))
+    cand = cand_src.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col("qvec").alias("nqv"),
+        F.col(filter_col).alias("nflt"),
+        "centroid_id",
+    )
+    qscored = (
+        cand.join(F.broadcast(probes), "centroid_id")
+        .where(
+            (F.col("neighbor_id") != F.col("query_id"))
+            & (F.col("nflt") == F.col("qflt"))
+        )
+        .withColumn("qcos", cosine_similarity("qv", "nqv"))
+    )
+    wc = Window.partitionBy("query_id").orderBy(F.desc("qcos"), F.asc("neighbor_id"))
+    cands = (
+        qscored.withColumn("crnk", F.row_number().over(wc))
+        .where(F.col("crnk") <= k_cand)
+        .select("query_id", "neighbor_id")
+    )
+    return _exact_rerank(emb, queries, cands, id_col, vec_col, k)
 
 
 def kmeans_centroids(

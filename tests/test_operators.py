@@ -2393,3 +2393,73 @@ def test_gopher_combined_gate_is_one_scan_and_equals_standalone_and(spark, sf_di
     )
     assert plan.count("FileScan parquet") == 1, plan
     assert "Join" not in plan, plan
+
+
+def test_filtered_topk_pre_filter_semantics(spark, sf_dir):
+    """Metadata-filtered ANN: every returned neighbor shares the query's
+    label (pre-filter — the predicate applies BEFORE the k_cand cut, so
+    selectivity costs candidates, not top-k slots), the stored-layout
+    serving equals the inline composition, and exhaustive probing
+    recovers the filtered brute-force truth exactly."""
+    from distributed_api_etl_spark.operators.similarity import (
+        build_ivf_int8_index,
+        bruteforce_filtered_topk,
+        ivf_int8_filtered_topk_from_index,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 4).select("vec_id")
+    index, cents = build_ivf_int8_index(
+        emb, "vec_id", "embedding", 8, carry_cols=("label",)
+    )
+    assert "label" in index.columns  # carry_cols stores the predicate column
+
+    served = ivf_int8_filtered_topk_from_index(
+        index, cents, emb, queries, "vec_id", "embedding", "label",
+        3, 10, nprobe=2, prune_partitions=False,
+    )
+    lab = {r.vec_id: r.label for r in emb.select("vec_id", "label").collect()}
+    for r in served.collect():
+        assert lab[r.neighbor_id] == lab[r.query_id], r
+
+    # exhaustive probing == filtered brute truth (the recall ceiling)
+    full = ivf_int8_filtered_topk_from_index(
+        index, cents, emb, queries, "vec_id", "embedding", "label",
+        3, 10**6, nprobe=8, prune_partitions=False,
+    )
+    truth = bruteforce_filtered_topk(
+        emb, emb.join(queries, "vec_id"), "vec_id", "embedding", "label", 3
+    )
+    rows = lambda df: {tuple(r) for r in df.collect()}  # noqa: E731
+    assert rows(full) == rows(truth)
+
+
+def test_filtered_serving_stored_equals_inline(spark, tmp_path, sf_dir):
+    """The filtered index roundtrips through the partitioned layout: the
+    stored, partition-pruned serve returns exactly the in-memory plan's
+    rows (layout invariance, with the label column riding the index
+    files)."""
+    from distributed_api_etl_spark.operators.similarity import (
+        build_ivf_int8_index,
+        ivf_int8_filtered_topk_from_index,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 4).select("vec_id")
+    index, cents = build_ivf_int8_index(
+        emb, "vec_id", "embedding", 8, carry_cols=("label",)
+    )
+    path = str(tmp_path / "ivf_int8_flt_index")
+    index.write.partitionBy("centroid_id").parquet(path)
+    stored = spark.read.parquet(path)
+
+    inline = ivf_int8_filtered_topk_from_index(
+        index, cents, emb, queries, "vec_id", "embedding", "label",
+        3, 10, nprobe=2, prune_partitions=False,
+    )
+    served = ivf_int8_filtered_topk_from_index(
+        stored, cents, emb, queries, "vec_id", "embedding", "label",
+        3, 10, nprobe=2, prune_partitions=True,
+    )
+    rows = lambda df: {tuple(r) for r in df.collect()}  # noqa: E731
+    assert rows(served) == rows(inline)
