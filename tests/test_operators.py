@@ -2463,3 +2463,33 @@ def test_filtered_serving_stored_equals_inline(spark, tmp_path, sf_dir):
     )
     rows = lambda df: {tuple(r) for r in df.collect()}  # noqa: E731
     assert rows(served) == rows(inline)
+
+
+def test_rrf_fuse_semantics(spark):
+    """RRF fusion: exact integer contributions div(1e9, c+rank), absent
+    ranks encoded 0 (schema stays integer end-to-end), both-lists docs
+    beat single-list docs of similar rank, grouped fusion stays within
+    its group."""
+    from distributed_api_etl_spark.operators.similarity import RRF_SCALE, rrf_fuse
+
+    a = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2), (2, 20, 1)], "q int, id bigint, rnk int"
+    )
+    b = spark.createDataFrame(
+        [(1, 11, 1), (1, 12, 2), (2, 21, 1)], "q int, id bigint, rnk int"
+    )
+    out = rrf_fuse(
+        [("a", a), ("b", b)], "id", "rnk", k=3, c=60, group_cols=("q",)
+    )
+    rows = {(r.q, r.id): r for r in out.collect()}
+    # doc 11 is on both lists (ranks 2 and 1) and must out-score doc 10
+    # (rank 1 on one list): 1e9//62 + 1e9//61 > 1e9//61
+    assert rows[(1, 11)].rrf_e9 == RRF_SCALE // 62 + RRF_SCALE // 61
+    assert rows[(1, 11)].fused_rnk == 1
+    assert rows[(1, 10)].rrf_e9 == RRF_SCALE // 61
+    assert rows[(1, 10)].n_lists == 1
+    assert rows[(1, 10)].b_rnk == 0  # absent from list b -> 0, not null
+    assert rows[(1, 10)].a_rnk == 1
+    # group 2 fuses independently
+    assert rows[(2, 20)].fused_rnk in (1, 2) and rows[(2, 21)].fused_rnk in (1, 2)
+    assert all(v is not None for r in rows.values() for v in r)
