@@ -106,3 +106,68 @@ def leakage_safe_split(
         .when(h < train_pct + val_pct, "val")
         .otherwise("test"),
     )
+
+
+def token_budget_sample(
+    df: DataFrame,
+    id_col: str,
+    group_col: str,
+    tokens_col: str,
+    budgets: dict[str, int],
+    default_budget: int = 0,
+    seed: str = "",
+) -> DataFrame:
+    """Per-group TOKEN-budget selection — the enforcement half of data
+    mixing (documents_temperature_mixture computes targets; this picks the
+    actual rows): within each group, keep documents in deterministic hash
+    priority order until the group's token budget is exhausted. A doc is
+    kept iff its RUNNING token total (inclusive) fits the budget — strict
+    prefix-of-priority-order semantics, not bin packing: a later smaller
+    doc never back-fills a gap, so the kept set is a pure function of
+    (ids, token counts, budget) and is stable under any partitioning or
+    engine. ``seed`` reshuffles the priority order per epoch, the
+    shard_assignment convention.
+
+    Budgets are exact: the kept set never exceeds its group's token
+    budget, unlike rate sampling (hash_stratified_sample), which hits a
+    token target only in expectation — use rates when groups are huge and
+    ±1% drift is fine, budgets when the recipe must bound tokens exactly
+    (a contamination-budget cap, a paid-data license cap). Cost: one
+    shuffle keyed by ``group_col`` + a sort within groups (the running
+    sum's window). At 100 TB group cardinality matters: per-DOMAIN
+    budgets (thousands of groups) spread fine; a handful of giant groups
+    serializes each group's prefix scan through one task — for those,
+    pre-aggregate total tokens per group and hash-threshold at rate
+    budget/total instead (approximate but map-side), or sub-bucket the
+    priority order and budget the buckets.
+    """
+    from pyspark.sql import Window
+
+    pri = portable_hash32(
+        F.concat(
+            F.lit(f"{seed}:"), F.col(group_col), F.lit(":"), F.col(id_col).cast("string")
+        )
+    )
+    budget = None
+    for value, b in budgets.items():
+        cond = F.col(group_col) == F.lit(value)
+        budget = F.when(cond, b) if budget is None else budget.when(cond, b)
+    budget = (
+        budget.otherwise(default_budget) if budget is not None
+        else F.lit(default_budget)
+    )
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(pri.asc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum(F.col(tokens_col)).over(w).cast("bigint")
+    return (
+        df.select(
+            F.col(id_col),
+            F.col(group_col),
+            F.col(tokens_col).cast("bigint").alias(tokens_col),
+            cum.alias("cum_tokens"),
+        )
+        .where(F.col("cum_tokens") <= budget)
+    )

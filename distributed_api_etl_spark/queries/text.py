@@ -1825,3 +1825,75 @@ def documents_gopher_repetition_flags(spark: SparkSession, sf_dir: str) -> DataF
     # the text column, re-inlining the HOF build per reference (the
     # measured-4x re-inline trap — see simhash_signatures)
     return TX.gopher_repetition_stats(scoped_persist(b2), "doc_id", "text")
+
+
+TOKEN_BUDGETS = {"en": 2000, "zh": 1200, "es": 800}
+TOKEN_BUDGET_DEFAULT = 500
+TOKEN_BUDGET_SEED = "epoch0"
+
+
+def _token_budget_oracle() -> str:
+    from distributed_api_etl_spark.functions.portable import portable_hash32_sql
+
+    case = " ".join(f"WHEN '{k}' THEN {v}" for k, v in TOKEN_BUDGETS.items())
+    pri = portable_hash32_sql(
+        f"'{TOKEN_BUDGET_SEED}:' || lang || ':' || CAST(doc_id AS VARCHAR)"
+    )
+    return f"""
+    WITH t AS (
+      SELECT doc_id, lang,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             {pri} AS pri
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, lang, n_tokens,
+             CAST(sum(n_tokens) OVER (
+               PARTITION BY lang ORDER BY pri, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS BIGINT) AS cum_tokens
+      FROM t
+    )
+    SELECT doc_id, lang, n_tokens, cum_tokens
+    FROM c
+    WHERE cum_tokens <= CASE lang {case} ELSE {TOKEN_BUDGET_DEFAULT} END
+    """
+
+
+@register(
+    "documents_token_budget_mix",
+    oracle=_token_budget_oracle(),
+    tags=("text", "sampling", "pipeline"),
+)
+def documents_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT token-budget enforcement per language
+    (operators/sampling.py:token_budget_sample) — the missing half of the
+    mixing pair: documents_temperature_mixture computes per-language
+    TARGETS, this head picks the actual documents, in deterministic hash
+    priority order, until each language's token budget is exhausted
+    (running total inclusive — the kept set can never exceed its budget,
+    which rate sampling only promises in expectation). Strict
+    prefix-of-priority-order semantics keep the selection a pure function
+    of (ids, token counts, budgets): reproducible across engines,
+    partitionings, and epochs (the seed string is the epoch knob). One
+    shuffle keyed by lang + the running-sum sort; at 100 TB use per-DOMAIN
+    budgets (thousands of groups) or the hash-threshold approximation for
+    a handful of giant groups — trade-offs in the operator docstring."""
+    from distributed_api_etl_spark.functions.textfns import tokens
+    from distributed_api_etl_spark.operators.sampling import token_budget_sample
+
+    docs = fan_out(table(spark, sf_dir, "documents"))
+    with_tok = docs.select(
+        "doc_id",
+        "lang",
+        F.size(tokens(F.col("text"))).cast("bigint").alias("n_tokens"),
+    )
+    return token_budget_sample(
+        with_tok,
+        "doc_id",
+        "lang",
+        "n_tokens",
+        TOKEN_BUDGETS,
+        TOKEN_BUDGET_DEFAULT,
+        seed=TOKEN_BUDGET_SEED,
+    )

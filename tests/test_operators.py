@@ -2493,3 +2493,38 @@ def test_rrf_fuse_semantics(spark):
     # group 2 fuses independently
     assert rows[(2, 20)].fused_rnk in (1, 2) and rows[(2, 21)].fused_rnk in (1, 2)
     assert all(v is not None for r in rows.values() for v in r)
+
+
+def test_token_budget_sample_exactness(spark):
+    """Token budgets are HARD caps: per group, the kept running total
+    never exceeds the budget, kept docs form a strict prefix of the
+    priority order, and a doc that would cross the boundary is dropped
+    even when a later, smaller doc would have fit (no back-filling —
+    determinism over packing efficiency)."""
+    from distributed_api_etl_spark.operators.sampling import token_budget_sample
+
+    df = spark.createDataFrame(
+        [(i, "g", 10 + i % 3) for i in range(40)]
+        + [(100 + i, "h", 50) for i in range(4)],
+        "doc_id bigint, grp string, n_tokens bigint",
+    )
+    out = token_budget_sample(
+        df, "doc_id", "grp", "n_tokens", {"g": 100, "h": 120}, 0
+    ).collect()
+    by_grp = {}
+    for r in out:
+        by_grp.setdefault(r.grp, []).append(r)
+    assert max(r.cum_tokens for r in by_grp["g"]) <= 100
+    assert max(r.cum_tokens for r in by_grp["h"]) <= 120
+    assert len(by_grp["h"]) == 2  # 50+50 fits, the third 50 crosses 120
+    # prefix property: cum_tokens of the kept set are the running sums of
+    # the kept docs themselves (no gaps — nothing was skipped then resumed)
+    for grp, rows in by_grp.items():
+        rows = sorted(rows, key=lambda r: r.cum_tokens)
+        run = 0
+        for r in rows:
+            run += r.n_tokens
+            assert r.cum_tokens == run, (grp, r)
+    # default budget 0 -> unlisted groups keep nothing
+    df2 = spark.createDataFrame([(1, "x", 5)], "doc_id bigint, grp string, n_tokens bigint")
+    assert token_budget_sample(df2, "doc_id", "grp", "n_tokens", {"g": 10}, 0).count() == 0
