@@ -677,11 +677,24 @@ def ivf_int8_topk_from_index(
     prune_partitions: bool = True,
     levels: int = 127,
     qvecs: DataFrame | None = None,
+    tombstones: DataFrame | None = None,
 ) -> DataFrame:
     """Serve top-k from a STORED IVF+int8 index
     (:func:`build_ivf_int8_index`, written ``partitionBy("centroid_id")``)
     with full-precision rerank — the deployed form of
     :func:`ivf_int8_multiprobe_topk`, identical output.
+
+    ``tombstones`` (a 1-column ``(id_col)`` frame) implements DELETES the
+    way immutable stored layouts actually do: the index files are never
+    rewritten per delete — deleted ids are anti-joined out of the PRUNED
+    candidate scan (broadcast left-anti, riding the same scan the probes
+    already pruned), and the periodic compaction/rebuild is what
+    physically reclaims them. Serving with tombstones is row-identical to
+    serving from an index rebuilt without those rows as long as the
+    deleted ids are not centroid seeds (assignment depends only on
+    (vector, centroid table) — the append==rebuild argument run in
+    reverse; tests assert it). The tombstone set is deletes-since-last-
+    compaction: bounded and broadcastable by operational construction.
 
     With ``prune_partitions`` (default), the bounded probed-bucket set —
     ``<= n_queries x nprobe`` distinct centroid ids, METADATA-bounded
@@ -724,6 +737,10 @@ def ivf_int8_topk_from_index(
             for r in probes.select("centroid_id").distinct().collect()
         )
         cand_src = index.where(F.col("centroid_id").isin(probed))
+    if tombstones is not None:
+        cand_src = cand_src.join(
+            F.broadcast(tombstones.select(id_col)), id_col, "left_anti"
+        )
     cand = cand_src.select(
         F.col(id_col).alias("neighbor_id"),
         F.col("qvec").alias("nqv"),

@@ -2969,3 +2969,109 @@ def ann_knn_graph_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("recall_ppm"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Deletes against the immutable stored index: tombstone-masked serving.
+
+TOMBSTONE_PRED = "vec_id >= 20 AND vec_id % 7 = 3"
+
+
+@register(
+    "ann_serving_with_tombstones",
+    oracle=f"""
+    WITH {_QUANT_CTES},
+    cents AS (SELECT vec_id AS centroid_id, qvec AS cv FROM quant
+              WHERE vec_id < {IVF_CENTROIDS}),
+    assign0 AS (
+      SELECT qn.vec_id, qn.qvec, c.centroid_id,
+             row_number() OVER (PARTITION BY qn.vec_id
+               ORDER BY list_cosine_similarity(CAST(qn.qvec AS DOUBLE[]),
+                                               CAST(c.cv AS DOUBLE[])) DESC,
+                        c.centroid_id) AS arnk
+      FROM quant qn CROSS JOIN cents c
+    ),
+    corpus AS (
+      SELECT vec_id, qvec, centroid_id FROM assign0
+      WHERE arnk = 1 AND NOT ({TOMBSTONE_PRED})
+    ),
+    probes AS (
+      SELECT vec_id AS query_id, qvec AS qq, centroid_id
+      FROM assign0
+      WHERE vec_id >= {IVF_QUERY_LO} AND vec_id < {IVF_QUERY_HI}
+        AND arnk <= {IVF_NPROBE_SERVE}
+    ),
+    qsc AS (
+      SELECT p.query_id, c.vec_id AS neighbor_id,
+             list_cosine_similarity(CAST(p.qq AS DOUBLE[]),
+                                    CAST(c.qvec AS DOUBLE[])) AS qcos
+      FROM corpus c JOIN probes p ON c.centroid_id = p.centroid_id
+                                 AND c.vec_id <> p.query_id
+    ),
+    cand AS (
+      SELECT query_id, neighbor_id
+      FROM (SELECT *, row_number() OVER (
+              PARTITION BY query_id ORDER BY qcos DESC, neighbor_id) AS crnk
+            FROM qsc)
+      WHERE crnk <= {K_CAND_IVF}
+    ),
+    rer AS (
+      SELECT ca.query_id, ca.neighbor_id,
+             list_cosine_similarity(qv.v, nv.v) AS cosine
+      FROM cand ca
+      JOIN vecs qv ON qv.vec_id = ca.query_id
+      JOIN vecs nv ON nv.vec_id = ca.neighbor_id
+    )
+    SELECT query_id, neighbor_id, CAST(rnk AS INTEGER) AS rnk,
+           round(cosine, 6) AS cosine
+    FROM (SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
+          FROM rer)
+    WHERE rnk <= {IVF_K}
+    """,
+    tags=("similarity", "quantization", "sink", "partitioning"),
+)
+def ann_serving_with_tombstones(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DELETES against the immutable stored index, graded end-to-end: the
+    partitioned IVF+int8 layout is never rewritten per delete — deleted
+    ids ({TOMBSTONE_PRED}) are anti-joined out of the PRUNED candidate
+    scan at serve time (broadcast left-anti riding the probe-pruned
+    scan), and compaction is what physically reclaims them later. This is
+    how production vector stores handle the mutation axis the
+    append-ingest heads don't: append == new partitioned files
+    (ann_incremental_ingest_topk), delete == tombstone mask until rebuild
+    (this head), update == delete + append. Serving with the mask is
+    row-identical to serving from an index REBUILT without the deleted
+    rows whenever the deletes spare the centroid seeds (assignment
+    depends only on (vector, centroid table) — the append==rebuild
+    argument in reverse; tests/test_operators.py asserts the equality).
+    The tombstone set is deletes-since-last-compaction — bounded and
+    broadcastable by operational construction."""
+    import os
+    import tempfile
+
+    emb = fan_out(table(spark, sf_dir, "embeddings"))
+    queries = emb.where(
+        (F.col("vec_id") >= IVF_QUERY_LO) & (F.col("vec_id") < IVF_QUERY_HI)
+    ).select("vec_id")
+    tombstones = emb.where(F.expr(TOMBSTONE_PRED)).select("vec_id")
+    index, cents = S.build_ivf_int8_index(emb, "vec_id", "embedding", IVF_CENTROIDS)
+    out = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_ivf_int8_ts_index_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    index.write.mode("overwrite").partitionBy("centroid_id").parquet(out)
+    stored = spark.read.parquet(out)
+    return S.ivf_int8_topk_from_index(
+        stored,
+        cents,
+        emb,
+        queries,
+        "vec_id",
+        "embedding",
+        IVF_K,
+        K_CAND_IVF,
+        nprobe=IVF_NPROBE_SERVE,
+        prune_partitions=True,
+        tombstones=tombstones,
+    )

@@ -2556,3 +2556,38 @@ def test_knn_graph_exhaustive_probing_equals_brute(spark, sf_dir):
     assert rows(g) == rows(truth)
     g2 = knn_graph_bucket(emb, "vec_id", "embedding", 4, 3, nprobe=2)
     assert g2.groupBy("src", "dst").count().where(F.col("count") > 1).count() == 0
+
+
+def test_tombstone_mask_equals_rebuild(spark, sf_dir):
+    """Serving with a tombstone mask == serving from an index REBUILT
+    without the deleted rows, when the deletes spare the centroid seeds
+    (assignment depends only on (vector, centroid table)); and no
+    tombstoned id ever appears as a neighbor."""
+    from distributed_api_etl_spark.operators.similarity import (
+        build_ivf_int8_index,
+        ivf_int8_topk_from_index,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 4).select("vec_id")
+    dead = emb.where((F.col("vec_id") >= 20) & (F.col("vec_id") % 7 == 3))
+    dead_ids = {r.vec_id for r in dead.select("vec_id").collect()}
+
+    index, cents = build_ivf_int8_index(emb, "vec_id", "embedding", 8)
+    masked = ivf_int8_topk_from_index(
+        index, cents, emb, queries, "vec_id", "embedding", 3, 10,
+        nprobe=2, prune_partitions=False, tombstones=dead.select("vec_id"),
+    )
+    alive = emb.join(dead.select("vec_id"), "vec_id", "left_anti")
+    # rebuild WITHOUT the deleted rows but around the SAME centroid table
+    # (the seeds are alive); queries still quantize from the full emb side
+    index2, _ = build_ivf_int8_index(
+        alive, "vec_id", "embedding", 8, centroids=None
+    )
+    rebuilt = ivf_int8_topk_from_index(
+        index2, cents, emb, queries, "vec_id", "embedding", 3, 10,
+        nprobe=2, prune_partitions=False,
+    )
+    rows = lambda df: {tuple(r) for r in df.collect()}  # noqa: E731
+    assert rows(masked) == rows(rebuilt)
+    assert not {r.neighbor_id for r in masked.collect()} & dead_ids
