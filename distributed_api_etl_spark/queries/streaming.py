@@ -533,3 +533,58 @@ def streaming_ann_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
         nprobe=IVF_NPROBE_SERVE,
         prune_partitions=True,
     )
+
+
+def _token_budget_oracle_shared() -> str:
+    from distributed_api_etl_spark.queries.text import _token_budget_oracle
+
+    return _token_budget_oracle()
+
+
+@register(
+    "streaming_token_budget_admission",
+    oracle=_token_budget_oracle_shared(),
+    tags=("streaming", "sampling", "pipeline"),
+)
+def streaming_token_budget_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lifetime token-budget admission as a STATEFUL STREAM
+    (streaming/stateful.py:streaming_token_budget_admission): per-language
+    admitted-token totals live in applyInPandasWithState state, so the
+    budget is a hard cap over every micro-batch the stream will ever see
+    — the continuous-ingest form of documents_token_budget_mix (license /
+    contamination caps that must hold across days of ingest, not per
+    job). A single availableNow batch collapses to the batch operator
+    exactly — same budgets, same priority order, same strict-prefix
+    semantics — so this head shares the batch head's oracle verbatim;
+    cross-batch behavior (arrival order governs between batches, first
+    rejection closes the group) is pinned by
+    tests/test_streaming.py:test_streaming_token_budget_across_batches.
+    State is two scalars per group — O(languages), not O(docs)."""
+    from distributed_api_etl_spark.queries.text import (
+        TOKEN_BUDGET_DEFAULT,
+        TOKEN_BUDGET_SEED,
+        TOKEN_BUDGETS,
+    )
+    from distributed_api_etl_spark.streaming.stateful import (
+        streaming_token_budget_admission as op,
+    )
+
+    stream = _stream_source(spark, sf_dir, "documents")
+    with_tok = stream.select(
+        "doc_id",
+        "lang",
+        F.size(F.split(F.col("text"), " ")).cast("bigint").alias("n_tokens"),
+    )
+    out = op(
+        with_tok,
+        "doc_id",
+        "lang",
+        "n_tokens",
+        TOKEN_BUDGETS,
+        TOKEN_BUDGET_DEFAULT,
+        seed=TOKEN_BUDGET_SEED,
+    )
+    name = _drain_to_memory(out)
+    return spark.table(name).select(
+        "doc_id", F.col("grp").alias("lang"), "n_tokens", "cum_tokens"
+    )

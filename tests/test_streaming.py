@@ -568,3 +568,66 @@ def test_streaming_ivf_pq_index_append_equals_rebuild(spark, sf_dir, tmp_path):
         for r in df.select("vec_id", "codes", "centroid_id").collect()
     }
     assert rows(appended) == rows(rebuilt)
+
+
+def test_streaming_token_budget_across_batches(spark, tmp_path):
+    """The lifetime budget semantics the single-batch oracle can't see:
+    admitted totals persist across micro-batches (batch 2 admissions pay
+    batch 1's usage), and the FIRST rejection closes its group for good —
+    a later, smaller doc is never admitted (the strict-prefix contract of
+    the batch operator extended over arrival order)."""
+    import os
+
+    from distributed_api_etl_spark.streaming.stateful import (
+        streaming_token_budget_admission,
+    )
+
+    src = str(tmp_path / "docs_src")
+    spark.createDataFrame(
+        [(1, "g", 60), (2, "g", 70), (10, "h", 50)],
+        "doc_id bigint, lang string, n_tokens bigint",
+    ).coalesce(1).write.parquet(src)
+    spark.createDataFrame(
+        [(3, "g", 10), (11, "h", 40)],
+        "doc_id bigint, lang string, n_tokens bigint",
+    ).coalesce(1).write.mode("append").parquet(src)
+    # pin batch order: FileStreamSource orders by (mtime, path) — push the
+    # second write's files 10 minutes later so batch 1 is always file 1
+    files = sorted(
+        (os.path.getmtime(os.path.join(src, f)), os.path.join(src, f))
+        for f in os.listdir(src)
+        if f.endswith(".parquet")
+    )
+    later = files[-1][0] + 600
+    os.utime(files[-1][1], (later, later))
+
+    stream = (
+        spark.readStream.schema("doc_id bigint, lang string, n_tokens bigint")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = streaming_token_budget_admission(
+        stream, "doc_id", "lang", "n_tokens", {"g": 100, "h": 100}, 0
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("budget_out")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM budget_out").collect()
+    admitted = {r.doc_id: r for r in rows}
+    # g: exactly one of docs 1/2 fits (60+70 > 100), the rejection closes
+    # the group, so batch 2's tiny doc 3 must NOT be admitted
+    g_docs = {d for d in admitted if admitted[d].grp == "g"}
+    assert len(g_docs) == 1 and g_docs <= {1, 2}
+    assert 3 not in admitted
+    # h: batch 2's doc 11 pays batch 1's 50 used tokens (50 + 40 <= 100)
+    assert 10 in admitted and 11 in admitted
+    assert admitted[11].cum_tokens == 90
+    # lifetime cap holds per group
+    for grp in ("g", "h"):
+        tot = sum(r.n_tokens for r in rows if r.grp == grp)
+        assert tot <= 100
