@@ -544,7 +544,7 @@ def _token_budget_oracle_shared() -> str:
 @register(
     "streaming_token_budget_admission",
     oracle=_token_budget_oracle_shared(),
-    tags=("streaming", "sampling", "pipeline"),
+    tags=("streaming", "sampling"),
 )
 def streaming_token_budget_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lifetime token-budget admission as a STATEFUL STREAM

@@ -194,6 +194,11 @@ STREAMING_PLAN_SPECS = {
     ),
     "streaming_click_purchase_left_outer": (["StreamingSymmetricHashJoin"], []),
     "streaming_hll_user_cardinality": (["FlatMapGroupsInPandasWithState"], []),
+    # lifetime budget admission: two scalars of state per group, no joins
+    "streaming_token_budget_admission": (
+        ["FlatMapGroupsInPandasWithState"],
+        ["StreamingSymmetricHashJoin"],
+    ),
     # streaming index maintenance is STATELESS by design (per-row
     # assignment against frozen broadcast centroids inside foreachBatch);
     # the micro-batch plan must show the ingest-split filter PUSHED into
