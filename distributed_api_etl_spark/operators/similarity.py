@@ -2081,3 +2081,118 @@ def knn_graph_bucket(
         .where(F.col("rnk") <= k)
         .select("src", "dst", "rnk", F.round("cosine", 6).alias("cosine"))
     )
+
+
+def mmr_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    k_cand: int,
+    lambda_milli: int = 700,
+) -> DataFrame:
+    """Maximal Marginal Relevance (Carbonell & Goldstein, SIGIR'98)
+    diversity rerank: greedily select ``k`` of the top-``k_cand``
+    candidates, each step taking the candidate maximizing
+    ``lambda * rel(q, d) - (1 - lambda) * max_{s in selected} sim(d, s)``
+    — relevance traded against redundancy, the standard answer to "the
+    top-k are five copies of the same document" in retrieval AND in
+    training-data selection (pick relevant-but-diverse exemplars).
+
+    Exactness discipline: relevance and pairwise similarity are e6
+    fixed-point integers (``floor(cosine * 1e6 + 0.5)``, the
+    portable_round6 pattern), the step score is the integer
+    ``lambda_milli * rel_e6 - (1000 - lambda_milli) * sim_e6`` (the /1000
+    normalization is monotone, so it is never applied), ties break to
+    the lowest id — the greedy trajectory is engine-reproducible, which
+    is what lets the DuckDB oracle replay it step for step.
+
+    MMR is inherently SEQUENTIAL in k; the scale story is that every
+    step's work is bounded: the candidate frame is n_queries x k_cand
+    rows, the pairwise sim frame n_queries x k_cand^2 (both persisted
+    once, reused every step), and each of the k steps is one keyed max
+    (max_by, map-side combinable) plus broadcast anti/equi joins of
+    picked ids — no corpus access after candidate generation, no window
+    over anything larger than the candidate set. Candidate generation
+    itself is the shared broadcast-query brute tier; swap in any graded
+    serving path (stored IVF+int8, PQ) at 100 TB — MMR only needs
+    (query_id, id, vec, rel) rows.
+    """
+    q = emb.join(F.broadcast(queries.select(id_col)), id_col).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    c = emb.select(F.col(id_col).alias("d"), F.col(vec_col).alias("dv"))
+    rel_e6 = F.floor(
+        cosine_similarity("qv", "dv") * F.expr("1e6") + F.lit(0.5)
+    ).cast("bigint")
+    scored = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("d"))
+        .select("query_id", "d", "dv", rel_e6.alias("rel_e6"))
+    )
+    wc = Window.partitionBy("query_id").orderBy(F.desc("rel_e6"), F.asc("d"))
+    cands = scoped_persist(
+        scored.withColumn("crnk", F.row_number().over(wc))
+        .where(F.col("crnk") <= k_cand)
+        .drop("crnk")
+    )
+    c1 = cands.select("query_id", F.col("d").alias("d1"), F.col("dv").alias("v1"))
+    c2 = cands.select("query_id", F.col("d").alias("d2"), F.col("dv").alias("v2"))
+    sim_e6 = F.floor(
+        cosine_similarity("v1", "v2") * F.expr("1e6") + F.lit(0.5)
+    ).cast("bigint")
+    sims = scoped_persist(
+        c1.join(c2, "query_id")
+        .where(F.col("d1") != F.col("d2"))
+        .select("query_id", "d1", "d2", sim_e6.alias("sim_e6"))
+    )
+    neg_d = (-F.col("d")).cast("bigint")
+    picks = (
+        cands.groupBy("query_id")
+        .agg(F.max_by(F.col("d"), F.struct(F.col("rel_e6"), neg_d)).alias("p"))
+        .select("query_id", "p", F.lit(1).cast("int").alias("rnk"))
+    )
+    all_picks = picks
+    lam, mu = lambda_milli, 1000 - lambda_milli
+    for step in range(2, k + 1):
+        rem = cands.join(
+            F.broadcast(all_picks.select("query_id", F.col("p").alias("d"))),
+            ["query_id", "d"],
+            "left_anti",
+        )
+        maxsim = (
+            sims.join(
+                F.broadcast(all_picks.select("query_id", F.col("p").alias("d2"))),
+                ["query_id", "d2"],
+            )
+            .groupBy("query_id", "d1")
+            .agg(F.max("sim_e6").alias("maxsim_e6"))
+        )
+        scored_step = rem.join(
+            maxsim,
+            (rem["query_id"] == maxsim["query_id"]) & (rem["d"] == maxsim["d1"]),
+        ).select(
+            rem["query_id"],
+            "d",
+            (F.lit(lam) * F.col("rel_e6") - F.lit(mu) * F.col("maxsim_e6")).alias(
+                "score"
+            ),
+        )
+        new = (
+            scored_step.groupBy("query_id")
+            .agg(F.max_by(F.col("d"), F.struct(F.col("score"), neg_d)).alias("p"))
+            .select("query_id", "p", F.lit(step).cast("int").alias("rnk"))
+        )
+        all_picks = all_picks.unionByName(new)
+    return (
+        all_picks.join(
+            cands.select("query_id", F.col("d").alias("p"), "rel_e6"),
+            ["query_id", "p"],
+        )
+        .select(
+            "query_id",
+            F.col("p").alias("neighbor_id"),
+            "rnk",
+            (F.col("rel_e6").cast("double") / F.expr("1e6")).alias("rel_cos"),
+        )
+    )

@@ -3075,3 +3075,113 @@ def ann_serving_with_tombstones(spark: SparkSession, sf_dir: str) -> DataFrame:
         prune_partitions=True,
         tombstones=tombstones,
     )
+
+
+# ---------------------------------------------------------------------------
+# MMR diversity rerank — greedy, engine-replayable in integer fixed-point.
+
+MMR_K = 5
+MMR_K_CAND = 15
+MMR_LAMBDA_MILLI = 700
+
+
+def _mmr_oracle_sql() -> str:
+    """The greedy MMR trajectory replayed step for step: k-1 unrolled step
+    CTEs (no recursion — k is a compile-time constant, the NPROBE_SWEEP
+    unrolling discipline), every score an exact integer."""
+    lam, mu = MMR_LAMBDA_MILLI, 1000 - MMR_LAMBDA_MILLI
+    steps = []
+    for i in range(2, MMR_K + 1):
+        prev = i - 1
+        steps.append(
+            f"""
+    ms{i} AS (
+      SELECT s.query_id, s.d1 AS d, max(s.sim_e6) AS maxsim
+      FROM sims s JOIN picked{prev} pk
+        ON s.query_id = pk.query_id AND s.d2 = pk.p
+      WHERE NOT EXISTS (SELECT 1 FROM picked{prev} x
+                        WHERE x.query_id = s.query_id AND x.p = s.d1)
+      GROUP BY s.query_id, s.d1
+    ),
+    sel{i} AS (
+      SELECT query_id, d AS p, {i} AS rnk
+      FROM (SELECT m.query_id, m.d,
+                   row_number() OVER (PARTITION BY m.query_id
+                     ORDER BY ({lam} * c.rel_e6 - {mu} * m.maxsim) DESC, m.d
+                   ) AS rn
+            FROM ms{i} m JOIN cand c
+              ON c.query_id = m.query_id AND c.d = m.d)
+      WHERE rn = 1
+    ),
+    picked{i} AS (SELECT query_id, p FROM picked{prev}
+                  UNION ALL SELECT query_id, p FROM sel{i})"""
+        )
+    union = " UNION ALL ".join(
+        f"SELECT query_id, p, rnk FROM sel{i}" for i in range(1, MMR_K + 1)
+    )
+    return f"""
+    WITH vecs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM vecs WHERE vec_id < {N_QUERIES}),
+    scored AS (
+      SELECT q.query_id, c.vec_id AS d,
+             CAST(floor(list_cosine_similarity(q.qv, c.v) * 1e6 + 0.5)
+                  AS BIGINT) AS rel_e6
+      FROM vecs c CROSS JOIN q
+      WHERE c.vec_id <> q.query_id
+    ),
+    cand AS (
+      SELECT query_id, d, rel_e6
+      FROM (SELECT *, row_number() OVER (
+              PARTITION BY query_id ORDER BY rel_e6 DESC, d) AS crnk
+            FROM scored)
+      WHERE crnk <= {MMR_K_CAND}
+    ),
+    sims AS (
+      SELECT a.query_id, a.d AS d1, b.d AS d2,
+             CAST(floor(list_cosine_similarity(av.v, bv.v) * 1e6 + 0.5)
+                  AS BIGINT) AS sim_e6
+      FROM cand a JOIN cand b ON a.query_id = b.query_id AND a.d <> b.d
+      JOIN vecs av ON av.vec_id = a.d
+      JOIN vecs bv ON bv.vec_id = b.d
+    ),
+    sel1 AS (
+      SELECT query_id, d AS p, 1 AS rnk
+      FROM (SELECT *, row_number() OVER (
+              PARTITION BY query_id ORDER BY rel_e6 DESC, d) AS rn
+            FROM cand)
+      WHERE rn = 1
+    ),
+    picked1 AS (SELECT query_id, p FROM sel1),{','.join(steps)},
+    allsel AS ({union})
+    SELECT s.query_id, s.p AS neighbor_id, CAST(s.rnk AS INTEGER) AS rnk,
+           CAST(c.rel_e6 AS DOUBLE) / 1e6 AS rel_cos
+    FROM allsel s JOIN cand c ON c.query_id = s.query_id AND c.d = s.p
+    """
+
+
+@register(
+    "ann_mmr_diversity_topk",
+    oracle=_mmr_oracle_sql(),
+    tags=("similarity", "eval", "retrieval"),
+)
+def ann_mmr_diversity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance diversity rerank graded end-to-end
+    (operators/similarity.py:mmr_topk): top-{MMR_K} of the top-{MMR_K_CAND}
+    candidates selected greedily by
+    lambda*rel - (1-lambda)*max-sim-to-selected (lambda=0.7) — the
+    standard redundancy killer for retrieval results and
+    diverse-exemplar selection in training-data pipelines. The whole
+    trajectory runs in e6 integer fixed-point with lowest-id ties, so the
+    DuckDB oracle replays the greedy selection STEP FOR STEP (unrolled
+    CTEs, one per step — no recursion, k is a constant). Spark-side, MMR
+    is k chained bounded operations: per step one map-side-combinable
+    max_by over n_queries x k_cand rows plus broadcast joins of picked
+    ids — no Python in the loop, no corpus access after candidate
+    generation, candidate + pairwise-sim frames persisted once and
+    reused by every step."""
+    emb = fan_out(table(spark, sf_dir, "embeddings"))
+    queries = emb.where(F.col("vec_id") < N_QUERIES).select("vec_id")
+    return S.mmr_topk(
+        emb, queries, "vec_id", "embedding", MMR_K, MMR_K_CAND,
+        lambda_milli=MMR_LAMBDA_MILLI,
+    )

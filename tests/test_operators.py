@@ -2591,3 +2591,33 @@ def test_tombstone_mask_equals_rebuild(spark, sf_dir):
     rows = lambda df: {tuple(r) for r in df.collect()}  # noqa: E731
     assert rows(masked) == rows(rebuilt)
     assert not {r.neighbor_id for r in masked.collect()} & dead_ids
+
+
+def test_mmr_trades_relevance_for_diversity(spark):
+    """MMR semantics on a constructed set: two near-identical highly
+    relevant docs and one slightly-less-relevant diverse doc — pure top-2
+    takes the twins; MMR at lambda=0.5 takes one twin then the diverse
+    doc (the twin's redundancy penalty ~1.0 outweighs its relevance
+    edge). Lambda=1000 degenerates to pure relevance ranking."""
+    from distributed_api_etl_spark.operators.similarity import mmr_topk
+
+    # query q points along x; twins a,b ~ x (mutual cosine ~0.99995);
+    # c keeps rel ~0.95 but its off-axis component is orthogonal to the
+    # twins' (cos(a,c) ~0.945)
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),            # query
+        (1, [0.99, 0.10, 0.0, 0.0]),          # twin a
+        (2, [0.99, 0.11, 0.0, 0.0]),          # twin b (near-duplicate of a)
+        (3, [0.95, 0.0, 0.3122, 0.0]),        # relevant AND diverse
+    ]
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    queries = emb.where(F.col("vec_id") == 0).select("vec_id")
+    out = {r.rnk: r.neighbor_id for r in mmr_topk(
+        emb, queries, "vec_id", "embedding", 2, 3, lambda_milli=500
+    ).collect()}
+    assert out[1] == 1          # most relevant twin first
+    assert out[2] == 3          # diversity beats the redundant twin
+    pure = {r.rnk: r.neighbor_id for r in mmr_topk(
+        emb, queries, "vec_id", "embedding", 2, 3, lambda_milli=1000
+    ).collect()}
+    assert pure == {1: 1, 2: 2}  # lambda=1 == relevance order

@@ -76,6 +76,7 @@ ALLOW_BNLJ = {
     "ann_binary_hamming_recall_at_k": "bounded broadcast query-word side (sign-bit Hamming tier per k_cand) + the labeled exact ground-truth tier; rerank joins are broadcast equi-joins",
     "ann_multiprobe_recall_at_k": "bounded broadcast centroid/query sides per nprobe tier + the same labeled exact ground-truth tier as ann_recall_at_k",
     "ann_knn_graph_recall": "1-row broadcast centroid-array assignment + the labeled exact all-pairs ground-truth tier (graded-scale audit panel only); the graph build itself is a bucket equi self-join",
+    "ann_mmr_diversity_topk": "bounded broadcast query side (candidate generation tier); every MMR step is a keyed max + broadcast joins of picked ids over the n_queries x k_cand candidate frame",
     "ann_filtered_recall_at_k": "1-row broadcast centroid-array sides (index build, query probe_assign) + the labeled FILTERED exact ground-truth tier (bruteforce_filtered_topk: bounded broadcast query side, label equality riding the join); serving joins are broadcast equi-joins",
     "ann_ivf_filtered_serving_topk": "1-row broadcast centroid-array probe assignment (the ann_index_serving_roundtrip shape); every serving join over the stored partitioned index — including the per-query label-equality filter riding the bucket equi-join — is a broadcast equi-join",
     "documents_hybrid_rrf_topk": "1-row corpus-stats scalar (BM25 tier) + bounded broadcast 1-query vector side (labeled brute cosine tier); fusion itself unions two bounded top-k lists",
