@@ -2483,6 +2483,9 @@ def _filtered_serving_oracle_sql() -> str:
 @register(
     "ann_ivf_filtered_serving_topk",
     oracle=_filtered_serving_oracle_sql(),
+    # bench head (r13): wall-time evidence for the metadata-filtered
+    # stored-serving path — index write + pruned probe + predicate + rerank
+    bench=True,
     tags=("similarity", "quantization", "sink", "partitioning"),
 )
 def ann_ivf_filtered_serving_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
