@@ -3188,3 +3188,142 @@ def ann_mmr_diversity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, queries, "vec_id", "embedding", MMR_K, MMR_K_CAND,
         lambda_milli=MMR_LAMBDA_MILLI,
     )
+
+
+# ---------------------------------------------------------------------------
+# Upsert = tombstone the old version + append the new one: the full
+# mutation story against the immutable layout, graded end-to-end.
+
+UPSERT_PRED = "vec_id >= 20 AND vec_id % 11 = 5"
+
+
+@register(
+    "ann_upsert_serving",
+    oracle=f"""
+    WITH raw AS (
+      SELECT vec_id,
+             CASE WHEN {UPSERT_PRED}
+                  THEN list_transform(CAST(embedding AS DOUBLE[]), x -> -x)
+                  ELSE CAST(embedding AS DOUBLE[]) END AS v
+      FROM embeddings
+    ),
+    vecs AS (SELECT vec_id, v FROM raw),
+    qt AS (
+      SELECT vec_id,
+             CASE WHEN list_max(list_transform(v, x -> abs(x))) > 0
+                  THEN list_max(list_transform(v, x -> abs(x))) / 127
+                  ELSE 1.0 END AS scale,
+             v
+      FROM vecs
+    ),
+    quant AS (
+      SELECT vec_id, list_transform(v, x -> CAST(round(x / scale) AS INTEGER)) AS qvec
+      FROM qt
+    ),
+    cents AS (SELECT vec_id AS centroid_id, qvec AS cv FROM quant
+              WHERE vec_id < {IVF_CENTROIDS}),
+    assign0 AS (
+      SELECT qn.vec_id, qn.qvec, c.centroid_id,
+             row_number() OVER (PARTITION BY qn.vec_id
+               ORDER BY list_cosine_similarity(CAST(qn.qvec AS DOUBLE[]),
+                                               CAST(c.cv AS DOUBLE[])) DESC,
+                        c.centroid_id) AS arnk
+      FROM quant qn CROSS JOIN cents c
+    ),
+    corpus AS (SELECT vec_id, qvec, centroid_id FROM assign0 WHERE arnk = 1),
+    probes AS (
+      SELECT vec_id AS query_id, qvec AS qq, centroid_id
+      FROM assign0
+      WHERE vec_id >= {IVF_QUERY_LO} AND vec_id < {IVF_QUERY_HI}
+        AND arnk <= {IVF_NPROBE_SERVE}
+    ),
+    qsc AS (
+      SELECT p.query_id, c.vec_id AS neighbor_id,
+             list_cosine_similarity(CAST(p.qq AS DOUBLE[]),
+                                    CAST(c.qvec AS DOUBLE[])) AS qcos
+      FROM corpus c JOIN probes p ON c.centroid_id = p.centroid_id
+                                 AND c.vec_id <> p.query_id
+    ),
+    cand AS (
+      SELECT query_id, neighbor_id
+      FROM (SELECT *, row_number() OVER (
+              PARTITION BY query_id ORDER BY qcos DESC, neighbor_id) AS crnk
+            FROM qsc)
+      WHERE crnk <= {K_CAND_IVF}
+    ),
+    rer AS (
+      SELECT ca.query_id, ca.neighbor_id,
+             list_cosine_similarity(qv.v, nv.v) AS cosine
+      FROM cand ca
+      JOIN vecs qv ON qv.vec_id = ca.query_id
+      JOIN vecs nv ON nv.vec_id = ca.neighbor_id
+    )
+    SELECT query_id, neighbor_id, CAST(rnk AS INTEGER) AS rnk,
+           round(cosine, 6) AS cosine
+    FROM (SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
+          FROM rer)
+    WHERE rnk <= {IVF_K}
+    """,
+    tags=("similarity", "quantization", "sink", "partitioning"),
+)
+def ann_upsert_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UPDATE = delete + append, graded end-to-end against the immutable
+    stored layout: rows matching {UPSERT_PRED} get a new vector version
+    (deterministically: the negated embedding), the STORED base index is
+    never rewritten — the old versions are tombstone-masked out of the
+    pruned scan (broadcast left-anti) and the re-encoded batch
+    (operators/similarity.py:assign_to_ivf_int8_index against the FROZEN
+    centroids) is unioned in, exactly the segment-plus-deletes layout
+    production stores serve between compactions. The oracle recomputes
+    the whole serve from the UPDATED corpus directly, so the grade
+    asserts upsert == rebuild-with-new-vectors (assignment is a pure
+    function of (vector, centroid table); the updated ids spare the
+    centroid seeds). One query id (104) is itself updated — its probes
+    and rerank run against its NEW vector, pinning that the query side
+    reads the updated corpus too. Completes the graded mutation
+    trilogy: append (ann_incremental_ingest_topk), delete
+    (ann_serving_with_tombstones), update (this)."""
+    import os
+    import tempfile
+
+    emb = fan_out(table(spark, sf_dir, "embeddings"))
+    emb_upd = emb.select(
+        "vec_id",
+        F.when(
+            F.expr(UPSERT_PRED),
+            F.transform(F.col("embedding"), lambda x: -x.cast("double")),
+        )
+        .otherwise(F.transform(F.col("embedding"), lambda x: x.cast("double")))
+        .alias("embedding"),
+    )
+    queries = emb.where(
+        (F.col("vec_id") >= IVF_QUERY_LO) & (F.col("vec_id") < IVF_QUERY_HI)
+    ).select("vec_id")
+    changed = emb_upd.where(F.expr(UPSERT_PRED))
+    index, cents = S.build_ivf_int8_index(emb, "vec_id", "embedding", IVF_CENTROIDS)
+    out = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_ivf_int8_ups_index_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    index.write.mode("overwrite").partitionBy("centroid_id").parquet(out)
+    stored = spark.read.parquet(out)
+    masked = stored.join(
+        F.broadcast(changed.select("vec_id")), "vec_id", "left_anti"
+    )
+    appended = S.assign_to_ivf_int8_index(changed, cents, "vec_id", "embedding")
+    live = masked.unionByName(appended.select(*masked.columns))
+    return S.ivf_int8_topk_from_index(
+        live,
+        cents,
+        emb_upd,
+        queries,
+        "vec_id",
+        "embedding",
+        IVF_K,
+        K_CAND_IVF,
+        nprobe=IVF_NPROBE_SERVE,
+        # the probed-bucket IN filter pushes through the union onto the
+        # stored branch's partitioned scan; the appended batch is in-plan
+        prune_partitions=True,
+    )

@@ -65,6 +65,7 @@ ALLOW_BNLJ = {
     "ann_rerank_depth_recall_at_k": "bounded broadcast query side (int8 linear-scan tier per k_cand) + the labeled exact ground-truth tier",
     "ann_index_serving_roundtrip": "1-row broadcast centroid-array probe assignment; every serving join over the stored partitioned index is a broadcast equi-join",
     "ann_serving_with_tombstones": "1-row broadcast centroid-array probe assignment; serving joins are broadcast equi-joins and the tombstone mask is a broadcast left-anti equi-join on the pruned scan",
+    "ann_upsert_serving": "1-row broadcast centroid-array sides (base build, batch re-encode, query probe_assign); the old-version mask is a broadcast left-anti equi-join and every serving join over the masked-union index is a broadcast equi-join",
     "ann_incremental_ingest_topk": "1-row broadcast centroid-array sides (batch-2 ivf_assign + query probe_assign); serving joins over the appended partitioned index are broadcast equi-joins",
     "ann_kmeans_int8_index_topk": "1-row broadcast centroid-array sides (Lloyd's per-iteration assignment, index build, query probe_assign); serving joins are broadcast equi-joins",
     "ann_dim_truncation_recall_at_k": "bounded broadcast query side (truncated-scan tier per dim) + the labeled exact ground-truth tier",
