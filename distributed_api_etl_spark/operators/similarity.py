@@ -562,6 +562,15 @@ def build_ivf_int8_index(
     partitioned layout exists to avoid
     (:func:`ivf_int8_filtered_topk_from_index` consumes it).
     """
+    reserved = {"qvec", "centroid_id", id_col}
+    bad = reserved.intersection(carry_cols)
+    if bad:
+        # silently shadowing the index's own columns would corrupt the
+        # layout (the fused-gate carry guard, applied to the index build)
+        raise ValueError(
+            f"build_ivf_int8_index: carry_cols {sorted(bad)} collide with "
+            "index columns (qvec / centroid_id / the id column)"
+        )
     _, qvec = _qvec_expr(vec_col, levels)
     quant = emb.select(
         F.col(id_col), qvec.alias("qvec"), *[F.col(c) for c in carry_cols]

@@ -2621,3 +2621,15 @@ def test_mmr_trades_relevance_for_diversity(spark):
         emb, queries, "vec_id", "embedding", 2, 3, lambda_milli=1000
     ).collect()}
     assert pure == {1: 1, 2: 2}  # lambda=1 == relevance order
+
+
+def test_index_carry_cols_collision_guard(spark, sf_dir):
+    import pytest as _pytest
+
+    from distributed_api_etl_spark.operators.similarity import build_ivf_int8_index
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    with _pytest.raises(ValueError, match="carry_cols"):
+        build_ivf_int8_index(
+            emb, "vec_id", "embedding", 8, carry_cols=("centroid_id",)
+        )
