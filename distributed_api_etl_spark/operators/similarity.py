@@ -1543,6 +1543,7 @@ def build_ivf_pq_index(
     levels: int = 127,
     centroids: DataFrame | None = None,
     codebook: DataFrame | None = None,
+    carry_cols: tuple[str, ...] = (),
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """The ingest half of IVF-PQ — the layout production vector stores
     (FAISS ``IVF*,PQ*``) actually deploy at 100 TB: returns
@@ -1570,7 +1571,15 @@ def build_ivf_pq_index(
     :func:`build_ivf_int8_index` convention) — and/or ``codebook``
     (``(s, code, cw)``, e.g. a pq_train output materialized offline) to
     skip training and make the whole build one pure ingest scan.
+    ``carry_cols`` stores metadata columns in the index rows for
+    filtered serving (the :func:`build_ivf_int8_index` contract).
     """
+    bad = {"codes", "centroid_id", id_col}.intersection(carry_cols)
+    if bad:
+        raise ValueError(
+            f"build_ivf_pq_index: carry_cols {sorted(bad)} collide with "
+            "index columns (codes / centroid_id / the id column)"
+        )
     if codebook is None:
         codebook = pq_train(emb, id_col, vec_col, dim, m, k_codes, iters)
     quant = quantize_embeddings(emb, id_col, vec_col, levels)
@@ -1583,10 +1592,21 @@ def build_ivf_pq_index(
             id_col, "qvec"
         )
     _, qvec = _qvec_expr(vec_col, levels)
-    withq = emb.select(F.col(id_col), F.col(vec_col), qvec.alias("qvec"))
+    withq = emb.select(
+        F.col(id_col),
+        F.col(vec_col),
+        qvec.alias("qvec"),
+        *[F.col(c) for c in carry_cols],
+    )
     assigned = ivf_assign(withq, cents, id_col, "qvec")
     index = pq_encode(
-        assigned, codebook, id_col, vec_col, dim, m, extra_cols=("centroid_id",)
+        assigned,
+        codebook,
+        id_col,
+        vec_col,
+        dim,
+        m,
+        extra_cols=("centroid_id", *carry_cols),
     )
     return index, cents, codebook
 
@@ -1606,6 +1626,7 @@ def ivf_pq_topk_from_index(
     nprobe: int = 2,
     prune_partitions: bool = True,
     levels: int = 127,
+    filter_col: str | None = None,
 ) -> DataFrame:
     """Serve top-k from a STORED IVF-PQ index
     (:func:`build_ivf_pq_index`, written ``partitionBy("centroid_id")``)
@@ -1632,6 +1653,12 @@ def ivf_pq_topk_from_index(
     lost only to bucket pruning (not probed) or ADC distortion (dropped
     below ``k_cand``) — exactly the two axes the graded recall head
     sweeps.
+
+    ``filter_col`` enables metadata-filtered serving: the index must
+    carry the column (:func:`build_ivf_pq_index` ``carry_cols``) and
+    only candidates whose value EQUALS the query's own are ADC-scored —
+    pre-filter semantics riding the bucket equi-join, the
+    :func:`ivf_int8_filtered_topk_from_index` contract on the PQ copy.
     """
     qvecs = quantize_embeddings(
         emb.join(F.broadcast(queries.select(id_col)), id_col),
@@ -1642,6 +1669,11 @@ def ivf_pq_topk_from_index(
     probes = ivf_probe_assign(qvecs, centroids, id_col, "qvec", nprobe).select(
         "query_id", "centroid_id"
     )
+    if filter_col is not None:
+        qflt = emb.join(F.broadcast(queries.select(id_col)), id_col).select(
+            F.col(id_col).alias("query_id"), F.col(filter_col).alias("qflt")
+        )
+        probes = probes.join(F.broadcast(qflt), "query_id")
     cand_src = index
     if prune_partitions:
         # bounded metadata collect: <= n_queries x nprobe distinct ids
@@ -1651,13 +1683,18 @@ def ivf_pq_topk_from_index(
         )
         cand_src = index.where(F.col("centroid_id").isin(probed))
     luts = _pq_luts(emb, queries, codebook, id_col, vec_col, dim, m)
+    flt_cols = [F.col(filter_col).alias("nflt")] if filter_col is not None else []
     scored = (
         cand_src.select(
-            F.col(id_col).alias("neighbor_id"), "codes", "centroid_id"
+            F.col(id_col).alias("neighbor_id"), "codes", "centroid_id", *flt_cols
         )
         .join(F.broadcast(probes), "centroid_id")
         .where(F.col("neighbor_id") != F.col("query_id"))
-        .join(F.broadcast(luts), "query_id")
+    )
+    if filter_col is not None:
+        scored = scored.where(F.col("nflt") == F.col("qflt"))
+    scored = (
+        scored.join(F.broadcast(luts), "query_id")
         .select("query_id", "neighbor_id", _adc_sum(m).alias("adc"))
     )
     wc = Window.partitionBy("query_id").orderBy(F.desc("adc"), F.asc("neighbor_id"))

@@ -3327,3 +3327,117 @@ def ann_upsert_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
         # stored branch's partitioned scan; the appended batch is in-plan
         prune_partitions=True,
     )
+
+
+def _pq_filtered_oracle_sql() -> str:
+    """The stored IVF-PQ serve replayed with the label predicate: the
+    composed-head oracle (quant bucketing + PQ train/encode + LUT ADC +
+    rerank) with candidates restricted to the query's own label before
+    the k_cand cut."""
+    d = PQ_SUBDIM
+    return f"""
+    WITH {_QUANT_CTES},
+    lab AS (SELECT vec_id, label FROM embeddings),
+    cents AS (SELECT vec_id AS centroid_id, qvec AS cv FROM quant
+              WHERE vec_id < {IVF_CENTROIDS}),
+    assign0 AS (
+      SELECT qn.vec_id, qn.qvec, c.centroid_id,
+             row_number() OVER (PARTITION BY qn.vec_id
+               ORDER BY list_cosine_similarity(CAST(qn.qvec AS DOUBLE[]),
+                                               CAST(c.cv AS DOUBLE[])) DESC,
+                        c.centroid_id) AS arnk
+      FROM quant qn CROSS JOIN cents c
+    ),
+    corpus AS (
+      SELECT a.vec_id, a.centroid_id, l.label
+      FROM assign0 a JOIN lab l ON l.vec_id = a.vec_id
+      WHERE a.arnk = 1
+    ),
+    {', '.join(_pq_train_parts())},
+    q AS (SELECT vec_id AS query_id, v AS qv FROM vecs
+          WHERE vec_id >= {IVF_QUERY_LO} AND vec_id < {IVF_QUERY_HI}),
+    lut AS (
+      SELECT q.query_id, c.s, c.code,
+             CAST(floor(list_reduce(list_transform(generate_series(1, {d}),
+                    i -> q.qv[c.s * {d} + i] * c.cw[i]), (a, b) -> a + b)
+                  * 1e9 + 0.5) AS BIGINT) AS val
+      FROM q CROSS JOIN c{PQ_ITERS} c),
+    probes AS (
+      SELECT a.vec_id AS query_id, a.centroid_id, l.label AS qlab
+      FROM assign0 a JOIN lab l ON l.vec_id = a.vec_id
+      WHERE a.vec_id >= {IVF_QUERY_LO} AND a.vec_id < {IVF_QUERY_HI}
+        AND a.arnk <= {IVF_NPROBE_SERVE}
+    ),
+    adc AS (
+      SELECT p.query_id, co.vec_id AS neighbor_id,
+             CAST(sum(l.val) AS BIGINT) AS adc
+      FROM corpus co
+      JOIN probes p ON co.centroid_id = p.centroid_id
+                   AND co.vec_id <> p.query_id
+                   AND co.label = p.qlab
+      JOIN enc e ON e.vec_id = co.vec_id
+      JOIN lut l ON l.query_id = p.query_id AND l.s = e.s AND l.code = e.code
+      GROUP BY p.query_id, co.vec_id
+    ),
+    cand AS (
+      SELECT query_id, neighbor_id
+      FROM (SELECT *, row_number() OVER (
+              PARTITION BY query_id ORDER BY adc DESC, neighbor_id) AS crnk
+            FROM adc)
+      WHERE crnk <= {K_CAND_IVF}
+    ),
+    rer AS (
+      SELECT ca.query_id, ca.neighbor_id,
+             list_cosine_similarity(qv.v, nv.v) AS cosine
+      FROM cand ca
+      JOIN vecs qv ON qv.vec_id = ca.query_id
+      JOIN vecs nv ON nv.vec_id = ca.neighbor_id
+    )
+    SELECT query_id, neighbor_id, CAST(rnk AS INTEGER) AS rnk,
+           round(cosine, 6) AS cosine
+    FROM (SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
+          FROM rer)
+    WHERE rnk <= {IVF_K}
+    """
+
+
+@register(
+    "ann_ivf_pq_filtered_topk",
+    oracle=_pq_filtered_oracle_sql(),
+    tags=("similarity", "quantization", "sink", "partitioning"),
+)
+def ann_ivf_pq_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The predicate axis composed onto the PQ copy: metadata-filtered
+    serving from the STORED IVF-PQ layout (build_ivf_pq_index
+    carry_cols stores the label next to the m-byte codes;
+    ivf_pq_topk_from_index filter_col= applies the query's own label
+    equality before the k_cand ADC cut). Proves the filter axis is
+    ORTHOGONAL to the compression axis: the same pre-filter semantics,
+    probe pruning, and integer-LUT ADC as the unfiltered PQ head, the
+    same predicate contract as the int8 filtered head — any (compression
+    tier x predicate) combination now composes from graded pieces. The
+    oracle replays bucketing + PQ training/encode + label-restricted ADC
+    + rerank relationally over the partitioned-parquet roundtrip."""
+    import os
+    import tempfile
+
+    emb = fan_out(table(spark, sf_dir, "embeddings"))
+    queries = emb.where(
+        (F.col("vec_id") >= IVF_QUERY_LO) & (F.col("vec_id") < IVF_QUERY_HI)
+    ).select("vec_id")
+    index, cents, cb = S.build_ivf_pq_index(
+        emb, "vec_id", "embedding", 64, IVF_CENTROIDS,
+        m=PQ_M, k_codes=PQ_CODES, iters=PQ_ITERS, carry_cols=(FILTER_COL,),
+    )
+    out = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_ivf_pq_flt_index_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    index.write.mode("overwrite").partitionBy("centroid_id").parquet(out)
+    stored = spark.read.parquet(out)
+    return S.ivf_pq_topk_from_index(
+        stored, cents, cb, emb, queries, "vec_id", "embedding",
+        64, PQ_M, IVF_K, K_CAND_IVF,
+        nprobe=IVF_NPROBE_SERVE, prune_partitions=True, filter_col=FILTER_COL,
+    )
