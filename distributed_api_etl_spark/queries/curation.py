@@ -191,3 +191,82 @@ def documents_curation_pipeline(
         "kept_passages",
         "cleaned_text",
     )
+
+
+CURATION_BUDGETS = {"en": 500, "zh": 300, "es": 200}
+CURATION_BUDGET_DEFAULT = 150
+CURATION_BUDGET_SEED = "curation"
+
+
+def _curation_budget_oracle_sql() -> str:
+    """The curation oracle nested as a derived table, then the token-budget
+    fragment (the documents_token_budget_mix oracle shape) over the TRAIN
+    split's CLEANED text."""
+    case = " ".join(f"WHEN '{k}' THEN {v}" for k, v in CURATION_BUDGETS.items())
+    pri = portable_hash32_sql(
+        f"'{CURATION_BUDGET_SEED}:' || lang || ':' || CAST(doc_id AS VARCHAR)"
+    )
+    return f"""
+    WITH t AS (
+      SELECT b.doc_id, d.lang,
+             CAST(len(string_split(b.cleaned_text, ' ')) AS BIGINT) AS n_tokens,
+             {pri} AS pri
+      FROM ({_curation_oracle_sql()}) b
+      JOIN documents d USING (doc_id)
+      WHERE b.split = 'train'
+    ),
+    c AS (
+      SELECT doc_id, lang, n_tokens,
+             CAST(sum(n_tokens) OVER (
+               PARTITION BY lang ORDER BY pri, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS BIGINT) AS cum_tokens
+      FROM t
+    )
+    SELECT doc_id, lang, n_tokens, cum_tokens
+    FROM c
+    WHERE cum_tokens <= CASE lang {case} ELSE {CURATION_BUDGET_DEFAULT} END
+    """
+
+
+@register(
+    "documents_curation_budgeted",
+    oracle=_curation_budget_oracle_sql(),
+    tags=("dedup", "text", "ml", "pipeline", "sampling"),
+)
+def documents_curation_budgeted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The token budget GRADED IN COMPOSITION (the r12 repetition-gate
+    lesson applied pre-emptively: a stage graded only standalone leaves
+    its composition-order bugs structurally invisible): the full curation
+    pipeline (gate -> near-dup keep-set -> passage dedup -> leakage-safe
+    split), then operators/sampling.py:token_budget_sample over the TRAIN
+    split's CLEANED text per language — budgeting what actually ships to
+    training, counted on the post-dedup text (budgeting raw text would
+    overcount passages the pipeline strips). The budget stage adds one
+    lang-keyed window over the already-tiny survivor set; every upstream
+    stage is the graded operator unchanged. Deterministic end-to-end:
+    which docs survive, their cleaned token counts, and which fit the
+    per-language cap are all pure functions of the corpus."""
+    from distributed_api_etl_spark.functions.textfns import tokens
+    from distributed_api_etl_spark.operators.sampling import token_budget_sample
+
+    docs = fan_out(table(spark, sf_dir, "documents"))
+    pipe = documents_curation_pipeline(spark, sf_dir)
+    train = (
+        pipe.where(F.col("split") == "train")
+        .join(docs.select("doc_id", "lang"), "doc_id")
+        .select(
+            "doc_id",
+            "lang",
+            F.size(tokens(F.col("cleaned_text"))).cast("bigint").alias("n_tokens"),
+        )
+    )
+    return token_budget_sample(
+        train,
+        "doc_id",
+        "lang",
+        "n_tokens",
+        CURATION_BUDGETS,
+        CURATION_BUDGET_DEFAULT,
+        seed=CURATION_BUDGET_SEED,
+    )
