@@ -1465,9 +1465,11 @@ PQ_ITERS = 2
 PQ_K_CAND = 20
 
 
-def _pq_train_parts(src: str = "vecs") -> list[str]:
+def _pq_train_parts(src: str = "vecs", tag: str = "") -> list[str]:
     """Shared CTE list replaying pq_train + pq_encode relationally —
-    ``subv, seed, c0, (a/m/c per iteration), enc`` — over the ``src``
+    ``subv, seed, c0, (a/m/c per iteration), enc`` (each name suffixed/tagged
+    with ``tag`` so a caller can compose this chain next to another
+    c/a/m chain, e.g. the Lloyd's CTEs, without CTE-name collisions) — over the ``src``
     CTE (vec_id, v DOUBLE[]), by default the raw ``vecs`` (pass
     ``rvecs`` for the residual-PQ oracle, which trains and encodes the
     bucket residuals instead). Per-subspace Lloyd's
@@ -1482,50 +1484,50 @@ def _pq_train_parts(src: str = "vecs") -> list[str]:
         "i -> (sub.sv[i] - c.cw[i]) * (sub.sv[i] - c.cw[i])), (a, b) -> a + b)"
     ).format(d=d)
     parts = [
-        f"""subv AS (
+        f"""subv{tag} AS (
       SELECT vec_id, CAST(t.s AS INTEGER) AS s,
              list_slice(v, t.s * {d} + 1, t.s * {d} + {d}) AS sv
       FROM {src}, range(0, {PQ_M}) t(s))""",
         # seeds = the PQ_CODES lowest vec_ids with DENSE codes 0..k-1 by
         # id rank — mirrors the operator's remap (no dense-ids-from-zero
         # assumption on either side)
-        f"""seed AS (
+        f"""seed{tag} AS (
       SELECT vec_id, CAST(code AS INTEGER) AS code
       FROM (SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS code
             FROM {src})
       WHERE code < {PQ_CODES})""",
-        """c0 AS (SELECT sub.s, seed.code, sub.sv AS cw
-             FROM subv sub JOIN seed ON sub.vec_id = seed.vec_id)""",
+        f"""c{tag}0 AS (SELECT sub.s, sd.code, sub.sv AS cw
+             FROM subv{tag} sub JOIN seed{tag} sd ON sub.vec_id = sd.vec_id)""",
     ]
     for t in range(PQ_ITERS):
         parts.append(
-            f"""a{t} AS (
+            f"""a{tag}{t} AS (
       SELECT vec_id, s, sv, code FROM (
         SELECT sub.vec_id, sub.s, sub.sv, c.code,
                row_number() OVER (PARTITION BY sub.vec_id, sub.s
                  ORDER BY {sq} ASC, c.code) AS rn
-        FROM subv sub JOIN c{t} c ON sub.s = c.s)
+        FROM subv{tag} sub JOIN c{tag}{t} c ON sub.s = c.s)
       WHERE rn = 1)"""
         )
         parts.append(
-            f"""m{t} AS (
+            f"""m{tag}{t} AS (
       SELECT s, code, pos, round(avg(x), 6) AS vv FROM (
         SELECT s, code, unnest(sv) AS x,
                unnest(generate_series(1, len(sv))) AS pos
-        FROM a{t})
+        FROM a{tag}{t})
       GROUP BY s, code, pos)"""
         )
         parts.append(
-            f"c{t + 1} AS (SELECT s, code, list(vv ORDER BY pos) AS cw "
-            f"FROM m{t} GROUP BY s, code)"
+            f"c{tag}{t + 1} AS (SELECT s, code, list(vv ORDER BY pos) AS cw "
+            f"FROM m{tag}{t} GROUP BY s, code)"
         )
     parts.append(
-        f"""enc AS (
+        f"""enc{tag} AS (
       SELECT vec_id, s, code FROM (
         SELECT sub.vec_id, sub.s, c.code,
                row_number() OVER (PARTITION BY sub.vec_id, sub.s
                  ORDER BY {sq} ASC, c.code) AS rn
-        FROM subv sub JOIN c{PQ_ITERS} c ON sub.s = c.s)
+        FROM subv{tag} sub JOIN c{tag}{PQ_ITERS} c ON sub.s = c.s)
       WHERE rn = 1)"""
     )
     return parts
@@ -3440,4 +3442,129 @@ def ann_ivf_pq_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         stored, cents, cb, emb, queries, "vec_id", "embedding",
         64, PQ_M, IVF_K, K_CAND_IVF,
         nprobe=IVF_NPROBE_SERVE, prune_partitions=True, filter_col=FILTER_COL,
+    )
+
+
+KMPQ_QUERY_LO, KMPQ_QUERY_HI = 360, 370
+
+
+def _kmeans_pq_oracle_sql() -> str:
+    """Lloyd's chain -> quantized learned centroids (the
+    _kmeans_int8_oracle_sql head) -> PQ train/encode -> probed-bucket
+    integer-LUT ADC -> exact rerank: the learned-centroid IVF-PQ serve
+    replayed relationally."""
+    d = PQ_SUBDIM
+    parts = _kmeans_parts()[1:]  # parts[0] is vecs, which _QUANT_CTES defines
+    return f"""
+    WITH {_QUANT_CTES},
+    {', '.join(parts)},
+    qcent AS (
+      SELECT centroid_id,
+             list_transform(cv, x -> CAST(round(x / s) AS INTEGER)) AS cq
+      FROM (SELECT centroid_id, cv,
+                   CASE WHEN list_max(list_transform(cv, x -> abs(x))) > 0
+                        THEN list_max(list_transform(cv, x -> abs(x))) / 127
+                        ELSE 1.0 END AS s
+            FROM c{KMEANS_ITERS})
+    ),
+    assign0 AS (
+      SELECT qn.vec_id, qn.qvec, qc.centroid_id,
+             row_number() OVER (PARTITION BY qn.vec_id
+               ORDER BY list_cosine_similarity(CAST(qn.qvec AS DOUBLE[]),
+                                               CAST(qc.cq AS DOUBLE[])) DESC,
+                        qc.centroid_id) AS arnk
+      FROM quant qn CROSS JOIN qcent qc
+    ),
+    corpus AS (SELECT vec_id, centroid_id FROM assign0 WHERE arnk = 1),
+    {', '.join(_pq_train_parts(tag='p'))},
+    q AS (SELECT vec_id AS query_id, v AS qv FROM vecs
+          WHERE vec_id >= {KMPQ_QUERY_LO} AND vec_id < {KMPQ_QUERY_HI}),
+    lut AS (
+      SELECT q.query_id, c.s, c.code,
+             CAST(floor(list_reduce(list_transform(generate_series(1, {d}),
+                    i -> q.qv[c.s * {d} + i] * c.cw[i]), (a, b) -> a + b)
+                  * 1e9 + 0.5) AS BIGINT) AS val
+      FROM q CROSS JOIN cp{PQ_ITERS} c),
+    probes AS (
+      SELECT vec_id AS query_id, centroid_id
+      FROM assign0
+      WHERE vec_id >= {KMPQ_QUERY_LO} AND vec_id < {KMPQ_QUERY_HI}
+        AND arnk <= {IVF_NPROBE_SERVE}
+    ),
+    adc AS (
+      SELECT p.query_id, co.vec_id AS neighbor_id,
+             CAST(sum(l.val) AS BIGINT) AS adc
+      FROM corpus co
+      JOIN probes p ON co.centroid_id = p.centroid_id
+                   AND co.vec_id <> p.query_id
+      JOIN encp e ON e.vec_id = co.vec_id
+      JOIN lut l ON l.query_id = p.query_id AND l.s = e.s AND l.code = e.code
+      GROUP BY p.query_id, co.vec_id
+    ),
+    cand AS (
+      SELECT query_id, neighbor_id
+      FROM (SELECT *, row_number() OVER (
+              PARTITION BY query_id ORDER BY adc DESC, neighbor_id) AS crnk
+            FROM adc)
+      WHERE crnk <= {K_CAND_IVF}
+    ),
+    rer AS (
+      SELECT ca.query_id, ca.neighbor_id,
+             list_cosine_similarity(qv.v, nv.v) AS cosine
+      FROM cand ca
+      JOIN vecs qv ON qv.vec_id = ca.query_id
+      JOIN vecs nv ON nv.vec_id = ca.neighbor_id
+    )
+    SELECT query_id, neighbor_id, CAST(rnk AS INTEGER) AS rnk,
+           round(cosine, 6) AS cosine
+    FROM (SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
+          FROM rer)
+    WHERE rnk <= {IVF_K}
+    """
+
+
+@register(
+    "ann_kmeans_pq_index_topk",
+    oracle=_kmeans_pq_oracle_sql(),
+    tags=("similarity", "quantization", "ml", "sink", "partitioning"),
+)
+def ann_kmeans_pq_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEARNED centroids composed with the PQ copy and graded — the
+    ann_kmeans_int8_index_topk symmetry on the m-byte tier: deterministic
+    Lloyd's centroids (kmeans_centroids) bucket the corpus
+    (build_ivf_pq_index centroids= quantizes the learned table with the
+    corpus's levels), PQ codes are trained/encoded in the same single
+    ingest scan, and the stored partitionBy(centroid_id) layout is served
+    with probe pruning + integer-LUT ADC + exact rerank. Production
+    IVF-PQ is exactly this composition (sampled k-means coarse quantizer
+    + trained codebooks); the lowest-id centroid convention elsewhere is
+    the oracle-friendly stand-in. A green row certifies every stage —
+    Lloyd's floats, centroid quantization, bucketing, codebook training,
+    encode, ADC, rerank — reproduced relationally through the parquet
+    roundtrip."""
+    import os
+    import tempfile
+
+    emb = fan_out(table(spark, sf_dir, "embeddings"))
+    queries = emb.where(
+        (F.col("vec_id") >= KMPQ_QUERY_LO) & (F.col("vec_id") < KMPQ_QUERY_HI)
+    ).select("vec_id")
+    cents_f = S.kmeans_centroids(
+        emb, "vec_id", "embedding", IVF_CENTROIDS, iters=KMEANS_ITERS
+    )
+    index, cents_q, cb = S.build_ivf_pq_index(
+        emb, "vec_id", "embedding", 64, IVF_CENTROIDS,
+        m=PQ_M, k_codes=PQ_CODES, iters=PQ_ITERS, centroids=cents_f,
+    )
+    out = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_ivf_kmpq_index_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    index.write.mode("overwrite").partitionBy("centroid_id").parquet(out)
+    stored = spark.read.parquet(out)
+    return S.ivf_pq_topk_from_index(
+        stored, cents_q, cb, emb, queries, "vec_id", "embedding",
+        64, PQ_M, IVF_K, K_CAND_IVF,
+        nprobe=IVF_NPROBE_SERVE, prune_partitions=True,
     )

@@ -72,6 +72,7 @@ ALLOW_BNLJ = {
     "ann_pq_adc_recall_at_k": "1-row broadcast codebook-array sides (training assignment, encode, LUT build) + bounded broadcast per-query LUT maps (ADC tier) + the labeled exact ground-truth tier",
     "ann_ivf_pq_rerank_recall_at_k": "1-row broadcast codebook/centroid-array sides (pq_train assignment, single-scan ingest, query probe_assign, LUT build) + the labeled exact ground-truth tier; all serving joins over the stored partitioned index are broadcast equi-joins",
     "ann_ivf_pq_filtered_topk": "1-row broadcast codebook/centroid-array sides (pq_train assignment, single-scan ingest, query probe_assign, LUT build); serving joins over the stored partitioned index — including the per-query label-equality filter riding the bucket equi-join — are broadcast equi-joins",
+    "ann_kmeans_pq_index_topk": "1-row broadcast centroid/codebook-array sides (Lloyd's per-iteration assignment, pq_train assignment, single-scan ingest, query probe_assign, LUT build); serving joins over the stored partitioned index are broadcast equi-joins",
     "ann_ivf_pq_incremental_ingest_topk": "1-row broadcast codebook/centroid-array sides (pq_train assignment, base build + batch-2 assign_to_ivf_pq_index, query probe_assign, LUT build); serving joins over the appended partitioned index are broadcast equi-joins",
     "ann_ivf_rpq_rerank_recall_at_k": "1-row broadcast codebook/centroid-array sides (residual pq_train assignment, single-scan ingest, query probe_assign, LUT build) + bounded broadcast (query x nprobe)-row qc-term probe frame + the labeled exact ground-truth tier; serving joins are broadcast equi-joins",
     "ann_ivf_index_stats": "1-row broadcast centroid-array side (index build assignment) + 1-row totals scalar broadcast back onto the n_buckets-row counts",
