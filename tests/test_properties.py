@@ -1201,3 +1201,87 @@ def test_sliding_span_dedup_is_exactsubstr_at_threshold_w(spark_global, data):
         kept_w = set(out[d].split(" ")) if out[d] else set()
         kept_2w = set(out2[d].split(" ")) if out2[d] else set()
         assert kept_w <= kept_2w
+
+
+# ---------------------------------------------------------------------------
+# token_budget_sample: for ANY (ids, tokens, budget), the kept set is the
+# maximal prefix of the hash-priority order whose running total fits —
+# never exceeds the budget, never skips-then-resumes
+# ---------------------------------------------------------------------------
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 10**6), st.integers(0, 50)),
+        min_size=1,
+        max_size=25,
+        unique_by=lambda t: t[0],
+    ),
+    st.integers(0, 300),
+)
+def test_token_budget_is_maximal_prefix(spark_global, rows, budget):
+    from distributed_api_etl_spark.operators.sampling import token_budget_sample
+
+    df = spark_global.createDataFrame(
+        [(i, "g", t) for i, t in rows], "doc_id bigint, grp string, n_tokens bigint"
+    )
+    out = sorted(
+        token_budget_sample(df, "doc_id", "grp", "n_tokens", {"g": budget}).collect(),
+        key=lambda r: r.cum_tokens,
+    )
+    # python reference: same priority order (portable hash via duckdb),
+    # strict prefix under the budget
+    con = duckdb.connect()
+    from distributed_api_etl_spark.functions.portable import portable_hash32_sql
+
+    h = portable_hash32_sql("':g:' || CAST(? AS VARCHAR)")
+    order = sorted(
+        rows, key=lambda t: (con.sql(f"SELECT {h}", params=[t[0]]).fetchone()[0], t[0])
+    )
+    run, expect = 0, []
+    for i, tok in order:
+        if run + tok > budget:
+            break
+        run += tok
+        expect.append((i, run))
+    assert [(r.doc_id, r.cum_tokens) for r in out] == expect
+    assert sum(r.n_tokens for r in out) <= budget
+
+
+# ---------------------------------------------------------------------------
+# rrf_fuse: fused integer scores equal the python reference for ANY pair of
+# ranked lists; ranks are dense 1..k; absent-list markers are 0, never null
+# ---------------------------------------------------------------------------
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    st.lists(st.integers(0, 30), min_size=1, max_size=8, unique=True),
+    st.lists(st.integers(0, 30), min_size=1, max_size=8, unique=True),
+)
+def test_rrf_fuse_matches_reference(spark_global, la, lb):
+    from distributed_api_etl_spark.operators.similarity import RRF_SCALE, rrf_fuse
+
+    a = spark_global.createDataFrame(
+        [(d, i + 1) for i, d in enumerate(la)], "id bigint, rnk int"
+    )
+    b = spark_global.createDataFrame(
+        [(d, i + 1) for i, d in enumerate(lb)], "id bigint, rnk int"
+    )
+    k = len(set(la) | set(lb))
+    got = {r.id: r for r in rrf_fuse([("a", a), ("b", b)], "id", "rnk", k).collect()}
+    ref = {}
+    for lst, label in ((la, "a"), (lb, "b")):
+        for i, d in enumerate(lst):
+            e = ref.setdefault(d, {"s": 0, "n": 0, "a": 0, "b": 0})
+            e["s"] += RRF_SCALE // (60 + i + 1)
+            e["n"] += 1
+            e[label] = i + 1
+    assert set(got) == set(ref)
+    for d, e in ref.items():
+        r = got[d]
+        assert (r.rrf_e9, r.n_lists, r.a_rnk, r.b_rnk) == (
+            e["s"], e["n"], e["a"], e["b"],
+        )
+    fused = sorted(got.values(), key=lambda r: r.fused_rnk)
+    assert [r.fused_rnk for r in fused] == list(range(1, len(fused) + 1))
+    assert all(
+        (x.rrf_e9, -x.id) >= (y.rrf_e9, -y.id) for x, y in zip(fused, fused[1:])
+    )
