@@ -218,6 +218,8 @@ def compact_files(
     fmt: str = "parquet",
     target_file_mb: int = 128,
     partition_by: tuple[str, ...] = (),
+    drop_ids=None,
+    drop_id_col: str = "",
 ) -> dict:
     """Compact a fragmented append sink into ~target-sized files.
 
@@ -246,7 +248,16 @@ def compact_files(
     layout, never a mix, but there IS a brief no-sink window between the
     two renames: serialize against concurrent readers (on object stores
     rename is copy+delete and the window is longer — prefer Delta
-    OPTIMIZE there). Returns {files_before, files_after, bytes}.
+    OPTIMIZE there). Returns {files_before, files_after, bytes,
+    rows_dropped}.
+
+    ``drop_ids`` (a 1-column frame of ``drop_id_col`` values) makes the
+    rewrite a VACUUM: tombstoned rows are excluded (broadcast left-anti
+    during the rewrite), physically reclaiming the deletes that
+    tombstone-masked serving (ivf_int8_topk_from_index ``tombstones=``)
+    only hides — after a vacuum the tombstone set can be emptied. This is
+    how immutable layouts actually apply deletes: never per-delete, once
+    per compaction cycle.
     """
     import math
 
@@ -254,6 +265,15 @@ def compact_files(
     jvm_path = sc._jvm.org.apache.hadoop.fs.Path  # noqa: SLF001
     fs = jvm_path(location).getFileSystem(sc._jsc.hadoopConfiguration())  # noqa: SLF001
     df = spark.read.format(fmt).load(location)
+    rows_dropped = 0
+    if drop_ids is not None:
+        from pyspark.sql import functions as F
+
+        before = df.count()
+        df = df.join(
+            F.broadcast(drop_ids.select(drop_id_col)), drop_id_col, "left_anti"
+        )
+        rows_dropped = before - df.count()
     summary = fs.getContentSummary(jvm_path(location))
     total_bytes = summary.getLength()
     files_before = sum(
@@ -283,6 +303,7 @@ def compact_files(
         "files_before": files_before,
         "files_after": files_after,
         "bytes": int(total_bytes),
+        "rows_dropped": int(rows_dropped),
     }
 
 

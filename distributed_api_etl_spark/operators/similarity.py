@@ -1627,6 +1627,7 @@ def ivf_pq_topk_from_index(
     prune_partitions: bool = True,
     levels: int = 127,
     filter_col: str | None = None,
+    tombstones: DataFrame | None = None,
 ) -> DataFrame:
     """Serve top-k from a STORED IVF-PQ index
     (:func:`build_ivf_pq_index`, written ``partitionBy("centroid_id")``)
@@ -1659,6 +1660,9 @@ def ivf_pq_topk_from_index(
     only candidates whose value EQUALS the query's own are ADC-scored —
     pre-filter semantics riding the bucket equi-join, the
     :func:`ivf_int8_filtered_topk_from_index` contract on the PQ copy.
+    ``tombstones`` masks deleted ids out of the pruned candidate scan
+    (broadcast left-anti — the :func:`ivf_int8_topk_from_index` delete
+    contract on the PQ copy; compaction reclaims physically).
     """
     qvecs = quantize_embeddings(
         emb.join(F.broadcast(queries.select(id_col)), id_col),
@@ -1682,6 +1686,10 @@ def ivf_pq_topk_from_index(
             for r in probes.select("centroid_id").distinct().collect()
         )
         cand_src = index.where(F.col("centroid_id").isin(probed))
+    if tombstones is not None:
+        cand_src = cand_src.join(
+            F.broadcast(tombstones.select(id_col)), id_col, "left_anti"
+        )
     luts = _pq_luts(emb, queries, codebook, id_col, vec_col, dim, m)
     flt_cols = [F.col(filter_col).alias("nflt")] if filter_col is not None else []
     scored = (

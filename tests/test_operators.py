@@ -2633,3 +2633,44 @@ def test_index_carry_cols_collision_guard(spark, sf_dir):
         build_ivf_int8_index(
             emb, "vec_id", "embedding", 8, carry_cols=("centroid_id",)
         )
+
+
+def test_vacuum_reclaims_tombstones_and_preserves_serving(spark, tmp_path, sf_dir):
+    """The delete LIFECYCLE end-to-end: tombstone-masked serving == serving
+    from a VACUUMED layout (compact_files drop_ids=) with an EMPTY
+    tombstone set — the vacuum physically reclaims what the mask hid,
+    partition pruning survives, and the dropped rows are really gone."""
+    from distributed_api_etl_spark.core.table_manager import compact_files
+    from distributed_api_etl_spark.operators.similarity import (
+        build_ivf_int8_index,
+        ivf_int8_topk_from_index,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 4).select("vec_id")
+    dead = emb.where((F.col("vec_id") >= 20) & (F.col("vec_id") % 7 == 3)).select(
+        "vec_id"
+    )
+    n_dead = dead.count()
+    index, cents = build_ivf_int8_index(emb, "vec_id", "embedding", 8)
+    path = str(tmp_path / "ivf_vac_index")
+    index.write.partitionBy("centroid_id").parquet(path)
+    stored = spark.read.parquet(path)
+    masked = ivf_int8_topk_from_index(
+        stored, cents, emb, queries, "vec_id", "embedding", 3, 10,
+        nprobe=2, prune_partitions=True, tombstones=dead,
+    ).collect()
+
+    stats = compact_files(
+        spark, path, partition_by=("centroid_id",),
+        drop_ids=dead, drop_id_col="vec_id",
+    )
+    assert stats["rows_dropped"] == n_dead
+    vacuumed = spark.read.parquet(path)
+    assert vacuumed.join(dead, "vec_id").count() == 0  # physically gone
+    assert "centroid_id=" in vacuumed.inputFiles()[0]  # layout survives
+    served = ivf_int8_topk_from_index(
+        vacuumed, cents, emb, queries, "vec_id", "embedding", 3, 10,
+        nprobe=2, prune_partitions=True,  # no tombstones needed any more
+    ).collect()
+    assert {tuple(r) for r in served} == {tuple(r) for r in masked}
