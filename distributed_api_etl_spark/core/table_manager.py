@@ -269,11 +269,14 @@ def compact_files(
     if drop_ids is not None:
         from pyspark.sql import functions as F
 
-        before = df.count()
-        df = df.join(
-            F.broadcast(drop_ids.select(drop_id_col)), drop_id_col, "left_anti"
-        )
-        rows_dropped = before - df.count()
+        # ONE extra scan (semi-join count), not a before/after count pair —
+        # the rewrite below is already a full read, and a vacuum of a
+        # 100-TB layout should pay 2 reads total, not 3. File sizing
+        # (n_out) still uses pre-drop bytes: conservative direction only
+        # (files come out smaller than target when many rows drop).
+        dids = F.broadcast(drop_ids.select(drop_id_col))
+        rows_dropped = df.join(dids, drop_id_col, "left_semi").count()
+        df = df.join(dids, drop_id_col, "left_anti")
     summary = fs.getContentSummary(jvm_path(location))
     total_bytes = summary.getLength()
     files_before = sum(

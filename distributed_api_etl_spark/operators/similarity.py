@@ -303,7 +303,16 @@ def ivf_assign(
 
     # preserve every input column (callers project below) so composed
     # ingest paths — e.g. build_ivf_pq_index's single-scan (qvec-assign +
-    # PQ-encode) projection — can carry the raw vector through assignment
+    # PQ-encode) projection — can carry the raw vector through assignment.
+    # Because columns ARE preserved, an input that already carries a
+    # centroid_id (e.g. a frame derived from a stored index) would come
+    # out with two — every downstream F.col("centroid_id") then throws
+    # AMBIGUOUS_REFERENCE deep in a caller's chain; fail here instead
+    if "centroid_id" in emb.columns:
+        raise ValueError(
+            "ivf_assign: input already has a 'centroid_id' column — drop or "
+            "rename it before re-assigning"
+        )
     return emb.crossJoin(F.broadcast(cents)).select(
         *[F.col(c) for c in emb.columns],
         F.aggregate("_cents", init, chooser)["cid"].alias("centroid_id"),
@@ -1582,10 +1591,12 @@ def build_ivf_pq_index(
         )
     if codebook is None:
         codebook = pq_train(emb, id_col, vec_col, dim, m, k_codes, iters)
-    quant = quantize_embeddings(emb, id_col, vec_col, levels)
     if centroids is None:
-        cents = quant.orderBy(F.col(id_col)).limit(n_centroids).select(
-            id_col, "qvec"
+        cents = (
+            quantize_embeddings(emb, id_col, vec_col, levels)
+            .orderBy(F.col(id_col))
+            .limit(n_centroids)
+            .select(id_col, "qvec")
         )
     else:
         cents = quantize_embeddings(centroids, id_col, vec_col, levels).select(
@@ -2168,7 +2179,11 @@ def mmr_topk(
     once, reused every step), and each of the k steps is one keyed max
     (max_by, map-side combinable) plus broadcast anti/equi joins of
     picked ids — no corpus access after candidate generation, no window
-    over anything larger than the candidate set. Candidate generation
+    over anything larger than the candidate set. Picked ids accumulate
+    as DRIVER-side rows (<= n_queries per step — the probed-bucket
+    bounded-metadata class) and re-enter each step as a tiny literal
+    frame, so the per-step logical plan stays constant-size instead of
+    embedding the union of every prior step. Candidate generation
     itself is the shared broadcast-query brute tier; swap in any graded
     serving path (stored IVF+int8, PQ) at 100 TB — MMR only needs
     (query_id, id, vec, rel) rows.
@@ -2201,22 +2216,37 @@ def mmr_topk(
         .select("query_id", "d1", "d2", sim_e6.alias("sim_e6"))
     )
     neg_d = (-F.col("d")).cast("bigint")
-    picks = (
-        cands.groupBy("query_id")
+    # the greedy loop is inherently sequential, and each step must see ALL
+    # prior picks. Accumulating picks as a growing DataFrame union embeds
+    # the whole accumulated plan in every step's joins — O(k^2) logical
+    # plan growth, driver analysis time ballooning with rerank depth. The
+    # pick set is BOUNDED metadata (<= n_queries rows per step, the
+    # probed-bucket-collect class), so it lives on the driver as plain
+    # rows and re-enters each step as a tiny literal frame — every step's
+    # plan stays constant-size.
+    spark = cands.sparkSession
+    id_t = cands.schema["query_id"].dataType.simpleString()
+    d_t = cands.schema["d"].dataType.simpleString()
+    picks_schema = f"query_id {id_t}, p {d_t}, rnk int"
+    picks_rows = [
+        (r["query_id"], r["p"], 1)
+        for r in cands.groupBy("query_id")
         .agg(F.max_by(F.col("d"), F.struct(F.col("rel_e6"), neg_d)).alias("p"))
-        .select("query_id", "p", F.lit(1).cast("int").alias("rnk"))
-    )
-    all_picks = picks
+        .collect()
+    ]
     lam, mu = lambda_milli, 1000 - lambda_milli
     for step in range(2, k + 1):
+        picked = spark.createDataFrame(
+            [(q, p) for q, p, _ in picks_rows], f"query_id {id_t}, p {d_t}"
+        )
         rem = cands.join(
-            F.broadcast(all_picks.select("query_id", F.col("p").alias("d"))),
+            F.broadcast(picked.select("query_id", F.col("p").alias("d"))),
             ["query_id", "d"],
             "left_anti",
         )
         maxsim = (
             sims.join(
-                F.broadcast(all_picks.select("query_id", F.col("p").alias("d2"))),
+                F.broadcast(picked.select("query_id", F.col("p").alias("d2"))),
                 ["query_id", "d2"],
             )
             .groupBy("query_id", "d1")
@@ -2232,12 +2262,13 @@ def mmr_topk(
                 "score"
             ),
         )
-        new = (
-            scored_step.groupBy("query_id")
+        picks_rows += [
+            (r["query_id"], r["p"], step)
+            for r in scored_step.groupBy("query_id")
             .agg(F.max_by(F.col("d"), F.struct(F.col("score"), neg_d)).alias("p"))
-            .select("query_id", "p", F.lit(step).cast("int").alias("rnk"))
-        )
-        all_picks = all_picks.unionByName(new)
+            .collect()
+        ]
+    all_picks = spark.createDataFrame(picks_rows, picks_schema)
     return (
         all_picks.join(
             cands.select("query_id", F.col("d").alias("p"), "rel_e6"),

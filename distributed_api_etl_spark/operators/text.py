@@ -1639,11 +1639,15 @@ def gopher_combined_gate(
         "mean_word_len_centi", "alpha_word_ppm", "gopher_flags",
         "rep_flags", "keep", "den_chars", "_lines", "_paras", "_wt",
     }
-    clash = reserved.intersection(carry)
+    # the id column is already projected by the chain — carrying it again
+    # would duplicate it and fail later with AMBIGUOUS_REFERENCE instead
+    # of this actionable error (the build_ivf_*_index guard convention)
+    clash = reserved.union({id_col}).intersection(carry)
     if clash:
         raise ValueError(
             f"gopher_combined_gate: carry column(s) {sorted(clash)} collide "
-            "with the gate's internal stat names — rename them upstream"
+            "with the gate's internal stat names or the id column — rename "
+            "them upstream"
         )
     derived = _gopher_rep_derived(
         df,

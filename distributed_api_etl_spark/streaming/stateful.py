@@ -249,9 +249,19 @@ def streaming_token_budget_admission(
     ) -> Iterator[pd.DataFrame]:
         used, closed = state.get if state.exists else (0, False)
         budget = budgets.get(key[0], default_budget)
-        for pdf in pdf_iter:
-            if closed or not len(pdf):
-                continue
+        # the group's batch arrives as an ITERATOR of Arrow chunks; the
+        # priority order is defined over the WHOLE micro-batch, so the
+        # chunks must be concatenated before the one sort — sorting each
+        # chunk independently would admit by arrival-chunk order (and a
+        # rejection in chunk 1 would close the group against a
+        # higher-priority doc sitting in chunk 2), silently diverging
+        # from token_budget_sample above ~10k rows/group/batch (the
+        # arrow.maxRecordsPerBatch chunk size). Memory bound: one
+        # group's batch rows on one worker — size groups accordingly
+        # (per-domain budgets, not one global group).
+        chunks = [pdf for pdf in pdf_iter if len(pdf)]
+        if chunks and not closed:
+            pdf = pd.concat(chunks, ignore_index=True)
             pdf = pdf.sort_values(["_pri", "_id"])
             cum = used + pdf["_tok"].cumsum()
             admit = cum <= budget

@@ -631,3 +631,54 @@ def test_streaming_token_budget_across_batches(spark, tmp_path):
     for grp in ("g", "h"):
         tot = sum(r.n_tokens for r in rows if r.grp == grp)
         assert tot <= 100
+
+
+def test_streaming_token_budget_multi_chunk_group(spark, tmp_path):
+    """The within-batch priority order must hold across Arrow CHUNKS: with
+    arrow.maxRecordsPerBatch forced tiny, a group's micro-batch arrives as
+    many pandas chunks, and the admitted set must still equal the batch
+    operator's (one global sort, not per-chunk sorts)."""
+    from distributed_api_etl_spark.operators.sampling import token_budget_sample
+    from distributed_api_etl_spark.streaming.stateful import (
+        streaming_token_budget_admission,
+    )
+
+    rows = [(i, "g", 7 + (i % 5)) for i in range(40)]
+    src = str(tmp_path / "docs_src")
+    spark.createDataFrame(
+        rows, "doc_id bigint, lang string, n_tokens bigint"
+    ).coalesce(1).write.parquet(src)
+    batch_df = spark.createDataFrame(
+        rows, "doc_id bigint, grp string, n_tokens bigint"
+    )
+    expect = {
+        (r.doc_id, r.cum_tokens)
+        for r in token_budget_sample(
+            batch_df, "doc_id", "grp", "n_tokens", {"g": 150}, 0
+        ).collect()
+    }
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "3")
+    try:
+        stream = (
+            spark.readStream.schema("doc_id bigint, lang string, n_tokens bigint")
+            .parquet(src)
+        )
+        out = streaming_token_budget_admission(
+            stream, "doc_id", "lang", "n_tokens", {"g": 150}, 0
+        )
+        q = (
+            out.writeStream.format("memory")
+            .queryName("budget_chunks_out")
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = {
+            (r.doc_id, r.cum_tokens)
+            for r in spark.sql("SELECT * FROM budget_chunks_out").collect()
+        }
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    assert got == expect and len(got) > 3
