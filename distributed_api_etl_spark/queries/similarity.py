@@ -3568,3 +3568,167 @@ def ann_kmeans_pq_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         64, PQ_M, IVF_K, K_CAND_IVF,
         nprobe=IVF_NPROBE_SERVE, prune_partitions=True,
     )
+
+
+# ---------------------------------------------------------------------------
+# The deployed hybrid: lexical BM25 + the SERVED stored-index vector tier,
+# RRF-fused — the full retrieval stack composed end-to-end.
+
+K_CAND_HYB = 40
+
+
+def _hybrid_rrf_served_oracle_sql() -> str:
+    """The documents_hybrid_rrf_topk oracle with the brute vector tier
+    replaced by the stored int8 serving replay (quantize -> assign ->
+    probe -> k_cand cut -> exact rerank -> top-RETR_K ranks)."""
+    from distributed_api_etl_spark.operators.text import bm25_term_score_sql
+    from distributed_api_etl_spark.queries.text import BM25_QUERY_TERMS
+
+    terms = ", ".join(f"'{t}'" for t in BM25_QUERY_TERMS)
+    return f"""
+    WITH {_QUANT_CTES},
+    base AS (
+      SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl, text
+      FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, dl, term, count(*) AS tf
+      FROM (SELECT doc_id, dl, unnest(string_split(text, ' ')) AS term FROM base)
+      WHERE term IN ({terms})
+      GROUP BY doc_id, dl, term
+    ),
+    dfreq AS (SELECT term, count(*) AS dft FROM tf GROUP BY term),
+    stats AS (SELECT count(*) AS n_docs, sum(dl) AS total_tok FROM base),
+    micro AS (
+      SELECT t.doc_id,
+             CAST(sum({bm25_term_score_sql()}) AS BIGINT) AS micro_sum
+      FROM tf t JOIN dfreq USING (term) CROSS JOIN stats
+      GROUP BY t.doc_id
+    ),
+    lexall AS (
+      SELECT b.doc_id, COALESCE(m.micro_sum, 0) AS micro
+      FROM base b LEFT JOIN micro m ON b.doc_id = m.doc_id
+    ),
+    lex AS (
+      SELECT doc_id, rnk
+      FROM (SELECT doc_id, row_number() OVER (
+              ORDER BY micro DESC, doc_id) AS rnk FROM lexall)
+      WHERE rnk <= {RETR_K}
+    ),
+    cents AS (SELECT vec_id AS centroid_id, qvec AS cv FROM quant
+              WHERE vec_id < {IVF_CENTROIDS}),
+    assign0 AS (
+      SELECT qn.vec_id, qn.qvec, c.centroid_id,
+             row_number() OVER (PARTITION BY qn.vec_id
+               ORDER BY list_cosine_similarity(CAST(qn.qvec AS DOUBLE[]),
+                                               CAST(c.cv AS DOUBLE[])) DESC,
+                        c.centroid_id) AS arnk
+      FROM quant qn CROSS JOIN cents c
+    ),
+    corpus AS (SELECT vec_id, qvec, centroid_id FROM assign0 WHERE arnk = 1),
+    probes AS (
+      SELECT vec_id AS query_id, qvec AS qq, centroid_id
+      FROM assign0
+      WHERE vec_id = {HYBRID_QUERY_VEC} AND arnk <= {IVF_NPROBE_SERVE}
+    ),
+    qsc AS (
+      SELECT p.query_id, c.vec_id AS neighbor_id,
+             list_cosine_similarity(CAST(p.qq AS DOUBLE[]),
+                                    CAST(c.qvec AS DOUBLE[])) AS qcos
+      FROM corpus c JOIN probes p ON c.centroid_id = p.centroid_id
+                                 AND c.vec_id <> p.query_id
+    ),
+    vcand AS (
+      SELECT query_id, neighbor_id
+      FROM (SELECT *, row_number() OVER (
+              PARTITION BY query_id ORDER BY qcos DESC, neighbor_id) AS crnk
+            FROM qsc)
+      WHERE crnk <= {K_CAND_HYB}
+    ),
+    vrer AS (
+      SELECT ca.neighbor_id AS doc_id,
+             list_cosine_similarity(qv.v, nv.v) AS cosine
+      FROM vcand ca
+      JOIN vecs qv ON qv.vec_id = ca.query_id
+      JOIN vecs nv ON nv.vec_id = ca.neighbor_id
+    ),
+    vec AS (
+      SELECT doc_id, rnk
+      FROM (SELECT doc_id, row_number() OVER (
+              ORDER BY cosine DESC, doc_id) AS rnk FROM vrer)
+      WHERE rnk <= {RETR_K}
+    ),
+    cands AS (
+      SELECT doc_id, 'lex' AS src, rnk FROM lex
+      UNION ALL
+      SELECT doc_id, 'vec' AS src, rnk FROM vec
+    ),
+    fused AS (
+      SELECT doc_id,
+             CAST(sum(1000000000 // ({RRF_C} + rnk)) AS BIGINT) AS rrf_e9,
+             CAST(count(*) AS BIGINT) AS n_lists,
+             CAST(COALESCE(max(CASE WHEN src = 'lex' THEN rnk END), 0)
+                  AS BIGINT) AS lex_rnk,
+             CAST(COALESCE(max(CASE WHEN src = 'vec' THEN rnk END), 0)
+                  AS BIGINT) AS vec_rnk
+      FROM cands GROUP BY doc_id
+    )
+    SELECT doc_id, CAST(fused_rnk AS INTEGER) AS fused_rnk, rrf_e9, n_lists,
+           lex_rnk, vec_rnk
+    FROM (SELECT *, row_number() OVER (
+            ORDER BY rrf_e9 DESC, doc_id) AS fused_rnk FROM fused)
+    WHERE fused_rnk <= {FUSE_K}
+    """
+
+
+@register(
+    "documents_hybrid_rrf_served_topk",
+    oracle=_hybrid_rrf_served_oracle_sql(),
+    tags=("similarity", "text", "retrieval", "sink", "partitioning"),
+)
+def documents_hybrid_rrf_served_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DEPLOYED hybrid retrieval stack composed end-to-end: the
+    vector candidate list comes from the STORED partitioned IVF+int8
+    index (build -> partitionBy(centroid_id) parquet -> probe-pruned
+    serve with exact rerank, top-{RETR_K}) instead of the labeled brute
+    tier documents_hybrid_rrf_topk uses; the lexical list is the same
+    BM25 ranking; reciprocal-rank fusion combines them. This is the full
+    production shape — index serving feeding rank fusion — graded as one
+    hash: a green row certifies the fused result survives quantization,
+    the parquet roundtrip, probe pruning, AND fusion arithmetic. The
+    vector list is the APPROXIMATE index answer by design (nprobe
+    ={IVF_NPROBE_SERVE} of {IVF_CENTROIDS} buckets — the oracle replays
+    the same pruning), which is exactly what a deployment fuses: recall
+    lost to bucket pruning shifts fused ranks, and the pair of hybrid
+    heads measures that shift."""
+    import os
+    import tempfile
+
+    emb = fan_out(table(spark, sf_dir, "embeddings"))
+    docs = fan_out(table(spark, sf_dir, "documents"))
+    from distributed_api_etl_spark.operators.text import bm25_scores
+    from distributed_api_etl_spark.queries.text import BM25_QUERY_TERMS
+
+    lex_scores = bm25_scores(docs, "doc_id", "text", list(BM25_QUERY_TERMS))
+    lex_top = lex_scores.orderBy(F.desc("score"), F.asc("doc_id")).limit(RETR_K)
+    wl = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    lex = lex_top.select("doc_id", F.row_number().over(wl).alias("rnk"))
+
+    queries = emb.where(F.col("vec_id") == HYBRID_QUERY_VEC).select("vec_id")
+    index, cents = S.build_ivf_int8_index(emb, "vec_id", "embedding", IVF_CENTROIDS)
+    out = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_ivf_hyb_index_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    index.write.mode("overwrite").partitionBy("centroid_id").parquet(out)
+    stored = spark.read.parquet(out)
+    vec = (
+        S.ivf_int8_topk_from_index(
+            stored, cents, emb, queries, "vec_id", "embedding",
+            RETR_K, K_CAND_HYB, nprobe=IVF_NPROBE_SERVE, prune_partitions=True,
+        )
+        .select(F.col("neighbor_id").alias("doc_id"), F.col("rnk"))
+    )
+    return S.rrf_fuse(
+        [("lex", lex), ("vec", vec)], "doc_id", "rnk", FUSE_K, c=RRF_C
+    )
