@@ -3732,3 +3732,148 @@ def documents_hybrid_rrf_served_topk(spark: SparkSession, sf_dir: str) -> DataFr
     return S.rrf_fuse(
         [("lex", lex), ("vec", vec)], "doc_id", "rnk", FUSE_K, c=RRF_C
     )
+
+
+def _hybrid_rrf_quality_oracle_sql() -> str:
+    """The brute-hybrid oracle with a THIRD fused list: the corpus ranked
+    by the portable quality score (the text_quality_score formula)."""
+    from distributed_api_etl_spark.operators.text import bm25_term_score_sql
+    from distributed_api_etl_spark.queries.text import BM25_QUERY_TERMS
+
+    terms = ", ".join(f"'{t}'" for t in BM25_QUERY_TERMS)
+    return f"""
+    WITH base AS (
+      SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl, text
+      FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, dl, term, count(*) AS tf
+      FROM (SELECT doc_id, dl, unnest(string_split(text, ' ')) AS term FROM base)
+      WHERE term IN ({terms})
+      GROUP BY doc_id, dl, term
+    ),
+    dfreq AS (SELECT term, count(*) AS dft FROM tf GROUP BY term),
+    stats AS (SELECT count(*) AS n_docs, sum(dl) AS total_tok FROM base),
+    micro AS (
+      SELECT t.doc_id,
+             CAST(sum({bm25_term_score_sql()}) AS BIGINT) AS micro_sum
+      FROM tf t JOIN dfreq USING (term) CROSS JOIN stats
+      GROUP BY t.doc_id
+    ),
+    lexall AS (
+      SELECT b.doc_id, COALESCE(m.micro_sum, 0) AS micro
+      FROM base b LEFT JOIN micro m ON b.doc_id = m.doc_id
+    ),
+    lex AS (
+      SELECT doc_id, rnk
+      FROM (SELECT doc_id, row_number() OVER (
+              ORDER BY micro DESC, doc_id) AS rnk FROM lexall)
+      WHERE rnk <= {RETR_K}
+    ),
+    vecs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    qv AS (SELECT v AS qvv FROM vecs WHERE vec_id = {HYBRID_QUERY_VEC}),
+    vsc AS (
+      SELECT c.vec_id AS doc_id, list_cosine_similarity(q.qvv, c.v) AS cos
+      FROM vecs c CROSS JOIN qv q
+      WHERE c.vec_id <> {HYBRID_QUERY_VEC}
+    ),
+    vec AS (
+      SELECT doc_id, rnk
+      FROM (SELECT doc_id, row_number() OVER (
+              ORDER BY cos DESC, doc_id) AS rnk FROM vsc)
+      WHERE rnk <= {RETR_K}
+    ),
+    qstats AS (
+      SELECT doc_id,
+             len(string_split(text, ' ')) AS n_tokens,
+             len(list_distinct(string_split(text, ' '))) AS n_distinct,
+             length(text) AS n_chars,
+             length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS n_alpha
+      FROM documents
+    ),
+    qscore AS (
+      SELECT doc_id,
+             floor((0.25 * least(n_tokens / 50.0, 1.0)
+                 + 0.25 * (n_distinct / n_tokens)
+                 + 0.25 * (n_alpha / n_chars)
+                 + 0.25 * least(((n_chars - (n_tokens - 1)) / n_tokens) / 8.0, 1.0))
+               * 1000000.0 + 0.5) / 1000000.0 AS quality
+      FROM qstats
+    ),
+    qual AS (
+      SELECT doc_id, rnk
+      FROM (SELECT doc_id, row_number() OVER (
+              ORDER BY quality DESC, doc_id) AS rnk FROM qscore)
+      WHERE rnk <= {RETR_K}
+    ),
+    cands AS (
+      SELECT doc_id, 'lex' AS src, rnk FROM lex
+      UNION ALL SELECT doc_id, 'vec' AS src, rnk FROM vec
+      UNION ALL SELECT doc_id, 'qual' AS src, rnk FROM qual
+    ),
+    fused AS (
+      SELECT doc_id,
+             CAST(sum(1000000000 // ({RRF_C} + rnk)) AS BIGINT) AS rrf_e9,
+             CAST(count(*) AS BIGINT) AS n_lists,
+             CAST(COALESCE(max(CASE WHEN src = 'lex' THEN rnk END), 0)
+                  AS BIGINT) AS lex_rnk,
+             CAST(COALESCE(max(CASE WHEN src = 'vec' THEN rnk END), 0)
+                  AS BIGINT) AS vec_rnk,
+             CAST(COALESCE(max(CASE WHEN src = 'qual' THEN rnk END), 0)
+                  AS BIGINT) AS qual_rnk
+      FROM cands GROUP BY doc_id
+    )
+    SELECT doc_id, CAST(fused_rnk AS INTEGER) AS fused_rnk, rrf_e9, n_lists,
+           lex_rnk, vec_rnk, qual_rnk
+    FROM (SELECT *, row_number() OVER (
+            ORDER BY rrf_e9 DESC, doc_id) AS fused_rnk FROM fused)
+    WHERE fused_rnk <= {FUSE_K}
+    """
+
+
+@register(
+    "documents_hybrid_rrf_quality_topk",
+    oracle=_hybrid_rrf_quality_oracle_sql(),
+    tags=("similarity", "text", "retrieval", "quality"),
+)
+def documents_hybrid_rrf_quality_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THREE-list rank fusion: lexical BM25 + vector cosine + a QUALITY
+    PRIOR (the portable quality score ranking the whole corpus) — the
+    retrieval-meets-curation composition a training-data search stack
+    actually serves: a doc that is relevant BOTH ways and well-formed
+    outranks a relevant-but-junky one without any score calibration,
+    because RRF is rank-based per list (operators/similarity.py:rrf_fuse
+    is n-ary — this head grades the n>2 path the pair heads don't). The
+    `lex_rnk`/`vec_rnk`/`qual_rnk` columns expose which lists carried
+    each winner. Fusion still touches only three bounded top-{RETR_K}
+    lists; the quality ranking's global top-k cut is TakeOrdered, not a
+    corpus sort."""
+    emb = fan_out(table(spark, sf_dir, "embeddings"))
+    docs = fan_out(table(spark, sf_dir, "documents"))
+    from distributed_api_etl_spark.operators import text as TX
+    from distributed_api_etl_spark.operators.text import bm25_scores
+    from distributed_api_etl_spark.queries.text import BM25_QUERY_TERMS
+
+    lex_scores = bm25_scores(docs, "doc_id", "text", list(BM25_QUERY_TERMS))
+    lex_top = lex_scores.orderBy(F.desc("score"), F.asc("doc_id")).limit(RETR_K)
+    wl = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    lex = lex_top.select("doc_id", F.row_number().over(wl).alias("rnk"))
+
+    queries = emb.where(F.col("vec_id") == HYBRID_QUERY_VEC)
+    vec = (
+        S.bruteforce_topk(emb, queries, "vec_id", "embedding", RETR_K)
+        .select(F.col("neighbor_id").alias("doc_id"), F.col("rnk"))
+    )
+
+    qscores = TX.quality_score(docs, "doc_id", "text").select("doc_id", "quality")
+    qual_top = qscores.orderBy(F.desc("quality"), F.asc("doc_id")).limit(RETR_K)
+    wq = Window.orderBy(F.desc("quality"), F.asc("doc_id"))
+    qual = qual_top.select("doc_id", F.row_number().over(wq).alias("rnk"))
+
+    return S.rrf_fuse(
+        [("lex", lex), ("vec", vec), ("qual", qual)],
+        "doc_id",
+        "rnk",
+        FUSE_K,
+        c=RRF_C,
+    )

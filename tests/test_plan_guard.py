@@ -84,6 +84,7 @@ ALLOW_BNLJ = {
     "ann_ivf_filtered_serving_topk": "1-row broadcast centroid-array probe assignment (the ann_index_serving_roundtrip shape); every serving join over the stored partitioned index — including the per-query label-equality filter riding the bucket equi-join — is a broadcast equi-join",
     "documents_hybrid_rrf_topk": "1-row corpus-stats scalar (BM25 tier) + bounded broadcast 1-query vector side (labeled brute cosine tier); fusion itself unions two bounded top-k lists",
     "documents_hybrid_rrf_served_topk": "1-row corpus-stats scalar (BM25 tier) + 1-row broadcast centroid-array probe assignment (stored int8 serving tier — every serving join a broadcast equi-join); fusion unions two bounded top-k lists",
+    "documents_hybrid_rrf_quality_topk": "1-row corpus-stats scalar (BM25 tier) + bounded broadcast 1-query vector side (labeled brute cosine tier); the quality list is a TakeOrdered cut and fusion unions three bounded top-k lists",
     "documents_fivegram_logppl": "1-row total-token scalar",
     "documents_bm25_relevance": "1-row corpus-stats scalar (N, total tokens)",
     "documents_unigram_logppl": "1-row total-token scalar",
