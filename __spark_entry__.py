@@ -58,66 +58,26 @@ def _last_green_round() -> dict[str, int]:
     return last
 
 
-# Queries VERDICT.md r3 explicitly called out as never driver-graded in any
-# round ("Next round #1/#2"): guaranteed to lead the never-green tier so the
-# bounded window cannot alphabetically starve them even as the registry grows.
-# Inert once they earn a green row (last-green round then dominates the sort).
-_VERDICT_PRIORITY = frozenset(
-    {
-        "streaming_click_purchase_join",
-        "streaming_api_pipeline_bronze",
-        "streaming_sessionize",
-        "streaming_static_enrich",
-        "streaming_dedup_within_watermark",
-        "text_decontaminate",
-        "text_pii_redact",
-        "text_repetition_ratio",
-        "text_tfidf_topk",
-        "training_mix_selection",
-        "q6_forecast_revenue",
-        "q7_volume_shipping",
-        "q8_market_share",
-        "q9_product_type_revenue",
-        "q19_disjunctive_revenue",
-    }
-)
-
-
-# Round-4 headline additions (the completed TPC-H sweep + triangle
-# counting): graded ahead of the rest of the never-green tier so the
-# round's marquee operators earn driver evidence immediately. Like
-# _VERDICT_PRIORITY, inert once green.
-_ROUND_PRIORITY = frozenset(
-    {
-        "q2_min_cost_supplier",
-        "q11_important_parts",
-        "q12_delay_class_priority",
-        "q16_part_supplier_variety",
-        "q20_dominant_suppliers",
-        "q21_waiting_suppliers",
-        "supply_graph_triangles",
-    }
-)
-
-
-# Queries whose BUILD AND ORACLE changed in lockstep this round (r13: the
-# curation pipeline now composes the repetition gate): lifted to the front
-# of their last-green tier so the changed pair re-grades inside THIS
-# round's window instead of waiting out its rotation slot. Re-point (or
-# empty) this set whenever a later round changes a graded head's contract.
-_CHANGED_CONTRACT_PRIORITY = frozenset({"documents_curation_pipeline"})
+# Queries whose BUILD AND ORACLE changed in lockstep this round: lifted to
+# the front of their last-green tier so the changed pair re-grades inside
+# THIS round's window instead of waiting out its rotation slot. Re-point
+# (or empty) this set whenever a round changes a graded head's contract.
+# (The r3/r4 never-green backlog frozensets that used to sit next to this
+# were deleted in r14 — every member had been green since r9/r10, leaving
+# them permanently inert tie-breakers.)
+_CHANGED_CONTRACT_PRIORITY: frozenset[str] = frozenset()
 
 
 def _grading_order(names: list[str]) -> list[str]:
     """Priority order for the driver's bounded grading window.
 
     The driver grades the first N entries of ``queries()`` per round, so
-    ordering IS the rotation policy: never-driver-green queries first
-    (VERDICT-named backlog, then this round's headline additions, ahead of
-    the rest), then least-recently-green, alphabetical within a tier. Each
-    round's new CORRECTNESS file automatically pushes freshly-graded
-    queries to the back, so the window sweeps the whole registry across
-    rounds with no manual bookkeeping.
+    ordering IS the rotation policy: never-driver-green queries first,
+    then least-recently-green (changed-contract re-grades lifted to the
+    front of their tier), alphabetical within a tier. Each round's new
+    CORRECTNESS file automatically pushes freshly-graded queries to the
+    back, so the window sweeps the whole registry across rounds with no
+    manual bookkeeping.
     """
     last = _last_green_round()
     return sorted(
@@ -125,8 +85,6 @@ def _grading_order(names: list[str]) -> list[str]:
         key=lambda n: (
             last.get(n, -1),
             n not in _CHANGED_CONTRACT_PRIORITY,
-            n not in _VERDICT_PRIORITY,
-            n not in _ROUND_PRIORITY,
             n,
         ),
     )

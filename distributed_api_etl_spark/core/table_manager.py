@@ -265,6 +265,10 @@ def compact_files(
     jvm_path = sc._jvm.org.apache.hadoop.fs.Path  # noqa: SLF001
     fs = jvm_path(location).getFileSystem(sc._jsc.hadoopConfiguration())  # noqa: SLF001
     df = spark.read.format(fmt).load(location)
+    # capture the pre-join file census from the location-only frame: after
+    # the left-anti join below, inputFiles() would also count the tombstone
+    # frame's source files (e.g. parquet backing drop_ids), inflating the stat
+    files_before = len(df.inputFiles())
     rows_dropped = 0
     if drop_ids is not None:
         from pyspark.sql import functions as F
@@ -279,9 +283,6 @@ def compact_files(
         df = df.join(dids, drop_id_col, "left_anti")
     summary = fs.getContentSummary(jvm_path(location))
     total_bytes = summary.getLength()
-    files_before = sum(
-        1 for _ in df.inputFiles()
-    )
     n_out = max(1, math.ceil(total_bytes / (target_file_mb * 1024 * 1024)))
     tmp = location.rstrip("/") + "__compact_tmp"
     old = location.rstrip("/") + "__compact_old"

@@ -1583,11 +1583,15 @@ def build_ivf_pq_index(
     ``carry_cols`` stores metadata columns in the index rows for
     filtered serving (the :func:`build_ivf_int8_index` contract).
     """
-    bad = {"codes", "centroid_id", id_col}.intersection(carry_cols)
+    # "qvec"/vec_col must be reserved too (the build_ivf_int8_index guard):
+    # the assignment subtree projects a qvec column, so a carried duplicate
+    # would fail later inside ivf_assign with AMBIGUOUS_REFERENCE — exactly
+    # the unactionable failure this guard exists to pre-empt.
+    bad = {"codes", "centroid_id", "qvec", vec_col, id_col}.intersection(carry_cols)
     if bad:
         raise ValueError(
             f"build_ivf_pq_index: carry_cols {sorted(bad)} collide with "
-            "index columns (codes / centroid_id / the id column)"
+            "index columns (codes / centroid_id / qvec / the vector or id column)"
         )
     if codebook is None:
         codebook = pq_train(emb, id_col, vec_col, dim, m, k_codes, iters)
@@ -2040,6 +2044,12 @@ def rrf_fuse(
     candidate was absent from that list — kept non-null so the schema
     stays integer end-to-end).
 
+    Each input list is expected to carry DISTINCT ids per group; if a
+    list repeats an id, only its BEST (minimum) rank contributes — the
+    per-(list, id) min-rank reduction below enforces this, so a
+    duplicated id can never double-count into ``rrf_e9`` or inflate
+    ``n_lists``.
+
     Scale shape: each input is already a bounded top-k list (the
     candidate GENERATION stages — BM25 scoring, ANN serving — are the
     scale paths, graded separately); fusion is a union of bounded frames,
@@ -2055,6 +2065,11 @@ def rrf_fuse(
                 F.lit(label).alias("_src"),
                 F.col(rank_col).cast("bigint").alias("_rnk"),
             )
+            # distinct-id precondition enforced, not assumed: a repeated id
+            # within one list keeps only its best rank (frames are bounded
+            # top-k lists, so this reduction costs nothing at scale)
+            .groupBy(*group_cols, id_col, "_src")
+            .agg(F.min("_rnk").alias("_rnk"))
         )
     allc = labeled[0]
     for t in labeled[1:]:
@@ -2187,6 +2202,12 @@ def mmr_topk(
     itself is the shared broadcast-query brute tier; swap in any graded
     serving path (stored IVF+int8, PQ) at 100 TB — MMR only needs
     (query_id, id, vec, rel) rows.
+
+    Practical k ceiling: the greedy loop launches 2(k-1) sequential
+    Spark jobs (one keyed max + one anti-join candidate refresh per
+    step), so per-job scheduler overhead (~100-300 ms) dominates past
+    k ~ 50 in an interactive path — for deep diversity reranks, pull
+    the bounded candidate frame to a single-node reranker instead.
     """
     q = emb.join(F.broadcast(queries.select(id_col)), id_col).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
@@ -2215,6 +2236,16 @@ def mmr_topk(
         .where(F.col("d1") != F.col("d2"))
         .select("query_id", "d1", "d2", sim_e6.alias("sim_e6"))
     )
+    # lowest-id tie-break via negation requires a NUMERIC id: negating a
+    # string id yields null, which would silently break the documented
+    # deterministic tie-break (and engine replayability) — fail loudly here
+    d_dtype = cands.schema["d"].dataType.simpleString()
+    if d_dtype not in {"tinyint", "smallint", "int", "bigint"}:
+        raise ValueError(
+            f"mmr_topk: id column {id_col!r} must be an integer type for the "
+            f"lowest-id tie-break (got {d_dtype}); map string ids to a dense "
+            "numeric surrogate before reranking"
+        )
     neg_d = (-F.col("d")).cast("bigint")
     # the greedy loop is inherently sequential, and each step must see ALL
     # prior picks. Accumulating picks as a growing DataFrame union embeds

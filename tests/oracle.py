@@ -103,5 +103,5 @@ def assert_matches_oracle(spark_df, oracle_sql: str, sf_dir: str, float_tol: flo
         assert ah == eh, (
             "driver value-hash mismatch despite per-column equality — "
             "dtype-level divergence (DECIMAL vs DOUBLE column?); run the "
-            "driver-sim in .claude/skills/verify/SKILL.md to localize"
+            "driver-simulation sweep against DuckDB to localize"
         )

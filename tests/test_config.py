@@ -198,30 +198,39 @@ def test_grading_order_prioritizes_never_then_stale(tmp_path, monkeypatch):
     # fails/errors carry NO green history: graded first, with never-run
     assert out == ["q_errored", "q_failed_only", "q_never", "q_old_green", "q_refreshed"]
 
-    # VERDICT-named backlog leads the never-green tier whatever its
-    # alphabetical position, and the priority is inert once green
-    pri = next(iter(E._VERDICT_PRIORITY))
-    out = E._grading_order(sorted([*names, pri]))
-    assert out[0] == pri
-    hist["CORRECTNESS_r1.json"][pri] = {
+    # a changed-contract head is lifted to the FRONT of its last-green
+    # tier (but never ahead of a less-recently-green tier)
+    monkeypatch.setattr(
+        E, "_CHANGED_CONTRACT_PRIORITY", frozenset({"q_refreshed"})
+    )
+    out = E._grading_order(sorted(names))
+    assert out == ["q_errored", "q_failed_only", "q_never", "q_old_green", "q_refreshed"]
+    monkeypatch.setattr(
+        E, "_CHANGED_CONTRACT_PRIORITY", frozenset({"q_zz_also_r1"})
+    )
+    hist["CORRECTNESS_r1.json"]["q_zz_also_r1"] = {
         "rows_match": True, "schema_match": True, "hash_match": True, "err": None
     }
     (tmp_path / "CORRECTNESS_r1.json").write_text(
         json.dumps(hist["CORRECTNESS_r1.json"])
     )
-    out = E._grading_order(sorted([*names, pri]))
-    assert out[:3] == ["q_errored", "q_failed_only", "q_never"]
+    out = E._grading_order(sorted([*names, "q_zz_also_r1"]))
+    # q_zz_also_r1 sorts alphabetically LAST in the r1 tier without the
+    # lift; with it, it leads that tier while the r2 green stays behind
+    assert out == [
+        "q_errored", "q_failed_only", "q_never",
+        "q_zz_also_r1", "q_old_green", "q_refreshed",
+    ]
 
 
-def test_verdict_priority_names_exist_and_graded():
-    """Every VERDICT-pinned backlog name must stay a registered, graded
-    query — a rename or retirement would silently un-pin it from the
-    grading window's head."""
+def test_changed_contract_priority_names_exist_and_graded():
+    """Every changed-contract pin must stay a registered, graded query —
+    a rename or retirement would silently un-pin its in-round re-grade."""
     import __spark_entry__ as E
     from distributed_api_etl_spark.queries import load_all
 
     reg = load_all()
-    for name in E._VERDICT_PRIORITY:
+    for name in E._CHANGED_CONTRACT_PRIORITY:
         assert name in reg, f"{name} missing from registry"
         assert reg[name].graded, f"{name} no longer graded"
         assert reg[name].oracle, f"{name} lost its oracle"
