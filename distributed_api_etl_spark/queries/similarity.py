@@ -2915,6 +2915,10 @@ KNN_GRAPH_NPROBE = 2
              AS recall_ppm
     FROM vecs v LEFT JOIN hits h ON h.src = v.vec_id
     """,
+    # bench-tracked: the suite's ONLY all-corpus-shuffle ANN plan (one
+    # corpus exchange per join side) — its counters are the highest-value
+    # regression surface in the retrieval regime
+    bench=True,
     tags=("similarity", "eval", "graph"),
     # the truth tier is a full O(N^2) cosine sweep on BOTH engines — pin
     # the local oracle sweep to sf0.01 (the dedup_embedding_cosine rule)
@@ -3684,6 +3688,9 @@ def _hybrid_rrf_served_oracle_sql() -> str:
 @register(
     "documents_hybrid_rrf_served_topk",
     oracle=_hybrid_rrf_served_oracle_sql(),
+    # bench-tracked: the deployed hybrid composition (stored-index vector
+    # tier + BM25 + RRF) — wall/counter trend line for the serving path
+    bench=True,
     tags=("similarity", "text", "retrieval", "sink", "partitioning"),
 )
 def documents_hybrid_rrf_served_topk(spark: SparkSession, sf_dir: str) -> DataFrame:

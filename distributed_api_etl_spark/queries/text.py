@@ -1863,6 +1863,9 @@ def _token_budget_oracle() -> str:
 @register(
     "documents_token_budget_mix",
     oracle=_token_budget_oracle(),
+    # bench-tracked: the keyed-window exact-cap plan is the budget
+    # regime's scale-sensitive shape (one shuffle on the group key)
+    bench=True,
     tags=("text", "sampling", "pipeline"),
 )
 def documents_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
