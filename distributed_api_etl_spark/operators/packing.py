@@ -31,7 +31,7 @@ from pyspark.sql import functions as F
 
 def pack_sequences(
     df: DataFrame,
-    order_col: str,
+    order_col: str | list[str] | tuple[str, ...],
     token_count_col: str,
     budget: int,
     stream_col: str,
@@ -42,12 +42,19 @@ def pack_sequences(
     its stream) and ``pack_offset`` (token offset of the row inside that
     chunk). Rows longer than the remaining chunk space straddle the
     boundary — concat-and-chunk semantics, where chunks are cut blindly.
+
+    ``order_col`` may be one column name or a sequence of names (ascending
+    compound order). The order must be a TOTAL order within each stream —
+    ties would make the running offset partitioning-dependent — so callers
+    ordering by a derived key (an epoch-shuffle hash) must append a unique
+    tie-break column (the id).
     """
     if budget <= 0:
         raise ValueError(f"budget must be positive, got {budget}")
+    order_cols = [order_col] if isinstance(order_col, str) else list(order_col)
     w = (
         Window.partitionBy(stream_col)
-        .orderBy(order_col)
+        .orderBy(*order_cols)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     cum_before = F.coalesce(F.sum(token_count_col).over(w), F.lit(0)).cast("bigint")

@@ -47,7 +47,11 @@ def hash_stratified_sample(
 
 
 def shard_assignment(
-    df: DataFrame, id_col: str, n_shards: int, seed: str = "0"
+    df: DataFrame,
+    id_col: str,
+    n_shards: int,
+    seed: str = "0",
+    carry_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Deterministic training-shard assignment — the scalable 'global shuffle'.
 
@@ -60,12 +64,23 @@ def shard_assignment(
     .sortWithinPartitions("sort_key")`` — one shuffle, fully parallel —
     and a new ``seed`` (epoch number) reshuffles everything
     reproducibly. Map-side only; no RNG, no layout dependence.
+
+    ``carry_cols`` names extra columns to project through (so composed
+    pipelines don't pay a self-join to re-attach attributes the caller
+    already has in hand — the index-build carry convention).
     """
+    reserved = {"shard", "sort_key", id_col}.intersection(carry_cols)
+    if reserved:
+        raise ValueError(
+            f"shard_assignment: carry_cols {sorted(reserved)} collide with "
+            "output columns (shard / sort_key / the id column)"
+        )
     h = portable_hash32(
         F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string"))
     )
     return df.select(
         F.col(id_col),
+        *[F.col(c) for c in carry_cols],
         (h % n_shards).cast("int").alias("shard"),
         h.alias("sort_key"),
     )

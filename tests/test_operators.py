@@ -548,6 +548,48 @@ def test_pack_sequences_concat_and_chunk(spark):
     assert out == out2
 
 
+def test_pack_sequences_compound_order_tie_break(spark):
+    """Ordering by a derived key with duplicates (an epoch-shuffle hash
+    collision) must still give one total order via the tie-break column —
+    the recipe head's (sort_key, doc_id) contract."""
+    from distributed_api_etl_spark.operators.packing import pack_sequences
+
+    rows = [  # sort_key ties on 7: doc order within the tie is 2 then 5
+        (5, "a", 7, 100), (2, "a", 7, 200), (9, "a", 3, 50), (1, "b", 9, 40),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, src string, k bigint, n bigint")
+    out = {
+        (r.src, r.doc_id): (r.pack_id, r.pack_offset)
+        for r in pack_sequences(df, ("k", "doc_id"), "n", 128, "src").collect()
+    }
+    # stream a epoch order: (3,9) -> (7,2) -> (7,5); starts 0, 50, 250
+    assert out[("a", 9)] == (0, 0)
+    assert out[("a", 2)] == (0, 50)
+    assert out[("a", 5)] == (1, 122)  # 250 div 128 = 1, 250 % 128 = 122
+    assert out[("b", 1)] == (0, 0)
+
+
+def test_shard_assignment_carry_cols(spark):
+    """carry_cols projects attributes through (no self-join needed in
+    composition) without perturbing the hash outputs; collisions with the
+    operator's own output columns fail fast."""
+    import pytest as _pytest
+
+    from distributed_api_etl_spark.operators.sampling import shard_assignment
+
+    df = spark.createDataFrame(
+        [(1, "en", 10), (2, "zh", 20)], "doc_id bigint, lang string, n bigint"
+    )
+    plain = {r.doc_id: (r.shard, r.sort_key)
+             for r in shard_assignment(df, "doc_id", 8, "e0").collect()}
+    carried = shard_assignment(df, "doc_id", 8, "e0", carry_cols=("lang", "n"))
+    assert carried.columns == ["doc_id", "lang", "n", "shard", "sort_key"]
+    for r in carried.collect():
+        assert (r.shard, r.sort_key) == plain[r.doc_id]
+    with _pytest.raises(ValueError, match="carry_cols"):
+        shard_assignment(df, "doc_id", 8, "e0", carry_cols=("shard",))
+
+
 def test_ivf_multiprobe_improves_on_single_probe(spark, sf_dir):
     from distributed_api_etl_spark.operators.similarity import (
         bruteforce_topk,
