@@ -303,6 +303,30 @@ def ann_quantized_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 NPROBE_SWEEP = (1, 2, 4, 8)
 
+
+def _quant_ctes_sql(vecs_where: str = "") -> str:
+    """The ``vecs -> qt -> quant`` chain with an optional corpus filter.
+
+    Per-vector symmetric quantization commutes with row filtering (the
+    scale is a pure function of the row), so a survivor-filtered chain
+    yields exactly the stored qvecs of the surviving index rows."""
+    where = f" WHERE {vecs_where}" if vecs_where else ""
+    return f"""
+    vecs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings{where}),
+    qt AS (
+      SELECT vec_id,
+             CASE WHEN list_max(list_transform(v, x -> abs(x))) > 0
+                  THEN list_max(list_transform(v, x -> abs(x))) / 127
+                  ELSE 1.0 END AS scale,
+             v
+      FROM vecs
+    ),
+    quant AS (
+      SELECT vec_id, list_transform(v, x -> CAST(round(x / scale) AS INTEGER)) AS qvec
+      FROM qt
+    )"""
+
+
 _QUANT_CTES = f"""
     vecs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
     qt AS (
@@ -731,16 +755,26 @@ def ann_rerank_depth_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
 KMEANS_ITERS = 2
 
 
-def _kmeans_parts() -> list[str]:
+def _kmeans_parts(vecs_where: str = "", seed_sql: str | None = None) -> list[str]:
     """Shared CTE chain: unrolled deterministic Lloyd's (KMEANS_ITERS
     iterations) ending at centroid set ``c{KMEANS_ITERS}`` — mirrors
     operators/similarity.py:kmeans_centroids exactly (max-cosine assignment
     with lowest-centroid-id tie-break, element-wise cluster mean rounded to
     6 decimals each iteration; the rounding makes the learned centroids
-    engine-portable)."""
+    engine-portable).
+
+    ``vecs_where`` filters the training corpus (the retrain-after-drift
+    head trains on the survivor set); ``seed_sql`` overrides the ``c0``
+    seed query (default: the ``vec_id < IVF_CENTROIDS`` convention —
+    retrain seeds from the survivors' own k lowest ids instead, the
+    kmeans_centroids orderBy/limit semantics)."""
+    where = f" WHERE {vecs_where}" if vecs_where else ""
+    seed = seed_sql or (
+        f"SELECT vec_id AS centroid_id, v AS cv FROM vecs WHERE vec_id < {IVF_CENTROIDS}"
+    )
     parts = [
-        "vecs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)",
-        f"c0 AS (SELECT vec_id AS centroid_id, v AS cv FROM vecs WHERE vec_id < {IVF_CENTROIDS})",
+        f"vecs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings{where})",
+        f"c0 AS ({seed})",
     ]
     for t in range(KMEANS_ITERS):
         parts.append(
@@ -3883,4 +3917,131 @@ def documents_hybrid_rrf_quality_topk(spark: SparkSession, sf_dir: str) -> DataF
         "rnk",
         FUSE_K,
         c=RRF_C,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Retrain-after-drift: the index-lifecycle DECISION graded (VERDICT r13 #7).
+# ann_ivf_index_stats grades the skew DIAGNOSTIC; this head grades what a
+# deployment does about it: the corpus has drifted past the standing index
+# (appends assigned to frozen v1 centroids, a TTL pass that deleted the very
+# ids the v1 centroids were seeded from — the case where tombstone-masked
+# serving's own precondition breaks), so centroids are RETRAINED on the
+# current survivor set and the index rebuilt around them. The oracle knows
+# nothing about the lifecycle — it replays a from-scratch build over the
+# survivor corpus (Lloyd's seeded from the survivors' lowest ids, int8
+# quantize, assign, probe, rerank) — so a green row certifies
+# retrain-from-lifecycle-artifacts == from-scratch index, completing the
+# append / delete / update / compact / RETRAIN lifecycle argument.
+
+DRIFT_SPLIT = 300
+DRIFT_DEL = 60
+RETRAIN_QUERY_LO, RETRAIN_QUERY_HI = 370, 380
+
+
+def _retrain_oracle_sql() -> str:
+    """Survivor-filtered quantize chain + survivor-seeded Lloyd's +
+    quantized learned centroids + the shared int8 serving tail."""
+    surv = f"vec_id >= {DRIFT_DEL}"
+    parts = _kmeans_parts(
+        vecs_where=surv,
+        seed_sql=(
+            "SELECT vec_id AS centroid_id, v AS cv FROM vecs "
+            f"ORDER BY vec_id LIMIT {IVF_CENTROIDS}"
+        ),
+    )[1:]  # parts[0] is vecs; the quant chain below defines it (filtered)
+    return f"""
+    WITH {_quant_ctes_sql(surv)},
+    {', '.join(parts)},
+    qcent AS (
+      SELECT centroid_id,
+             list_transform(cv, x -> CAST(round(x / s) AS INTEGER)) AS cq
+      FROM (SELECT centroid_id, cv,
+                   CASE WHEN list_max(list_transform(cv, x -> abs(x))) > 0
+                        THEN list_max(list_transform(cv, x -> abs(x))) / 127
+                        ELSE 1.0 END AS s
+            FROM c{KMEANS_ITERS})
+    ),
+    {_int8_serving_tail_sql(RETRAIN_QUERY_LO, RETRAIN_QUERY_HI, IVF_NPROBE_SERVE, K_CAND_IVF, IVF_K)}
+    """
+
+
+@register(
+    "ann_retrain_after_drift",
+    oracle=_retrain_oracle_sql(),
+    tags=("similarity", "quantization", "ml", "sink", "partitioning"),
+)
+def ann_retrain_after_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full index lifecycle ending in RETRAIN: (1) v1 index built on the
+    pre-drift corpus (lowest-id centroid seeds 0..7) and stored
+    partitioned; (2) drift — new vectors appended under the FROZEN v1
+    centroids, then a TTL pass tombstones vec_id < DRIFT_DEL, which
+    deletes every v1 centroid seed (the exact case where tombstone-masked
+    serving's rebuild-equivalence precondition fails and
+    ann_ivf_index_stats' skew signal fires); (3) the retrain decision —
+    survivor ids are derived from the LIFECYCLE ARTIFACTS (stored index
+    rows minus tombstones, never by re-filtering the corpus), their
+    full-precision vectors looked up from the system of record, centroids
+    retrained with deterministic Lloyd's on that survivor set, and the
+    index rebuilt + re-stored around the new centroids; (4) multiprobe
+    serve with file-level partition pruning from the retrained layout.
+
+    100 TB shape: the retrain adds kmeans_centroids' per-iteration cost
+    (one survivor scan with broadcast centroids + one k x dim component
+    aggregate — train on a .sample at scale) and ONE rebuild ingest scan;
+    the survivor-id derivation is a broadcast anti-join on the bounded
+    tombstone set riding the index scan. Serving is the unchanged pruned
+    stored path. Single-writer deterministic dirs per sf (the
+    ann_incremental_ingest_topk convention)."""
+    import os
+    import tempfile
+
+    emb = fan_out(table(spark, sf_dir, "embeddings"))
+    v1 = emb.where(F.col("vec_id") < DRIFT_SPLIT)
+    new = emb.where(F.col("vec_id") >= DRIFT_SPLIT)
+    index0, cents0 = S.build_ivf_int8_index(
+        v1, "vec_id", "embedding", IVF_CENTROIDS
+    )
+    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    out1 = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_ivf_drift_v1_{sf_tag}"
+    )
+    index0.write.mode("overwrite").partitionBy("centroid_id").parquet(out1)
+    S.assign_to_ivf_int8_index(new, cents0, "vec_id", "embedding").write.mode(
+        "append"
+    ).partitionBy("centroid_id").parquet(out1)
+    stored_v1 = spark.read.parquet(out1)
+
+    tombstones = emb.where(F.col("vec_id") < DRIFT_DEL).select("vec_id")
+    live_ids = stored_v1.select("vec_id").join(
+        F.broadcast(tombstones), "vec_id", "left_anti"
+    )
+    live = emb.join(live_ids, "vec_id")
+
+    cents_v2 = S.kmeans_centroids(
+        live, "vec_id", "embedding", IVF_CENTROIDS, iters=KMEANS_ITERS
+    )
+    index2, cq2 = S.build_ivf_int8_index(
+        live, "vec_id", "embedding", IVF_CENTROIDS, centroids=cents_v2
+    )
+    out2 = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_ivf_drift_v2_{sf_tag}"
+    )
+    index2.write.mode("overwrite").partitionBy("centroid_id").parquet(out2)
+    stored_v2 = spark.read.parquet(out2)
+
+    queries = live.where(
+        (F.col("vec_id") >= RETRAIN_QUERY_LO) & (F.col("vec_id") < RETRAIN_QUERY_HI)
+    ).select("vec_id")
+    return S.ivf_int8_topk_from_index(
+        stored_v2,
+        cq2,
+        live,
+        queries,
+        "vec_id",
+        "embedding",
+        IVF_K,
+        K_CAND_IVF,
+        nprobe=IVF_NPROBE_SERVE,
+        prune_partitions=True,
     )

@@ -2635,6 +2635,38 @@ def test_tombstone_mask_equals_rebuild(spark, sf_dir):
     assert not {r.neighbor_id for r in masked.collect()} & dead_ids
 
 
+def test_retrain_after_drift_equals_from_scratch(spark, sf_dir):
+    """The RETRAIN lifecycle (the graded ann_retrain_after_drift head,
+    Spark-vs-Spark twin): survivors derived from the stored-index
+    lifecycle (v1 build + frozen-centroid append, then tombstones that
+    delete the v1 seeds) retrain Lloyd's centroids and rebuild — served
+    top-k must equal a from-scratch learned-centroid index on the same
+    survivor filter, the new seeds must be survivor ids, and no deleted
+    id may survive into the rebuilt layout."""
+    from distributed_api_etl_spark.operators.similarity import (
+        ivf_kmeans_int8_topk,
+    )
+    from distributed_api_etl_spark.queries.similarity import (
+        DRIFT_DEL,
+        RETRAIN_QUERY_HI,
+        RETRAIN_QUERY_LO,
+        ann_retrain_after_drift,
+    )
+
+    served = ann_retrain_after_drift(spark, sf_dir)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    surv = emb.where(F.col("vec_id") >= DRIFT_DEL)
+    queries = surv.where(
+        (F.col("vec_id") >= RETRAIN_QUERY_LO) & (F.col("vec_id") < RETRAIN_QUERY_HI)
+    ).select("vec_id")
+    scratch = ivf_kmeans_int8_topk(
+        surv, "vec_id", "embedding", 8, queries, 3, 10, nprobe=2, iters=2
+    )
+    rows = lambda df: {tuple(r) for r in df.collect()}  # noqa: E731
+    assert rows(served) == rows(scratch)
+    assert not {r.neighbor_id for r in served.collect()} & set(range(DRIFT_DEL))
+
+
 def test_mmr_trades_relevance_for_diversity(spark):
     """MMR semantics on a constructed set: two near-identical highly
     relevant docs and one slightly-less-relevant diverse doc — pure top-2

@@ -68,6 +68,7 @@ ALLOW_BNLJ = {
     "ann_upsert_serving": "1-row broadcast centroid-array sides (base build, batch re-encode, query probe_assign); the old-version mask is a broadcast left-anti equi-join and every serving join over the masked-union index is a broadcast equi-join",
     "ann_incremental_ingest_topk": "1-row broadcast centroid-array sides (batch-2 ivf_assign + query probe_assign); serving joins over the appended partitioned index are broadcast equi-joins",
     "ann_kmeans_int8_index_topk": "1-row broadcast centroid-array sides (Lloyd's per-iteration assignment, index build, query probe_assign); serving joins are broadcast equi-joins",
+    "ann_retrain_after_drift": "1-row broadcast centroid-array sides (v1 build + frozen-centroid append, survivor Lloyd's retrain per iteration, rebuild, query probe_assign); the tombstone mask is a broadcast left-anti equi-join and serving joins over the re-stored index are broadcast equi-joins",
     "ann_dim_truncation_recall_at_k": "bounded broadcast query side (truncated-scan tier per dim) + the labeled exact ground-truth tier",
     "ann_pq_adc_recall_at_k": "1-row broadcast codebook-array sides (training assignment, encode, LUT build) + bounded broadcast per-query LUT maps (ADC tier) + the labeled exact ground-truth tier",
     "ann_ivf_pq_rerank_recall_at_k": "1-row broadcast codebook/centroid-array sides (pq_train assignment, single-scan ingest, query probe_assign, LUT build) + the labeled exact ground-truth tier; all serving joins over the stored partitioned index are broadcast equi-joins",
