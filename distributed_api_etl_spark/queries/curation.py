@@ -441,3 +441,43 @@ def documents_training_recipe(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("pack_id").cast("bigint").alias("pack_id"),
         "pack_offset",
     )
+
+
+def _training_packs_oracle_sql() -> str:
+    """The recipe oracle nested, re-aggregated to the pack grain."""
+    return f"""
+    WITH recipe AS ({_training_recipe_oracle_sql()})
+    SELECT shard, pack_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS span_tokens,
+           CAST(min(pack_offset) AS BIGINT) AS first_offset,
+           CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+    FROM recipe
+    GROUP BY shard, pack_id
+    """
+
+
+@register(
+    "documents_training_packs",
+    oracle=_training_packs_oracle_sql(),
+    tags=("text", "ml", "pipeline", "packing"),
+)
+def documents_training_packs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pack-grain view of the training recipe — the contract a data
+    LOADER reads: one row per (shard, pack_id) with its document count,
+    the token span STARTING in the pack (straddle-aware: a doc counts in
+    the pack its first token lands in, the concat-and-chunk convention),
+    the first in-pack offset (0 unless the pack opens mid-straddle), and
+    the language diversity the mixing stage bought. Re-aggregating the
+    recipe to the grain the consumer reads is what catches
+    boundary-arithmetic bugs (off-by-one at the pack cut, a straddling
+    doc double-counted) that the row-grain head can't surface as a
+    count/grouping error. One extra keyed aggregation over the
+    budget-bounded survivor frame — nothing corpus-sized."""
+    recipe = documents_training_recipe(spark, sf_dir)
+    return recipe.groupBy("shard", "pack_id").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("span_tokens"),
+        F.min("pack_offset").cast("bigint").alias("first_offset"),
+        F.countDistinct("lang").cast("bigint").alias("n_langs"),
+    )
