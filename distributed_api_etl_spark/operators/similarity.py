@@ -2238,15 +2238,23 @@ def mmr_topk(
     )
     # lowest-id tie-break via negation requires a NUMERIC id: negating a
     # string id yields null, which would silently break the documented
-    # deterministic tie-break (and engine replayability) — fail loudly here
-    d_dtype = cands.schema["d"].dataType.simpleString()
-    if d_dtype not in {"tinyint", "smallint", "int", "bigint"}:
+    # deterministic tie-break (and engine replayability) — fail loudly
+    # here. Fractional ids negate in their own type (a bigint cast would
+    # truncate distinct ids onto the same tie-break value).
+    from pyspark.sql.types import IntegralType, NumericType
+
+    d_dtype = cands.schema["d"].dataType
+    if not isinstance(d_dtype, NumericType):
         raise ValueError(
-            f"mmr_topk: id column {id_col!r} must be an integer type for the "
-            f"lowest-id tie-break (got {d_dtype}); map string ids to a dense "
-            "numeric surrogate before reranking"
+            f"mmr_topk: id column {id_col!r} must be numeric for the "
+            f"lowest-id tie-break (got {d_dtype.simpleString()}); map string "
+            "ids to a dense numeric surrogate before reranking"
         )
-    neg_d = (-F.col("d")).cast("bigint")
+    neg_d = (
+        (-F.col("d")).cast("bigint")
+        if isinstance(d_dtype, IntegralType)
+        else -F.col("d")
+    )
     # the greedy loop is inherently sequential, and each step must see ALL
     # prior picks. Accumulating picks as a growing DataFrame union embeds
     # the whole accumulated plan in every step's joins — O(k^2) logical

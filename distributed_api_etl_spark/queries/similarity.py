@@ -327,20 +327,9 @@ def _quant_ctes_sql(vecs_where: str = "") -> str:
     )"""
 
 
-_QUANT_CTES = f"""
-    vecs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-    qt AS (
-      SELECT vec_id,
-             CASE WHEN list_max(list_transform(v, x -> abs(x))) > 0
-                  THEN list_max(list_transform(v, x -> abs(x))) / 127
-                  ELSE 1.0 END AS scale,
-             v
-      FROM vecs
-    ),
-    quant AS (
-      SELECT vec_id, list_transform(v, x -> CAST(round(x / scale) AS INTEGER)) AS qvec
-      FROM qt
-    )"""
+# the unfiltered chain, shared by every int8 oracle — defined via the
+# parameterized helper so the quantization formula exists exactly once
+_QUANT_CTES = _quant_ctes_sql()
 
 
 K_CAND_IVF = 10

@@ -45,7 +45,7 @@ from pyspark.sql.types import ArrayType, DoubleType
 from distributed_api_etl_spark.operators import similarity as S
 
 SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-N_QUERIES = int(os.environ.get("OPQ_QUERIES", "10"))
+N_QUERIES = int(os.environ.get("OPQ_QUERIES", "50"))
 TOP_K = 5
 K_CAND = 20
 DIM = 64
@@ -68,7 +68,7 @@ def second_moment(emb, vec_col: str) -> np.ndarray:
     aggregated in Spark (DIM^2 cells, bounded metadata), never a driver
     materialization of the corpus."""
     a = emb.select(F.posexplode(F.col(vec_col)).alias("i", "xi"), F.col(vec_col))
-    pairs = a.select("i", "xi", F.posexplode(F.col("embedding")).alias("j", "xj"))
+    pairs = a.select("i", "xi", F.posexplode(F.col(vec_col)).alias("j", "xj"))
     cells = (
         pairs.groupBy("i", "j").agg(F.avg(F.col("xi") * F.col("xj")).alias("c"))
         .collect()
