@@ -51,6 +51,15 @@ def pack_sequences(
     """
     if budget <= 0:
         raise ValueError(f"budget must be positive, got {budget}")
+    clobbered = {"pack_id", "pack_offset", "_cum_before"}.intersection(df.columns)
+    if clobbered:
+        # withColumn would silently replace a prior packing pass's outputs
+        # (and the final drop would eat a caller's _cum_before) — the
+        # shard_assignment collision-guard convention
+        raise ValueError(
+            f"pack_sequences: input already carries {sorted(clobbered)}; "
+            "rename or drop them before re-packing"
+        )
     order_cols = [order_col] if isinstance(order_col, str) else list(order_col)
     w = (
         Window.partitionBy(stream_col)

@@ -69,6 +69,10 @@ def shard_assignment(
     pipelines don't pay a self-join to re-attach attributes the caller
     already has in hand — the index-build carry convention).
     """
+    if n_shards < 1:
+        # Spark's non-ANSI `h % 0` evaluates to NULL, which would silently
+        # assign every row shard=NULL instead of erroring
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
     reserved = {"shard", "sort_key", id_col}.intersection(carry_cols)
     if reserved:
         raise ValueError(
@@ -176,7 +180,13 @@ def token_budget_sample(
         .orderBy(pri.asc(), F.col(id_col).asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    cum = F.sum(F.col(tokens_col)).over(w).cast("bigint")
+    # a NULL token count contributes 0 and the row is kept (the coalesce
+    # also keeps an all-null PREFIX from yielding a null running sum,
+    # whose `<= budget` comparison would silently drop those rows) — the
+    # contract the streaming admission form mirrors with fillna(0)
+    cum = F.sum(F.coalesce(F.col(tokens_col).cast("bigint"), F.lit(0))).over(w).cast(
+        "bigint"
+    )
     return (
         df.select(
             F.col(id_col),

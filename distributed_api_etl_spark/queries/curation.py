@@ -198,6 +198,27 @@ CURATION_BUDGET_DEFAULT = 150
 CURATION_BUDGET_SEED = "curation"
 
 
+def _train_with_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curated TRAIN split as ``(doc_id, lang, n_tokens)`` — the shared
+    entry frame of every downstream budgeting/mixing stage. One definition
+    so the graded token-count semantics (whitespace tokens of the CLEANED
+    text, language from the source table) cannot drift between the
+    budgeted head and the recipe head."""
+    from distributed_api_etl_spark.functions.textfns import tokens
+
+    docs = fan_out(table(spark, sf_dir, "documents"))
+    pipe = documents_curation_pipeline(spark, sf_dir)
+    return (
+        pipe.where(F.col("split") == "train")
+        .join(docs.select("doc_id", "lang"), "doc_id")
+        .select(
+            "doc_id",
+            "lang",
+            F.size(tokens(F.col("cleaned_text"))).cast("bigint").alias("n_tokens"),
+        )
+    )
+
+
 def _curation_budget_oracle_sql() -> str:
     """The curation oracle nested as a derived table, then the token-budget
     fragment (the documents_token_budget_mix oracle shape) over the TRAIN
@@ -247,22 +268,10 @@ def documents_curation_budgeted(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage is the graded operator unchanged. Deterministic end-to-end:
     which docs survive, their cleaned token counts, and which fit the
     per-language cap are all pure functions of the corpus."""
-    from distributed_api_etl_spark.functions.textfns import tokens
     from distributed_api_etl_spark.operators.sampling import token_budget_sample
 
-    docs = fan_out(table(spark, sf_dir, "documents"))
-    pipe = documents_curation_pipeline(spark, sf_dir)
-    train = (
-        pipe.where(F.col("split") == "train")
-        .join(docs.select("doc_id", "lang"), "doc_id")
-        .select(
-            "doc_id",
-            "lang",
-            F.size(tokens(F.col("cleaned_text"))).cast("bigint").alias("n_tokens"),
-        )
-    )
     return token_budget_sample(
-        train,
+        _train_with_tokens(spark, sf_dir),
         "doc_id",
         "lang",
         "n_tokens",
@@ -387,7 +396,6 @@ def documents_training_recipe(spark: SparkSession, sf_dir: str) -> DataFrame:
     shard count would scale with the cluster; the giant-group caveat and
     map-side fallback are documented on token_budget_sample).
     """
-    from distributed_api_etl_spark.functions.textfns import tokens
     from distributed_api_etl_spark.operators.packing import pack_sequences
     from distributed_api_etl_spark.operators.sampling import (
         hash_stratified_sample,
@@ -396,18 +404,9 @@ def documents_training_recipe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from distributed_api_etl_spark.queries.text import MIX_DEFAULT, MIX_RATES
 
-    docs = fan_out(table(spark, sf_dir, "documents"))
-    pipe = documents_curation_pipeline(spark, sf_dir)
-    train = (
-        pipe.where(F.col("split") == "train")
-        .join(docs.select("doc_id", "lang"), "doc_id")
-        .select(
-            "doc_id",
-            "lang",
-            F.size(tokens(F.col("cleaned_text"))).cast("bigint").alias("n_tokens"),
-        )
+    mixed = hash_stratified_sample(
+        _train_with_tokens(spark, sf_dir), "doc_id", "lang", MIX_RATES, MIX_DEFAULT
     )
-    mixed = hash_stratified_sample(train, "doc_id", "lang", MIX_RATES, MIX_DEFAULT)
     budgeted = token_budget_sample(
         mixed,
         "doc_id",

@@ -135,9 +135,15 @@ def streaming_hll_distinct(
     sketch's merge algebra (element-wise max of register arrays), so the
     state after any number of micro-batches equals the batch sketch of the
     union — which is what makes the result exactly gradable against the
-    batch oracle. Emits the group's full register table after every batch
-    that touches it (update mode); estimate with
-    ``operators.sketch.hll_estimate`` on the sink.
+    batch oracle. Emits the group's OCCUPIED registers (max_rho > 0) after
+    every batch that touches it (update mode) — the same omit-empty
+    convention as the batch ``hll_registers``, so
+    ``operators.sketch.hll_estimate`` on the sink computes the correct
+    ``zero_registers`` linear-counting correction (emitting the zeros
+    would pin zero_registers at 0 and wreck small-range estimates).
+    Null keys contribute no register, matching the batch sketch's
+    distinct-count-of-non-null semantics (and a null hash must never
+    reach the integer bucket shift).
 
     Hashing runs JVM-side (``portable_hash32``) BEFORE the Python stage —
     the pandas function only buckets and maxes integers.
@@ -162,10 +168,13 @@ def streaming_hll_distinct(
         regs = np.array(state.get[0] if state.exists else [0] * HLL_M, dtype=np.int64)
         touched = False
         for pdf in pdf_iter:
-            if not len(pdf):
+            # null keys hash to null (pandas NaN -> float64 column): they
+            # contribute nothing to the sketch and would crash the integer
+            # shift below, so drop them before bucketing
+            h = pdf["h32"].dropna().to_numpy(dtype=np.int64)
+            if not len(h):
                 continue
             touched = True
-            h = pdf["h32"].to_numpy()
             buckets = h >> HLL_W
             rem = h & ((1 << HLL_W) - 1)
             # rho = W + 1 - bit_length(rem). floor(log2(int)) is exact for
@@ -180,11 +189,15 @@ def streaming_hll_distinct(
             np.maximum.at(regs, buckets, rho)
         if touched:
             state.update((regs.tolist(),))
+            # emit occupied registers only (registers are monotone, so a
+            # bucket once emitted re-emits on every later touch — the sink
+            # holds the group's complete occupied set)
+            occ = np.nonzero(regs > 0)[0]
             yield pd.DataFrame(
                 {
-                    "g": [key[0]] * HLL_M,
-                    "bucket": list(range(HLL_M)),
-                    "max_rho": regs.tolist(),
+                    "g": [key[0]] * len(occ),
+                    "bucket": occ.tolist(),
+                    "max_rho": regs[occ].tolist(),
                 }
             )
 
@@ -263,7 +276,13 @@ def streaming_token_budget_admission(
         if chunks and not closed:
             pdf = pd.concat(chunks, ignore_index=True)
             pdf = pdf.sort_values(["_pri", "_id"])
-            cum = used + pdf["_tok"].cumsum()
+            # a NULL token count must behave exactly as in the batch
+            # operator (Spark's window sum skips nulls: the row is kept,
+            # contributing 0 to the running total) — pandas cumsum would
+            # instead leave NaN at the row, reject it, and latch `closed`,
+            # shutting the group forever. Fill 0 for the SUM only; the
+            # emitted n_tokens keeps the original null.
+            cum = used + pdf["_tok"].fillna(0).cumsum()
             admit = cum <= budget
             if not admit.all():
                 closed = True

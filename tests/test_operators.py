@@ -569,6 +569,58 @@ def test_pack_sequences_compound_order_tie_break(spark):
     assert out[("b", 1)] == (0, 0)
 
 
+def test_token_budget_null_tokens_and_guards(spark):
+    """A NULL token count contributes 0 and the row is KEPT (the batch
+    window's coalesce — mirrored by the streaming form's fillna); the
+    shard/pack guards fail fast on degenerate inputs instead of silently
+    emitting NULL shards or clobbering prior packing outputs."""
+    import pytest as _pytest
+
+    from distributed_api_etl_spark.operators.packing import pack_sequences
+    from distributed_api_etl_spark.operators.sampling import (
+        shard_assignment,
+        token_budget_sample,
+    )
+
+    import hashlib
+
+    rows = [(1, "en", None), (2, "en", 100), (3, "en", None), (4, "en", 2000)]
+    df = spark.createDataFrame(rows, "doc_id bigint, lang string, n_tokens bigint")
+    out = {r.doc_id: (r.n_tokens, r.cum_tokens)
+           for r in token_budget_sample(
+               df, "doc_id", "lang", "n_tokens", {"en": 150}).collect()}
+
+    # python reference: same hash priority, nulls contribute 0 and are
+    # kept while the running total still fits the budget
+    def pri(doc_id):
+        return int(hashlib.md5(f":en:{doc_id}".encode()).hexdigest()[:8], 16)
+
+    expected, cum = {}, 0
+    for doc_id, _, tok in sorted(rows, key=lambda r: (pri(r[0]), r[0])):
+        cum += tok or 0
+        if cum <= 150:
+            expected[doc_id] = (tok, cum)
+    assert out == expected
+
+    # with a budget everything fits, the null rows are KEPT with an
+    # unchanged running total (pre-fix they'd be dropped and could close
+    # the streaming group) — null n_tokens surfaces as None, not 0
+    all_kept = {r.doc_id: (r.n_tokens, r.cum_tokens)
+                for r in token_budget_sample(
+                    df, "doc_id", "lang", "n_tokens", {"en": 5000}).collect()}
+    assert set(all_kept) == {1, 2, 3, 4}
+    assert all_kept[1][0] is None and all_kept[3][0] is None
+    assert max(c for _, c in all_kept.values()) == 2100
+
+    with _pytest.raises(ValueError, match="n_shards"):
+        shard_assignment(df, "doc_id", 0)
+    packed = pack_sequences(
+        df.where("n_tokens is not null"), "doc_id", "n_tokens", 128, "lang"
+    )
+    with _pytest.raises(ValueError, match="re-packing"):
+        pack_sequences(packed, "doc_id", "n_tokens", 256, "lang")
+
+
 def test_shard_assignment_carry_cols(spark):
     """carry_cols projects attributes through (no self-join needed in
     composition) without perturbing the hash outputs; collisions with the

@@ -394,9 +394,48 @@ def test_streaming_hll_state_equals_batch_sketch(spark, tmp_path, sf_dir):
         (r["event_type"], r["bucket"]): r["max_rho"]
         for r in hll_registers(ev, "user_id", ["event_type"]).collect()
     }
-    # streaming emits ALL m registers (zeros included); compare non-zero
-    stream_nonzero = {k: v for k, v in final.items() if v > 0}
-    assert stream_nonzero == batch
+    # streaming now emits only OCCUPIED registers (the batch hll_registers
+    # omit-empty convention, so hll_estimate's zero_registers correction
+    # works straight off the sink) — registers are monotone, so the last
+    # emission per group IS its complete occupied set
+    assert all(v > 0 for v in final.values())
+    assert final == batch
+
+
+def test_streaming_hll_null_keys_ignored(spark, tmp_path):
+    """A NULL key hashes to null: it must contribute no register and must
+    NOT crash the integer bucket shift (pre-fix: pandas float64 column ->
+    TypeError on >> -> the whole streaming query aborts)."""
+    import os
+
+    from distributed_api_etl_spark.operators.sketch import hll_registers
+    from distributed_api_etl_spark.streaming import streaming_hll_distinct
+
+    rows = [("a", 1), ("a", None), ("b", None), ("a", 2)]
+    df = spark.createDataFrame(rows, "event_type string, user_id bigint")
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    df.coalesce(1).write.parquet(f"{src}/a")
+    stream = spark.readStream.schema(df.schema).parquet(f"{src}/*")
+    out = streaming_hll_distinct(stream, group_col="event_type", key_col="user_id")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("hll_null_sink")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300)
+    got = {(r["g"], r["bucket"]): r["max_rho"]
+           for r in spark.table("hll_null_sink").collect()}
+    # group b had ONLY null keys: no registers at all; group a matches the
+    # batch sketch of its non-null keys
+    assert not any(g == "b" for g, _ in got)
+    batch = {("a", r["bucket"]): r["max_rho"]
+             for r in hll_registers(
+                 df.where("user_id is not null and event_type = 'a'"),
+                 "user_id", ["event_type"]).collect()}
+    assert got == batch
 
 
 def test_streaming_pipeline_incremental_after_restart(spark, tmp_path):
@@ -631,6 +670,41 @@ def test_streaming_token_budget_across_batches(spark, tmp_path):
     for grp in ("g", "h"):
         tot = sum(r.n_tokens for r in rows if r.grp == grp)
         assert tot <= 100
+
+
+def test_streaming_token_budget_null_tokens_keep_group_open(spark, tmp_path):
+    """A NULL token count must behave as in the batch operator — the row is
+    admitted contributing 0 — and must NOT latch `closed` (pre-fix: pandas
+    cumsum left NaN, the row was rejected, and the group shut forever
+    against all future batches)."""
+    from distributed_api_etl_spark.streaming.stateful import (
+        streaming_token_budget_admission,
+    )
+
+    src = str(tmp_path / "docs_src")
+    spark.createDataFrame(
+        [(1, "g", 60), (2, "g", None), (3, "g", 30)],
+        "doc_id bigint, lang string, n_tokens bigint",
+    ).coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(
+        "doc_id bigint, lang string, n_tokens bigint"
+    ).parquet(src)
+    out = streaming_token_budget_admission(
+        stream, "doc_id", "lang", "n_tokens", {"g": 100}, 0
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("budget_null_out")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {r.doc_id: r for r in spark.sql("SELECT * FROM budget_null_out").collect()}
+    # all three fit (60 + 0 + 30 <= 100); the null row's n_tokens stays null
+    assert set(rows) == {1, 2, 3}
+    assert rows[2].n_tokens is None
+    assert max(r.cum_tokens for r in rows.values()) == 90
 
 
 def test_streaming_token_budget_multi_chunk_group(spark, tmp_path):
