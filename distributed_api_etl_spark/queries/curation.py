@@ -302,14 +302,12 @@ RECIPE_SHARD_SEED = "recipe-epoch0"
 RECIPE_PACK_BUDGET = 256
 
 
-def _training_recipe_oracle_sql() -> str:
-    """The curation oracle nested as a derived table, then mixture-rate
-    filter -> per-language budget window -> shard hash -> per-shard pack
-    window, each fragment the same shape its standalone oracle verifies."""
-    from distributed_api_etl_spark.queries.text import MIX_DEFAULT, MIX_RATES
-
-    mix_case = " ".join(f"WHEN '{k}' THEN {v}" for k, v in MIX_RATES.items())
-    mix_h = portable_hash32_sql("d.lang || ':' || CAST(b.doc_id AS VARCHAR)")
+def _recipe_tail_sql(base_sql: str) -> str:
+    """Mixture-filtered ``(doc_id, lang, n_tokens)`` base -> per-language
+    budget window -> shard hash -> per-shard pack window — the recipe's
+    shared SQL tail, each fragment the same shape its standalone oracle
+    verifies. ``base_sql`` supplies the base selection (the plain recipe's
+    curated train split, or the decontaminated variant's)."""
     bud_case = " ".join(f"WHEN '{k}' THEN {v}" for k, v in RECIPE_BUDGETS.items())
     pri = portable_hash32_sql(
         f"'{RECIPE_BUDGET_SEED}:' || lang || ':' || CAST(doc_id AS VARCHAR)"
@@ -318,14 +316,7 @@ def _training_recipe_oracle_sql() -> str:
         f"'{RECIPE_SHARD_SEED}:' || CAST(doc_id AS VARCHAR)"
     )
     return f"""
-    WITH base AS (
-      SELECT b.doc_id, d.lang,
-             CAST(len(string_split(b.cleaned_text, ' ')) AS BIGINT) AS n_tokens
-      FROM ({_curation_oracle_sql()}) b
-      JOIN documents d USING (doc_id)
-      WHERE b.split = 'train'
-        AND {mix_h} % 1000 < CASE d.lang {mix_case} ELSE {MIX_DEFAULT} END
-    ),
+    WITH base AS ({base_sql}),
     bud AS (
       SELECT doc_id, lang, n_tokens,
              CAST(sum(n_tokens) OVER (
@@ -358,6 +349,28 @@ def _training_recipe_oracle_sql() -> str:
            CAST(cb % {RECIPE_PACK_BUDGET} AS BIGINT) AS pack_offset
     FROM packed
     """
+
+
+def _recipe_base_sql() -> str:
+    """The plain recipe base: curated TRAIN split + mixture-rate filter."""
+    from distributed_api_etl_spark.queries.text import MIX_DEFAULT, MIX_RATES
+
+    mix_case = " ".join(f"WHEN '{k}' THEN {v}" for k, v in MIX_RATES.items())
+    mix_h = portable_hash32_sql("d.lang || ':' || CAST(b.doc_id AS VARCHAR)")
+    return f"""
+      SELECT b.doc_id, d.lang,
+             CAST(len(string_split(b.cleaned_text, ' ')) AS BIGINT) AS n_tokens
+      FROM ({_curation_oracle_sql()}) b
+      JOIN documents d USING (doc_id)
+      WHERE b.split = 'train'
+        AND {mix_h} % 1000 < CASE d.lang {mix_case} ELSE {MIX_DEFAULT} END
+    """
+
+
+def _training_recipe_oracle_sql() -> str:
+    """The curation oracle nested as a derived table, then the shared
+    mixture/budget/shard/pack tail."""
+    return _recipe_tail_sql(_recipe_base_sql())
 
 
 @register(
@@ -396,17 +409,25 @@ def documents_training_recipe(spark: SparkSession, sf_dir: str) -> DataFrame:
     shard count would scale with the cluster; the giant-group caveat and
     map-side fallback are documented on token_budget_sample).
     """
-    from distributed_api_etl_spark.operators.packing import pack_sequences
-    from distributed_api_etl_spark.operators.sampling import (
-        hash_stratified_sample,
-        shard_assignment,
-        token_budget_sample,
-    )
+    from distributed_api_etl_spark.operators.sampling import hash_stratified_sample
     from distributed_api_etl_spark.queries.text import MIX_DEFAULT, MIX_RATES
 
     mixed = hash_stratified_sample(
         _train_with_tokens(spark, sf_dir), "doc_id", "lang", MIX_RATES, MIX_DEFAULT
     )
+    return _recipe_tail(mixed)
+
+
+def _recipe_tail(mixed: DataFrame) -> DataFrame:
+    """Budget -> shard -> pack over a mixture-filtered ``(doc_id, lang,
+    n_tokens)`` frame — the recipe's shared Spark tail (the SQL twin is
+    :func:`_recipe_tail_sql`)."""
+    from distributed_api_etl_spark.operators.packing import pack_sequences
+    from distributed_api_etl_spark.operators.sampling import (
+        shard_assignment,
+        token_budget_sample,
+    )
+
     budgeted = token_budget_sample(
         mixed,
         "doc_id",
@@ -480,3 +501,106 @@ def documents_training_packs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("pack_offset").cast("bigint").alias("first_offset"),
         F.countDistinct("lang").cast("bigint").alias("n_langs"),
     )
+
+
+# The decontamination shingle length: the standalone head's 3-gram match
+# contaminates ~85% of this synthetic corpus (generic trigrams collide),
+# which would grade an empty recipe; 4-grams flag ~10% of the curated
+# train split — a non-degenerate removal that still exercises the real
+# contract (production uses 8-13-gram verbatim matches; n is the
+# operator's parameter either way).
+DECON_N = 4
+_DECON_SHINGLES = (
+    f"list_transform(generate_series(1, greatest(len(t) - {DECON_N - 1}, 0)), "
+    "i -> " + " || ' ' || ".join(
+        "t[i]" if j == 0 else f"t[i+{j}]" for j in range(DECON_N)
+    ) + ")"
+)
+
+
+def _decon_recipe_base_sql() -> str:
+    """The decontaminated recipe base: curated TRAIN split, benchmark-
+    overlap documents removed (3-shingle match of CLEANED text vs the
+    eval set's raw text), then the mixture-rate filter."""
+    from distributed_api_etl_spark.queries.text import (
+        EVAL_SET_MAX_ID,
+        MIX_DEFAULT,
+        MIX_RATES,
+    )
+
+    mix_case = " ".join(f"WHEN '{k}' THEN {v}" for k, v in MIX_RATES.items())
+    mix_h = portable_hash32_sql("tr.lang || ':' || CAST(tr.doc_id AS VARCHAR)")
+    return f"""
+      WITH tr AS (
+        SELECT b.doc_id, b.cleaned_text, d.lang
+        FROM ({_curation_oracle_sql()}) b
+        JOIN documents d USING (doc_id)
+        WHERE b.split = 'train'
+      ),
+      trsh AS (
+        SELECT DISTINCT doc_id, s
+        FROM (SELECT doc_id, string_split(cleaned_text, ' ') AS t FROM tr),
+             UNNEST({_DECON_SHINGLES}) u(s)
+      ),
+      evsh AS (
+        SELECT DISTINCT s
+        FROM (SELECT string_split(text, ' ') AS t FROM documents
+              WHERE doc_id < {EVAL_SET_MAX_ID}),
+             UNNEST({_DECON_SHINGLES}) u(s)
+      ),
+      cont AS (SELECT DISTINCT doc_id FROM trsh JOIN evsh USING (s))
+      SELECT tr.doc_id, tr.lang,
+             CAST(len(string_split(tr.cleaned_text, ' ')) AS BIGINT) AS n_tokens
+      FROM tr LEFT JOIN cont c USING (doc_id)
+      WHERE c.doc_id IS NULL
+        AND {mix_h} % 1000 < CASE tr.lang {mix_case} ELSE {MIX_DEFAULT} END
+    """
+
+
+@register(
+    "documents_recipe_decontaminated",
+    oracle=_recipe_tail_sql(_decon_recipe_base_sql()),
+    tags=("dedup", "text", "ml", "pipeline", "sampling", "packing"),
+)
+def documents_recipe_decontaminated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The training recipe with benchmark DECONTAMINATION composed in —
+    the hygiene stage every real pre-training pipeline runs, graded in
+    composition because its PLACEMENT is the contract: decontamination
+    applies to the curated train split's CLEANED text (what actually
+    ships — raw-text matching would both miss passages dedup changed and
+    flag passages dedup removed) and runs BEFORE the token budgets (a
+    contaminated document must never consume budget that an honest one
+    then loses; mixture rates commute with the filter, budgets do not).
+    The eval set is the standalone text_decontaminate head's benchmark
+    proxy (doc_id < EVAL_SET_MAX_ID, RAW text — the benchmark is external
+    and never curated), matched on DECON_N-gram shingles.
+
+    100 TB shape: adds ONE broadcast of the distinct eval shingle set and
+    one corpus-side explode/semi-join/anti-join over the already-bounded
+    curated train split (operators/text.py:decontaminate — no pair
+    materialization); the tail is the recipe's shared budget/shard/pack
+    plan unchanged.
+    """
+    from distributed_api_etl_spark.operators.sampling import hash_stratified_sample
+    from distributed_api_etl_spark.operators.text import decontaminate
+    from distributed_api_etl_spark.functions.textfns import tokens
+    from distributed_api_etl_spark.queries.text import (
+        EVAL_SET_MAX_ID,
+        MIX_DEFAULT,
+        MIX_RATES,
+    )
+
+    docs = fan_out(table(spark, sf_dir, "documents"))
+    pipe = documents_curation_pipeline(spark, sf_dir)
+    train = pipe.where(F.col("split") == "train").select("doc_id", "cleaned_text")
+    ev = docs.where(F.col("doc_id") < EVAL_SET_MAX_ID).select(
+        "doc_id", F.col("text").alias("cleaned_text")
+    )
+    survivors = decontaminate(train, ev, "doc_id", "cleaned_text", n=DECON_N)
+    base = survivors.join(docs.select("doc_id", "lang"), "doc_id").select(
+        "doc_id",
+        "lang",
+        F.size(tokens(F.col("cleaned_text"))).cast("bigint").alias("n_tokens"),
+    )
+    mixed = hash_stratified_sample(base, "doc_id", "lang", MIX_RATES, MIX_DEFAULT)
+    return _recipe_tail(mixed)
