@@ -560,6 +560,7 @@ def _decon_recipe_base_sql() -> str:
 @register(
     "documents_recipe_decontaminated",
     oracle=_recipe_tail_sql(_decon_recipe_base_sql()),
+    bench=True,
     tags=("dedup", "text", "ml", "pipeline", "sampling", "packing"),
 )
 def documents_recipe_decontaminated(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -3958,6 +3958,7 @@ def _retrain_oracle_sql() -> str:
 @register(
     "ann_retrain_after_drift",
     oracle=_retrain_oracle_sql(),
+    bench=True,
     tags=("similarity", "quantization", "ml", "sink", "partitioning"),
 )
 def ann_retrain_after_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
