@@ -1900,3 +1900,97 @@ def documents_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         TOKEN_BUDGET_DEFAULT,
         seed=TOKEN_BUDGET_SEED,
     )
+
+
+# --- giant-group budget fallback (VERDICT r14 #3) ---------------------------
+# A deliberately skewed grouping: doc_id % 10 < 7 collapses 70% of the
+# corpus into ONE group ("giant"), the rest split into 10%-sized tails —
+# the shape where token_budget_sample's per-group prefix window would
+# serialize most of a 100 TB corpus through a single task.
+GIANT_BUDGETS = {"giant": 3000, "tail7": 400}
+GIANT_BUDGET_DEFAULT = 100_000
+GIANT_BUDGET_SEED = "rate0"
+
+
+def _giant_group_oracle() -> str:
+    from distributed_api_etl_spark.functions.portable import portable_hash32_sql
+
+    case = " ".join(f"WHEN '{k}' THEN {v}" for k, v in GIANT_BUDGETS.items())
+    h = portable_hash32_sql(
+        f"'{GIANT_BUDGET_SEED}:' || grp || ':' || CAST(doc_id AS VARCHAR)"
+    )
+    return f"""
+    WITH t AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 10 < 7 THEN 'giant'
+                  ELSE 'tail' || CAST(doc_id % 10 AS VARCHAR) END AS grp,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    tot AS (
+      SELECT grp, CAST(sum(n_tokens) AS BIGINT) AS grp_total_tokens
+      FROM t GROUP BY grp
+    ),
+    thr AS (
+      SELECT grp, grp_total_tokens,
+             CAST(CASE WHEN grp_total_tokens <= bud THEN 1000000
+                  ELSE (CAST(1000000 AS BIGINT) * bud) // grp_total_tokens
+             END AS BIGINT) AS threshold_ppm
+      FROM (SELECT *, CAST(CASE grp {case}
+                           ELSE {GIANT_BUDGET_DEFAULT} END AS BIGINT) AS bud
+            FROM tot)
+    )
+    SELECT t.doc_id, t.grp, t.n_tokens,
+           thr.grp_total_tokens, thr.threshold_ppm
+    FROM t JOIN thr USING (grp)
+    WHERE {h} % 1000000 < thr.threshold_ppm
+    """
+
+
+@register(
+    "documents_token_budget_giant_group",
+    oracle=_giant_group_oracle(),
+    # bench-tracked: this IS the budget regime's 100-TB fallback plan
+    # (map-side agg + broadcast + filter, zero windows) — its counter
+    # profile vs documents_token_budget_mix's keyed window is the
+    # crossover evidence SCALE.md records
+    bench=True,
+    tags=("text", "sampling", "skew", "pipeline"),
+)
+def documents_token_budget_giant_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The GIANT-GROUP token-budget fallback graded on a deliberately
+    skewed grouping (operators/sampling.py:rate_budget_sample — the
+    map-side alternative that token_budget_sample's docstring prescribes
+    for groups too large to prefix-scan through one task): 70% of the
+    corpus lands in one "giant" group, whose budget (3000 tokens, ~37% of
+    its total) forces a real sub-1e6 hash threshold; "tail7" exercises
+    the threshold path on a small group; the remaining tails fit their
+    default budget and take the keep-everything branch (threshold
+    1_000_000). The kept set is a pure function of (ids, token counts,
+    budgets) — one map-side-combinable aggregate (one row per group), a
+    broadcast join back, and a whole-stage-codegen hash filter; no
+    window, no sort, no per-group serialization. Exactness tolerance
+    (vs the window operator's hard cap) is pinned by
+    tests/test_operators.py:test_rate_budget_sample_tolerance and
+    measured in SCALE.md."""
+    from distributed_api_etl_spark.functions.textfns import tokens
+    from distributed_api_etl_spark.operators.sampling import rate_budget_sample
+
+    docs = fan_out(table(spark, sf_dir, "documents"))
+    grp = F.when(F.col("doc_id") % 10 < 7, F.lit("giant")).otherwise(
+        F.concat(F.lit("tail"), (F.col("doc_id") % 10).cast("string"))
+    )
+    with_tok = docs.select(
+        "doc_id",
+        grp.alias("grp"),
+        F.size(tokens(F.col("text"))).cast("bigint").alias("n_tokens"),
+    )
+    return rate_budget_sample(
+        with_tok,
+        "doc_id",
+        "grp",
+        "n_tokens",
+        GIANT_BUDGETS,
+        GIANT_BUDGET_DEFAULT,
+        seed=GIANT_BUDGET_SEED,
+    )

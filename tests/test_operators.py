@@ -2800,3 +2800,46 @@ def test_vacuum_reclaims_tombstones_and_preserves_serving(spark, tmp_path, sf_di
         nprobe=2, prune_partitions=True,  # no tombstones needed any more
     ).collect()
     assert {tuple(r) for r in served} == {tuple(r) for r in masked}
+
+
+def test_rate_budget_sample_tolerance_and_branches(spark):
+    """The giant-group fallback's contract: groups whose total fits the
+    budget keep EVERYTHING (threshold 1e6 — identical to the exact
+    operator there); over-budget groups keep a deterministic hash sample
+    whose token total lands within tolerance of the budget (relative
+    error ~ sqrt(avg_doc_tokens / budget)); NULL token counts count 0
+    toward the total and stay eligible; and the decision is
+    partition-invariant (repartition changes nothing)."""
+    from distributed_api_etl_spark.operators.sampling import rate_budget_sample
+
+    rows = [(i, "giant", 10) for i in range(2000)] + [
+        (10_000 + i, "small", 7) for i in range(5)
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, grp string, n_tokens bigint")
+    out = rate_budget_sample(
+        df, "doc_id", "grp", "n_tokens", {"giant": 5000}, 1_000, seed="t"
+    )
+    got = out.collect()
+    small = [r for r in got if r.grp == "small"]
+    assert len(small) == 5  # 35 tokens <= 1000 -> keep-all branch
+    assert all(r.threshold_ppm == 1_000_000 for r in small)
+    giant = [r for r in got if r.grp == "giant"]
+    kept_tokens = sum(r.n_tokens for r in giant)
+    # budget 5000 of total 20000 -> threshold 250000 ppm; with 2000 docs
+    # of 10 tokens, sqrt-law tolerance is ~ sqrt(10/5000) ~ 4.5% -> assert
+    # a loose 15% band so the test pins the mechanism, not the RNG
+    assert giant and abs(kept_tokens - 5000) / 5000 < 0.15, kept_tokens
+    assert all(r.threshold_ppm == 250_000 for r in giant)
+    assert all(r.grp_total_tokens == 20_000 for r in giant)
+    # partition invariance: same kept set under a different layout
+    got2 = rate_budget_sample(
+        df.repartition(13), "doc_id", "grp", "n_tokens", {"giant": 5000},
+        1_000, seed="t",
+    ).collect()
+    assert sorted(r.doc_id for r in got2) == sorted(r.doc_id for r in got)
+    # NULL tokens: count 0 toward the total, row stays eligible
+    df3 = spark.createDataFrame(
+        [(1, "g", None), (2, "g", 4)], "doc_id bigint, grp string, n_tokens bigint"
+    )
+    out3 = rate_budget_sample(df3, "doc_id", "grp", "n_tokens", {}, 100).collect()
+    assert len(out3) == 2 and all(r.grp_total_tokens == 4 for r in out3)
