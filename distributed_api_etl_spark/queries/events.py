@@ -1431,3 +1431,55 @@ def events_next_event_examples(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = table(spark, sf_dir, "events")
     return next_event_examples(ev, history=3)
+
+
+@register(
+    "events_hot_user_salted_join",
+    oracle="""
+    WITH e AS (
+      SELECT event_id,
+             CAST(CASE WHEN user_id % 10 < 3 THEN 0 ELSE user_id END
+                  AS BIGINT) AS uid
+      FROM events
+    ),
+    dim AS (
+      SELECT uid, CAST(count(*) AS BIGINT) AS uid_events
+      FROM e GROUP BY uid HAVING uid % 2 = 0
+    )
+    SELECT e.event_id, e.uid, d.uid_events
+    FROM e LEFT JOIN dim d USING (uid)
+    """,
+    tags=("events", "skew", "join"),
+)
+def events_hot_user_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deliberately HOT-KEYED dimension join through the salted join
+    (VERDICT r14 #6): collapsing ``user_id % 10 < 3`` onto uid=0 puts
+    ~30% of all events behind ONE high-cardinality join key — the
+    bronze->silver enrichment shape where a plain shuffle join pins a
+    third of the fact table to a single reducer and AQE's skew split
+    can't help a first-stage straggler. salted_join spreads the hot key
+    over 16 salt buckets (row-content entropy) and replicates the dim
+    16x; the graded oracle is the PLAIN left join, so a green row IS the
+    proof that salting only re-keys the shuffle. LEFT semantics are
+    exercised too: the dim keeps only even uids, so odd tail uids must
+    come back exactly once with a NULL — the miss-duplication failure
+    mode the operator's how-guard exists for. Measured per-task spread
+    (plain vs salted layout at sf0.1) is recorded in SCALE.md
+    (scripts/probe_skew_join_r15.py)."""
+    from distributed_api_etl_spark.operators.skew import salted_join
+
+    ev = table(spark, sf_dir, "events").select(
+        "event_id",
+        F.when(F.col("user_id") % 10 < 3, F.lit(0))
+        .otherwise(F.col("user_id"))
+        .cast("bigint")
+        .alias("uid"),
+    )
+    dim = (
+        ev.groupBy("uid")
+        .agg(F.count("*").alias("uid_events"))
+        .where(F.col("uid") % 2 == 0)
+    )
+    return salted_join(ev, dim, ["uid"], n_salts=16, how="left").select(
+        "event_id", "uid", "uid_events"
+    )
