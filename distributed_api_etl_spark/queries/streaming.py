@@ -588,3 +588,85 @@ def streaming_token_budget_admission(spark: SparkSession, sf_dir: str) -> DataFr
     return spark.table(name).select(
         "doc_id", F.col("grp").alias("lang"), "n_tokens", "cum_tokens"
     )
+
+
+def _streaming_recipe_oracle() -> str:
+    from distributed_api_etl_spark.queries.curation import (
+        _training_recipe_oracle_sql,
+    )
+
+    return _training_recipe_oracle_sql()
+
+
+@register(
+    "streaming_training_recipe",
+    oracle=_streaming_recipe_oracle(),
+    tags=("streaming", "dedup", "text", "ml", "pipeline", "sampling", "packing"),
+)
+def streaming_training_recipe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end training recipe under CONTINUOUS INGEST
+    (streaming/recipe.py): documents arrive as a file stream; foreachBatch
+    runs gates -> incremental near-dup vs the standing keeper store ->
+    infinite-prior passage dedup -> cluster-keyed split -> mixture rates ->
+    lifetime token-budget admission -> epoch shards -> cross-batch pack
+    offsets, appending each batch's admitted documents to a manifest. The
+    oracle is the BATCH recipe replay (documents_training_recipe's SQL
+    verbatim), so a green row certifies stream==batch for the whole chain —
+    the append==rebuild argument streaming_ann_index_append makes for the
+    vector index, made for the data recipe (the last composition seam
+    VERDICT r14 #2 named). Multi-batch arrival (maxFilesPerTrigger=1:
+    standing-wins dedup, budget closure across batches, contiguous pack
+    offsets) is pinned by tests/test_streaming.py.
+
+    Same constants as the batch head: MIX_RATES mixture, RECIPE_BUDGETS
+    exact budgets, RECIPE_SHARDS epoch shards, 256-token packs."""
+    from distributed_api_etl_spark.queries.curation import (
+        RECIPE_BUDGET_DEFAULT,
+        RECIPE_BUDGET_SEED,
+        RECIPE_BUDGETS,
+        RECIPE_PACK_BUDGET,
+        RECIPE_SHARD_SEED,
+        RECIPE_SHARDS,
+    )
+    from distributed_api_etl_spark.queries.dedup import (
+        PASSAGE_MIN_DF,
+        PASSAGE_TOKENS,
+    )
+    from distributed_api_etl_spark.queries.text import MIX_DEFAULT, MIX_RATES
+    from distributed_api_etl_spark.streaming.recipe import (
+        RecipeConfig,
+        run_streaming_training_recipe,
+    )
+
+    stream = _stream_source(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text"
+    )
+    cfg = RecipeConfig(
+        mix_rates=MIX_RATES,
+        mix_default=MIX_DEFAULT,
+        budgets=RECIPE_BUDGETS,
+        budget_default=RECIPE_BUDGET_DEFAULT,
+        budget_seed=RECIPE_BUDGET_SEED,
+        n_shards=RECIPE_SHARDS,
+        shard_seed=RECIPE_SHARD_SEED,
+        pack_budget=RECIPE_PACK_BUDGET,
+        passage_tokens=PASSAGE_TOKENS,
+        passage_min_df=PASSAGE_MIN_DF,
+    )
+    store_dir = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_recipe_stream_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    manifest, plan = run_streaming_training_recipe(spark, stream, store_dir, cfg)
+    global LAST_EXECUTED_PLAN
+    LAST_EXECUTED_PLAN = plan if plan is not None else LAST_EXECUTED_PLAN
+    return manifest.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        "cum_tokens",
+        "shard",
+        "sort_key",
+        "pack_id",
+        "pack_offset",
+    )

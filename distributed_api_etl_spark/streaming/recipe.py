@@ -1,0 +1,454 @@
+"""STREAMING composition of the end-to-end training-data recipe.
+
+The batch recipe (queries/curation.py:documents_training_recipe) re-curates
+the whole corpus per run. Real pipelines ingest continuously — so this
+module runs the SAME stage chain (gates -> near-dup keep-set -> passage
+dedup -> leakage-safe split -> mixture rates -> token budgets -> epoch
+shards -> concat-and-chunk packs) inside ``foreachBatch``, with the
+cross-batch state each stage needs held in a parquet/JSON RecipeStore:
+
+- **keepers/** (parquet, append) — raw gated text of every near-dup keeper
+  so far: the standing corpus the next batch's incremental MinHash
+  (operators/dedup.py:incremental_lsh_pairs) collides against, and the
+  infinite-prior corpus for incremental passage dedup
+  (operators/dedup.py:passage_incremental_dedup). Corpus-sized, never
+  shuffled — both incremental operators read it as one scan.
+- **budget_state.json** — per-language (admitted tokens, closed) pairs: the
+  streaming_token_budget_admission contract (first rejection closes the
+  group for the stream's lifetime) enforced with plain DataFrame ops inside
+  foreachBatch. O(languages) — metadata-sized by construction.
+- **pack_state.json** — per-shard token base so pack ids/offsets continue
+  across batches. O(shards).
+- **manifest/** (parquet, append) — the shipped-document manifest, one row
+  per packed document: the recipe's loader-facing output.
+
+Semantics contract (the same split the graded streaming family uses):
+
+- Per-row stages (gates, split hash, mixture hash, shard hash) are
+  batch-INVARIANT — any batching yields the batch result.
+- Prefix-stateful stages (budget admission, packing) extend the batch
+  operators' strict-prefix semantics by arrival: within a batch, the batch
+  operator's own order (budget priority hash / epoch sort key) governs;
+  across batches, arrival order governs — a stream cannot reorder the
+  future, and a shipped pack cannot be unshipped.
+- Dedup stages are arrival-prefix-stateful with STANDING-WINS semantics: a
+  new doc that near-dup-matches any standing keeper is dropped (the batch
+  recompute would instead pick the min id); passage doc-frequency uses the
+  incremental operator's documented infinite-prior contract. Both reduce
+  exactly to the batch pipeline when the store is empty.
+
+Hence a single availableNow drain reproduces documents_training_recipe
+row-for-row — what the graded head's oracle asserts — and multi-batch
+arrival is pinned by tests/test_streaming.py with maxFilesPerTrigger=1.
+
+Reference parity note: the reference has no streaming engine at all (its
+batch loop is src/orchestration/batch_processor.py); this is the
+Spark-first extension of its ingest pipeline to continuous arrival.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import tempfile
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from distributed_api_etl_spark.functions.portable import portable_hash32
+
+
+@dataclass(frozen=True)
+class RecipeConfig:
+    """Knobs of the recipe chain — the graded head passes the SAME
+    constants the batch head uses so the two stay contract-identical."""
+
+    mix_rates: dict[str, int]
+    mix_default: int
+    budgets: dict[str, int]
+    budget_default: int
+    budget_seed: str
+    n_shards: int
+    shard_seed: str
+    pack_budget: int
+    shingle_n: int = 3
+    jaccard_pct: int = 70
+    passage_tokens: int = 5
+    passage_min_df: int = 2
+    train_pct: int = 80
+    val_pct: int = 10
+
+
+class RecipeStore:
+    """Filesystem state of the streaming recipe (layout in module doc).
+
+    JSON states are written atomically (tmp + rename) so a crashed batch
+    can never leave a torn file; parquet stores are append-only within a
+    stream's life (reset() starts a fresh stream). The JSON states are
+    bounded by construction (O(languages), O(shards)); only the parquet
+    stores scale with the corpus, and they are only ever scanned, never
+    collected.
+    """
+
+    def __init__(self, root: str) -> None:
+        self.root = root
+        self.keepers_dir = os.path.join(root, "keepers")
+        self.manifest_dir = os.path.join(root, "manifest")
+        self.budget_path = os.path.join(root, "budget_state.json")
+        self.pack_path = os.path.join(root, "pack_state.json")
+
+    def reset(self) -> None:
+        shutil.rmtree(self.root, ignore_errors=True)
+        os.makedirs(self.root, exist_ok=True)
+
+    def _has_parquet(self, d: str) -> bool:
+        return os.path.isdir(d) and any(
+            f.endswith(".parquet") for f in os.listdir(d)
+        )
+
+    def read_keepers(self, spark: SparkSession) -> DataFrame | None:
+        if not self._has_parquet(self.keepers_dir):
+            return None
+        return spark.read.parquet(self.keepers_dir)
+
+    def read_manifest(self, spark: SparkSession) -> DataFrame:
+        if not self._has_parquet(self.manifest_dir):
+            raise ValueError(
+                f"recipe store {self.root!r} has no manifest — did the "
+                "stream produce zero admitted documents?"
+            )
+        return spark.read.parquet(self.manifest_dir)
+
+    def _read_json(self, path: str) -> dict:
+        if not os.path.exists(path):
+            return {}
+        with open(path) as f:
+            return json.load(f)
+
+    def _write_json(self, path: str, obj: dict) -> None:
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(obj, f)
+        os.replace(tmp, path)
+
+    def read_budget_state(self) -> dict[str, tuple[int, bool]]:
+        return {
+            k: (int(v[0]), bool(v[1]))
+            for k, v in self._read_json(self.budget_path).items()
+        }
+
+    def write_budget_state(self, state: dict[str, tuple[int, bool]]) -> None:
+        self._write_json(self.budget_path, {k: list(v) for k, v in state.items()})
+
+    def read_pack_state(self) -> dict[int, int]:
+        return {int(k): int(v) for k, v in self._read_json(self.pack_path).items()}
+
+    def write_pack_state(self, state: dict[int, int]) -> None:
+        self._write_json(self.pack_path, {str(k): v for k, v in state.items()})
+
+
+def process_recipe_batch(
+    batch: DataFrame, store: RecipeStore, cfg: RecipeConfig
+) -> None:
+    """Run one arriving micro-batch through the full recipe chain and
+    append its admitted documents to the manifest.
+
+    ``batch`` must carry (doc_id, lang, text); doc_ids must be globally
+    unique across the stream's life (the incremental dedup operators
+    require disjoint ids — re-delivery dedup is the idempotency anti-join
+    family's job, upstream of this sink).
+    """
+    from distributed_api_etl_spark.operators.dedup import (
+        incremental_lsh_pairs,
+        minhash_lsh_pairs,
+        passage_exact_dedup,
+        passage_incremental_dedup,
+    )
+    from distributed_api_etl_spark.operators.graph import dedup_cluster_assignment
+    from distributed_api_etl_spark.operators.sampling import (
+        hash_stratified_sample,
+        leakage_safe_split,
+        shard_assignment,
+    )
+    from distributed_api_etl_spark.operators.text import gopher_combined_gate
+    from distributed_api_etl_spark.functions.textfns import tokens
+    from distributed_api_etl_spark.session import scoped_persist
+
+    spark = batch.sparkSession
+
+    # -- stage 1: per-row gates (batch-invariant) --------------------------
+    gated = scoped_persist(
+        gopher_combined_gate(
+            batch.select("doc_id", "lang", "text"),
+            "doc_id",
+            "text",
+            carry=("text", "lang"),
+        )
+        .where("keep")
+        .select("doc_id", "lang", "text")
+    )
+
+    # -- stage 2: near-dup keep-set (standing-wins across batches) ---------
+    standing = store.read_keepers(spark)
+    if standing is None:
+        survivors0 = gated
+        within = minhash_lsh_pairs(
+            gated, "doc_id", "text", cfg.shingle_n, cfg.jaccard_pct
+        ).select("d1", "d2")
+    else:
+        pairs = incremental_lsh_pairs(
+            gated.select("doc_id", "text"),
+            standing,
+            "doc_id",
+            "text",
+            cfg.shingle_n,
+            cfg.jaccard_pct,
+        ).select("d1", "d2")
+        s1 = standing.select(F.col("doc_id").alias("d1"))
+        s2 = standing.select(F.col("doc_id").alias("d2"))
+        # the NEW side of every corpus-x-new pair is a dup of a standing
+        # keeper -> dropped (arrival wins; the batch recompute would pick
+        # min id instead — the documented divergence)
+        new_dups = scoped_persist(
+            pairs.join(s1, "d1", "left_semi")
+            .select(F.col("d2").alias("doc_id"))
+            .unionByName(
+                pairs.join(s2, "d2", "left_semi").select(F.col("d1").alias("doc_id"))
+            )
+            .distinct()
+        )
+        survivors0 = gated.join(new_dups, "doc_id", "left_anti")
+        within = (
+            pairs.join(new_dups.select(F.col("doc_id").alias("d1")), "d1", "left_anti")
+            .join(new_dups.select(F.col("doc_id").alias("d2")), "d2", "left_anti")
+            .join(s1, "d1", "left_anti")
+            .join(s2, "d2", "left_anti")
+        )
+    clusters = dedup_cluster_assignment(
+        within, survivors0.select("doc_id"), "doc_id", algorithm="two_phase"
+    )
+    keepers = scoped_persist(
+        survivors0.join(
+            clusters.where("is_keep").select("doc_id", "cluster_id"), "doc_id"
+        )
+    )
+
+    # -- stage 3: passage dedup (infinite-prior corpus df) ------------------
+    if standing is None:
+        cleaned = passage_exact_dedup(
+            keepers.select("doc_id", "text"),
+            "doc_id",
+            "text",
+            passage_tokens=cfg.passage_tokens,
+            min_df=cfg.passage_min_df,
+        )
+    else:
+        cleaned = passage_incremental_dedup(
+            keepers.select("doc_id", "text"),
+            standing,
+            "doc_id",
+            "text",
+            passage_tokens=cfg.passage_tokens,
+            min_df=cfg.passage_min_df,
+        )
+
+    # -- stages 4-5: husk drop, cluster-keyed split, TRAIN mixture ----------
+    survivors = keepers.select("doc_id", "lang", "cluster_id").join(
+        cleaned.where("kept_passages > 0").select("doc_id", "cleaned_text"),
+        "doc_id",
+    )
+    train = (
+        leakage_safe_split(
+            survivors, "cluster_id", train_pct=cfg.train_pct, val_pct=cfg.val_pct
+        )
+        .where(F.col("split") == "train")
+        .select(
+            "doc_id",
+            "lang",
+            F.size(tokens(F.col("cleaned_text"))).cast("bigint").alias("n_tokens"),
+        )
+    )
+    mixed = hash_stratified_sample(
+        train, "doc_id", "lang", cfg.mix_rates, cfg.mix_default
+    )
+
+    # -- stage 6: token-budget admission with lifetime state ---------------
+    bstate = store.read_budget_state()
+    state_rows = [(k, v[0], v[1]) for k, v in bstate.items()]
+    if state_rows:
+        sdf = spark.createDataFrame(
+            state_rows, "lang string, _used bigint, _closed boolean"
+        )
+        based = mixed.join(F.broadcast(sdf), "lang", "left")
+    else:
+        based = mixed.withColumn("_used", F.lit(None).cast("bigint")).withColumn(
+            "_closed", F.lit(None).cast("boolean")
+        )
+    pri = portable_hash32(
+        F.concat(
+            F.lit(f"{cfg.budget_seed}:"),
+            F.col("lang"),
+            F.lit(":"),
+            F.col("doc_id").cast("string"),
+        )
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy(pri.asc(), F.col("doc_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    budget = None
+    for value, b in cfg.budgets.items():
+        cond = F.col("lang") == F.lit(value)
+        budget = F.when(cond, b) if budget is None else budget.when(cond, b)
+    budget = (
+        budget.otherwise(cfg.budget_default)
+        if budget is not None
+        else F.lit(cfg.budget_default)
+    )
+    scored = scoped_persist(
+        based.select(
+            "doc_id",
+            "lang",
+            "n_tokens",
+            F.coalesce(F.col("_closed"), F.lit(False)).alias("_closed"),
+            (
+                F.coalesce(F.col("_used"), F.lit(0))
+                + F.sum(
+                    F.coalesce(F.col("n_tokens").cast("bigint"), F.lit(0))
+                ).over(w)
+            )
+            .cast("bigint")
+            .alias("cum_tokens"),
+            budget.cast("bigint").alias("_budget"),
+        )
+    )
+    admitted = scored.where(
+        (~F.col("_closed")) & (F.col("cum_tokens") <= F.col("_budget"))
+    ).select("doc_id", "lang", "n_tokens", "cum_tokens")
+
+    # -- stage 7: epoch shards + cross-batch pack offsets -------------------
+    sharded = shard_assignment(
+        admitted,
+        "doc_id",
+        cfg.n_shards,
+        seed=cfg.shard_seed,
+        carry_cols=("lang", "n_tokens", "cum_tokens"),
+    )
+    pstate = store.read_pack_state()
+    if pstate:
+        pdf = spark.createDataFrame(
+            [(k, v) for k, v in pstate.items()], "shard int, _base bigint"
+        )
+        based_p = sharded.join(F.broadcast(pdf), "shard", "left")
+    else:
+        based_p = sharded.withColumn("_base", F.lit(None).cast("bigint"))
+    # pack_sequences' concat-and-chunk formula with a cross-batch token
+    # base: cb = base + exclusive running sum in (sort_key, doc_id) order
+    wp = (
+        Window.partitionBy("shard")
+        .orderBy("sort_key", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cb = (
+        F.coalesce(F.col("_base"), F.lit(0))
+        + F.coalesce(F.sum("n_tokens").over(wp), F.lit(0))
+    ).cast("bigint")
+    packed = based_p.withColumn("_cb", cb).select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        "cum_tokens",
+        "shard",
+        "sort_key",
+        F.expr(f"_cb div {cfg.pack_budget}").cast("bigint").alias("pack_id"),
+        F.pmod(F.col("_cb"), F.lit(cfg.pack_budget)).cast("bigint").alias(
+            "pack_offset"
+        ),
+    )
+
+    # -- actions, in state-safety order -------------------------------------
+    # 1. manifest append (consumes the standing store read-only);
+    packed.write.mode("append").parquet(store.manifest_dir)
+    # 2. budget/pack state updates (bounded aggregates -> driver JSON);
+    upd = (
+        scored.groupBy("lang")
+        .agg(
+            F.max(
+                F.when(F.col("cum_tokens") <= F.col("_budget"), F.col("cum_tokens"))
+            ).alias("_mx"),
+            F.max((F.col("cum_tokens") > F.col("_budget")).cast("int")).alias(
+                "_rej"
+            ),
+            F.first("_closed").alias("_was_closed"),
+        )
+        .collect()
+    )
+    for r in upd:
+        if r["_was_closed"]:
+            continue  # closed langs admit nothing; state already final
+        used0 = bstate.get(r["lang"], (0, False))[0]
+        bstate[r["lang"]] = (
+            int(r["_mx"]) if r["_mx"] is not None else used0,
+            bool(r["_rej"]),
+        )
+    store.write_budget_state(bstate)
+    pupd = (
+        packed.groupBy("shard").agg(F.sum("n_tokens").alias("_t")).collect()
+    )
+    for r in pupd:
+        pstate[int(r["shard"])] = pstate.get(int(r["shard"]), 0) + int(r["_t"])
+    store.write_pack_state(pstate)
+    # 3. keeper-store append LAST (pre-husk-drop keepers, raw text — husks
+    #    still block future dups and still count passage df, exactly as
+    #    they do inside one batch run). Append-mode adds part files; the
+    #    standing read's file index was pinned at creation, so this batch's
+    #    own reads never see them.
+    keepers.select("doc_id", "text").write.mode("append").parquet(
+        store.keepers_dir
+    )
+
+
+def run_streaming_training_recipe(
+    spark: SparkSession,
+    stream: DataFrame,
+    store_dir: str,
+    cfg: RecipeConfig,
+    timeout_s: int = 600,
+) -> tuple[DataFrame, str | None]:
+    """Drain ``stream`` (doc_id, lang, text) through the recipe sink with a
+    fresh store, and return (manifest DataFrame, executed micro-batch plan).
+
+    The store is RESET — this runner is the graded/oracle entry point (one
+    deterministic replay); a production deployment would keep the store and
+    checkpoint across runs instead."""
+    store = RecipeStore(store_dir)
+    store.reset()
+
+    def _sink(batch_df: DataFrame, _batch_id: int) -> None:
+        process_recipe_batch(batch_df, store, cfg)
+
+    ckpt = tempfile.mkdtemp(prefix="recipe_stream_ckpt_")
+    try:
+        q = (
+            stream.writeStream.foreachBatch(_sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(timeout_s):
+            q.stop()
+            raise TimeoutError(
+                f"streaming recipe drain still running after {timeout_s}s; "
+                "refusing to grade a partial manifest"
+            )
+        try:
+            plan = q._jsq.explainInternal(False)
+        except Exception:
+            plan = None
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+    return store.read_manifest(spark), plan

@@ -756,3 +756,139 @@ def test_streaming_token_budget_multi_chunk_group(spark, tmp_path):
     finally:
         spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
     assert got == expect and len(got) > 3
+
+
+def _recipe_gate_text(doc: int, n: int = 60, tweak: int = -1) -> str:
+    """Gate-passing synthetic text: >=50 words, mean word length in
+    [3,10], all-alpha words, >=2 english stopword hits, no repeated
+    lines/ngrams (every non-stopword is doc-and-position unique).
+    ``tweak`` replaces one position's word to make a NEAR-duplicate
+    (changing 1 of 60 words keeps trigram-shingle jaccard ~0.9)."""
+    words = []
+    for i in range(n):
+        if i % 15 == 0:
+            words.append("the")
+        elif i % 15 == 7:
+            words.append("and")
+        elif i == tweak:
+            words.append("tweaked")
+        else:
+            words.append(f"word{doc}x{i}")
+    return " ".join(words)
+
+
+def _write_recipe_batches(spark, tmp_path):
+    """Two arrival batches with pinned order: batch 1 = docs 1..8; batch 2
+    = doc 101 (near-dup of doc 1) + docs 102..104 (fresh)."""
+    import os
+
+    src = str(tmp_path / "recipe_src")
+    b1 = [(i, "en", _recipe_gate_text(i)) for i in range(1, 9)]
+    b2 = [(101, "en", _recipe_gate_text(1, tweak=30))] + [
+        (i, "en", _recipe_gate_text(i)) for i in (102, 103, 104)
+    ]
+    spark.createDataFrame(b1, "doc_id bigint, lang string, text string").coalesce(
+        1
+    ).write.parquet(src)
+    spark.createDataFrame(b2, "doc_id bigint, lang string, text string").coalesce(
+        1
+    ).write.mode("append").parquet(src)
+    files = sorted(
+        (os.path.getmtime(os.path.join(src, f)), os.path.join(src, f))
+        for f in os.listdir(src)
+        if f.endswith(".parquet")
+    )
+    later = files[-1][0] + 600
+    os.utime(files[-1][1], (later, later))
+    return src
+
+
+def test_streaming_recipe_across_batches(spark, tmp_path):
+    """The cross-batch semantics the single-drain oracle can't see:
+    (1) standing-wins near-dup — a batch-2 doc that near-duplicates a
+    batch-1 keeper is dropped; (2) pack offsets CONTINUE across batches
+    (concat-and-chunk invariant cb_{i+1} = cb_i + tok_i holds over the
+    full arrival order, no per-batch reset)."""
+    from distributed_api_etl_spark.streaming.recipe import (
+        RecipeConfig,
+        run_streaming_training_recipe,
+    )
+
+    src = _write_recipe_batches(spark, tmp_path)
+    stream = (
+        spark.readStream.schema("doc_id bigint, lang string, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    cfg = RecipeConfig(
+        mix_rates={},
+        mix_default=1000,  # keep-all mixture
+        budgets={},
+        budget_default=10**9,  # budget never binds
+        budget_seed="t",
+        n_shards=1,  # one pack stream -> continuity assertable end to end
+        shard_seed="t",
+        pack_budget=50,
+        train_pct=100,  # every survivor ships
+        val_pct=0,
+    )
+    manifest, _ = run_streaming_training_recipe(
+        spark, stream, str(tmp_path / "recipe_store"), cfg
+    )
+    rows = {r.doc_id: r for r in manifest.collect()}
+    # near-dup of batch-1 keeper dropped; everything else shipped
+    assert 101 not in rows
+    assert set(rows) == {1, 2, 3, 4, 5, 6, 7, 8, 102, 103, 104}
+    # pack continuity: cb recovered from (pack_id, pack_offset) must chain
+    ordered = sorted(rows.values(), key=lambda r: r.pack_id * 50 + r.pack_offset)
+    cb = 0
+    batch1_total = 0
+    for r in ordered:
+        assert r.pack_id * 50 + r.pack_offset == cb, (r.doc_id, cb)
+        cb += r.n_tokens
+        if r.doc_id <= 8:
+            batch1_total += r.n_tokens
+    # batch-2 docs sit AFTER every batch-1 token (continuation, not reset)
+    min_b2 = min(
+        r.pack_id * 50 + r.pack_offset for r in ordered if r.doc_id > 100
+    )
+    assert min_b2 >= batch1_total
+
+
+def test_streaming_recipe_budget_closes_across_batches(spark, tmp_path):
+    """Lifetime budget semantics over arrival: a batch-1 rejection closes
+    the language for the stream's life, so NO batch-2 doc is admitted and
+    the lifetime cap holds over everything ever shipped."""
+    from distributed_api_etl_spark.streaming.recipe import (
+        RecipeConfig,
+        run_streaming_training_recipe,
+    )
+
+    src = _write_recipe_batches(spark, tmp_path)
+    stream = (
+        spark.readStream.schema("doc_id bigint, lang string, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    # each doc is 60 tokens; 8 batch-1 docs = 480 > budget 200 -> batch 1
+    # MUST reject someone, closing "en" before batch 2 arrives
+    cfg = RecipeConfig(
+        mix_rates={},
+        mix_default=1000,
+        budgets={},
+        budget_default=200,
+        budget_seed="t",
+        n_shards=1,
+        shard_seed="t",
+        pack_budget=50,
+        train_pct=100,
+        val_pct=0,
+    )
+    manifest, _ = run_streaming_training_recipe(
+        spark, stream, str(tmp_path / "recipe_store_b"), cfg
+    )
+    rows = manifest.collect()
+    assert rows, "budget 200 admits at least the first 60-token doc"
+    assert all(r.doc_id <= 8 for r in rows)  # closed before batch 2
+    assert sum(r.n_tokens for r in rows) <= 200  # lifetime cap
+    assert max(r.cum_tokens for r in rows) <= 200
