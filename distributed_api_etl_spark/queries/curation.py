@@ -605,3 +605,138 @@ def documents_recipe_decontaminated(spark: SparkSession, sf_dir: str) -> DataFra
     )
     mixed = hash_stratified_sample(base, "doc_id", "lang", MIX_RATES, MIX_DEFAULT)
     return _recipe_tail(mixed)
+
+
+def _rate_recipe_oracle_sql() -> str:
+    """The recipe with the GIANT-GROUP budget fallback in the budget seam:
+    mixture base -> per-language totals -> integer ppm threshold -> hash
+    keep -> the same shard/pack tail (cum_tokens replaced by the
+    threshold audit column, since rate sampling has no running total)."""
+    bud_case = " ".join(f"WHEN '{k}' THEN {v}" for k, v in RECIPE_BUDGETS.items())
+    h = portable_hash32_sql(
+        f"'{RECIPE_BUDGET_SEED}:' || lang || ':' || CAST(doc_id AS VARCHAR)"
+    )
+    shard_h = portable_hash32_sql(
+        f"'{RECIPE_SHARD_SEED}:' || CAST(doc_id AS VARCHAR)"
+    )
+    # the per-language total is a WINDOW over base, not a groupBy +
+    # self-join: base holds the whole recursive curation subquery, and a
+    # second reference makes DuckDB (which inlines CTEs by default)
+    # re-plan the recursive CC per reference — measured minutes even at
+    # sf0.001, and AS MATERIALIZED still left it at ~2 min. The window
+    # form reads base once and computes the identical per-group value.
+    return f"""
+    WITH base AS ({_recipe_base_sql()}),
+    thr AS (
+      SELECT doc_id, lang, n_tokens,
+             CAST(CASE WHEN grp_total_tokens <= bud THEN 1000000
+                  ELSE (CAST(1000000 AS BIGINT) * bud) // grp_total_tokens
+             END AS BIGINT) AS threshold_ppm
+      FROM (
+        SELECT *,
+               CAST(sum(n_tokens) OVER (PARTITION BY lang) AS BIGINT)
+                 AS grp_total_tokens,
+               CAST(CASE lang {bud_case}
+                    ELSE {RECIPE_BUDGET_DEFAULT} END AS BIGINT) AS bud
+        FROM base
+      )
+    ),
+    kept AS (
+      SELECT doc_id, lang, n_tokens, threshold_ppm
+      FROM thr
+      WHERE {h} % 1000000 < threshold_ppm
+    ),
+    sharded AS (
+      SELECT *,
+             CAST({shard_h} % {RECIPE_SHARDS} AS INTEGER) AS shard,
+             {shard_h} AS sort_key
+      FROM kept
+    ),
+    packed AS (
+      SELECT *,
+             CAST(COALESCE(sum(n_tokens) OVER (
+               PARTITION BY shard ORDER BY sort_key, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) AS BIGINT) AS cb
+      FROM sharded
+    )
+    SELECT doc_id, lang, n_tokens, threshold_ppm, shard, sort_key,
+           CAST(cb // {RECIPE_PACK_BUDGET} AS BIGINT) AS pack_id,
+           CAST(cb % {RECIPE_PACK_BUDGET} AS BIGINT) AS pack_offset
+    FROM packed
+    """
+
+
+@register(
+    "documents_recipe_rate_budgeted",
+    oracle=_rate_recipe_oracle_sql(),
+    tags=("dedup", "text", "ml", "pipeline", "sampling", "packing", "skew"),
+)
+def documents_recipe_rate_budgeted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The training recipe with the giant-group budget FALLBACK graded in
+    composition (the r12 repetition-gate lesson, applied to this round's
+    new operator before a composition bug can hide): same curated train
+    split, same mixture rates, same epoch shards and 256-token packs as
+    documents_training_recipe — but the budget seam runs
+    operators/sampling.py:rate_budget_sample (map-side totals + integer
+    ppm hash-threshold) instead of the per-language prefix window. This
+    is the EXACT swap SCALE.md's crossover note prescribes when one
+    language dominates a 100 TB corpus: every stage around the seam is
+    untouched, the manifest keeps the threshold as its audit column
+    (rate sampling has no running total), and the recipe stays a pure
+    function of the corpus — so the full chain still carries a
+    row+schema+hash oracle."""
+    from distributed_api_etl_spark.operators.packing import pack_sequences
+    from distributed_api_etl_spark.operators.sampling import (
+        hash_stratified_sample,
+        rate_budget_sample,
+        shard_assignment,
+    )
+    from distributed_api_etl_spark.queries.text import MIX_DEFAULT, MIX_RATES
+    from distributed_api_etl_spark.session import scoped_persist
+
+    # rate_budget_sample reads its input TWICE (the per-group totals
+    # aggregate and the probe side of the broadcast join). The window form
+    # is single-branch so the recipe head never needed this, but here an
+    # unpersisted mixture frame would re-execute the entire curation DAG
+    # on both branches — persist the (doc_id, lang, n_tokens) survivor
+    # frame at the seam (tiny: one slim row per shipped-candidate doc)
+    mixed = scoped_persist(
+        hash_stratified_sample(
+            _train_with_tokens(spark, sf_dir), "doc_id", "lang",
+            MIX_RATES, MIX_DEFAULT,
+        )
+    )
+    budgeted = rate_budget_sample(
+        mixed,
+        "doc_id",
+        "lang",
+        "n_tokens",
+        RECIPE_BUDGETS,
+        RECIPE_BUDGET_DEFAULT,
+        seed=RECIPE_BUDGET_SEED,
+    )
+    sharded = shard_assignment(
+        budgeted,
+        "doc_id",
+        RECIPE_SHARDS,
+        seed=RECIPE_SHARD_SEED,
+        carry_cols=("lang", "n_tokens", "threshold_ppm"),
+    )
+    packed = pack_sequences(
+        sharded,
+        order_col=("sort_key", "doc_id"),
+        token_count_col="n_tokens",
+        budget=RECIPE_PACK_BUDGET,
+        stream_col="shard",
+    )
+    return packed.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        "threshold_ppm",
+        "shard",
+        "sort_key",
+        F.col("pack_id").cast("bigint").alias("pack_id"),
+        "pack_offset",
+    )
