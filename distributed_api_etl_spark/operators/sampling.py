@@ -239,6 +239,12 @@ def rate_budget_sample(
     Output: kept rows as ``(id, group, tokens, grp_total_tokens,
     threshold_ppm)`` — the total and threshold ride along so downstream
     audits (and the graded oracle) can re-derive the decision per row.
+
+    Caller caveat: the input is read TWICE (totals aggregate + probe side
+    of the broadcast join). A cheap scan re-reads for free; an expensive
+    upstream pipeline must be persisted at this seam or it re-executes
+    per branch (documents_recipe_rate_budgeted learned this against the
+    full curation DAG — see SCALE.md round 15).
     """
     from pyspark.sql.functions import broadcast
 

@@ -12,3 +12,9 @@ from distributed_api_etl_spark.streaming.stateful import (  # noqa: F401
     streaming_exact_dedup,
     streaming_hll_distinct,
 )
+from distributed_api_etl_spark.streaming.recipe import (  # noqa: F401
+    RecipeConfig,
+    RecipeStore,
+    process_recipe_batch,
+    run_streaming_training_recipe,
+)
