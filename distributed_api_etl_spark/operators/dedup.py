@@ -366,6 +366,31 @@ def minhash_lsh_pairs(
     )
 
 
+def dedup_corpus_features(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3
+) -> tuple[DataFrame, DataFrame]:
+    """The STORABLE dedup state of a corpus tier: ``(features, bands)``.
+
+    ``features`` = (id, shs, sz) — what pair VERIFICATION needs;
+    ``bands`` = (id, band_idx, band_val) — what candidate GENERATION
+    needs. Both are pure functions of the text: compute once at ingest,
+    write both to storage, and feed
+    :func:`incremental_lsh_pairs_from_features` on every later batch so
+    the standing corpus never re-shingles (the cost the text-frame form
+    re-pays per batch — at 100 TB the corpus-side shingling dominates the
+    whole incremental plan). Docs with empty shingle sets (shorter than
+    ``n`` tokens) are excluded from BOTH frames: they produce no band
+    rows, so they can never be a candidate endpoint. Storage price: shs
+    is the distinct-shingle array, i.e. the stored state is text-sized —
+    the trade documented on the streaming RecipeStore."""
+    base = shingle_set_features(
+        scoped_persist(doc_shingle_sets(df, id_col, text_col, n)), id_col
+    )
+    feats = base.where(F.size("shs") > 0).select(id_col, "shs", "sz")
+    bands = band_long_table(minhash_signatures_from_sets(base, id_col), id_col)
+    return feats, bands
+
+
 def incremental_lsh_pairs(
     new_df: DataFrame,
     corpus_df: DataFrame,
@@ -379,24 +404,43 @@ def incremental_lsh_pairs(
     The continuous-ingest case: pairs are (corpus x new) band collisions
     plus (new x new) self-collisions — the corpus NEVER self-joins, so the
     incremental cost is O(|new| x bucket overlap), not O(|corpus|^2). At
-    100 TB the corpus side of this plan reads precomputed signature /
-    shingle-set tables from storage (they are pure functions of the text,
-    written once at ingest); only the new batch pays shingling. Ids must be
-    disjoint across the two frames; output pairs are normalized to
+    100 TB use :func:`incremental_lsh_pairs_from_features` instead: the
+    corpus side there reads precomputed signature / shingle-set tables
+    from storage (pure functions of the text, written once at ingest —
+    :func:`dedup_corpus_features`), so only the new batch pays shingling;
+    THIS form recomputes the corpus features from text each call. Ids must
+    be disjoint across the two frames; output pairs are normalized to
     d1 < d2 regardless of tier. Output: d1, d2, inter, union_sz, jaccard.
     """
+    corpus_feats, corpus_bands = dedup_corpus_features(
+        corpus_df, id_col, text_col, n
+    )
+    return incremental_lsh_pairs_from_features(
+        new_df, corpus_feats, corpus_bands, id_col, text_col, n, threshold_pct
+    )
+
+
+def incremental_lsh_pairs_from_features(
+    new_df: DataFrame,
+    corpus_feats: DataFrame,
+    corpus_bands: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold_pct: int = 70,
+) -> DataFrame:
+    """:func:`incremental_lsh_pairs` with the corpus side supplied as the
+    STORED feature/band frames (:func:`dedup_corpus_features`) — the
+    100 TB shape: the standing corpus contributes two storage scans
+    (bands into the bucket join, shs/sz into the verify join) and zero
+    text processing; only the new batch shingles."""
     new_base = shingle_set_features(
         scoped_persist(doc_shingle_sets(new_df, id_col, text_col, n)), id_col
-    )
-    corpus_base = shingle_set_features(
-        scoped_persist(doc_shingle_sets(corpus_df, id_col, text_col, n)), id_col
     )
     new_long = scoped_persist(
         band_long_table(minhash_signatures_from_sets(new_base, id_col), id_col)
     )
-    corpus_long = band_long_table(
-        minhash_signatures_from_sets(corpus_base, id_col), id_col
-    )
+    corpus_long = corpus_bands
     new_side = new_long.select(F.col(id_col).alias("d_new"), "band_idx", "band_val")
     cross = (
         corpus_long.select(F.col(id_col).alias("d_old"), "band_idx", "band_val")
@@ -415,7 +459,7 @@ def incremental_lsh_pairs(
         .select(F.col("d_new").alias("d1"), "d2")
     )
     cands = cross.unionByName(within).distinct()
-    base = new_base.unionByName(corpus_base)
+    base = new_base.select(id_col, "shs", "sz").unionByName(corpus_feats)
     return (
         cands.join(
             base.select(
@@ -983,6 +1027,51 @@ def passage_incremental_dedup(
     Output: (id, n_passages, kept_passages, cleaned_text) for every NEW
     doc only.
     """
+    return passage_incremental_dedup_from_fps(
+        new_df,
+        _passage_fingerprints(
+            corpus_df.select(
+                F.col(id_col),
+                passage_array(F.col(text_col), passage_tokens).alias("_ps"),
+            ),
+            id_col,
+        ).select("_h1", "_h2"),
+        id_col,
+        text_col,
+        passage_tokens,
+        min_df,
+    )
+
+
+def passage_fingerprint_keys(
+    df: DataFrame, id_col: str, text_col: str, passage_tokens: int = 5
+) -> DataFrame:
+    """Distinct passage-fingerprint keys ``(_h1, _h2)`` of a corpus — the
+    STORABLE state of infinite-prior incremental passage dedup: 16 bytes
+    per distinct passage, written once at ingest, so later batches
+    (:func:`passage_incremental_dedup_from_fps`) never re-fingerprint the
+    standing corpus from text."""
+    base = df.select(
+        F.col(id_col), passage_array(F.col(text_col), passage_tokens).alias("_ps")
+    )
+    return _passage_fingerprints(base, id_col).select("_h1", "_h2").distinct()
+
+
+def passage_incremental_dedup_from_fps(
+    new_df: DataFrame,
+    corpus_fps: DataFrame,
+    id_col: str,
+    text_col: str,
+    passage_tokens: int = 5,
+    min_df: int = 2,
+) -> DataFrame:
+    """:func:`passage_incremental_dedup` with the corpus side supplied as
+    stored fingerprint keys (:func:`passage_fingerprint_keys`) — the
+    100 TB shape: the standing corpus contributes one 16-byte-per-passage
+    storage scan instead of a full text re-fingerprint per batch.
+    Presence is all the infinite-prior contract needs, so the stored keys
+    need no counts and duplicates across appended batches are harmless
+    (the semi-join + distinct below absorbs them)."""
     new_base = scoped_persist(
         new_df.select(
             F.col(id_col),
@@ -1000,13 +1089,6 @@ def passage_incremental_dedup(
     # ReusedExchange cannot merge it); deriving it from stats makes the
     # one shuffle appear twice in the plan and compute once
     new_keys = stats.select("_h1", "_h2")
-    corpus_fps = _passage_fingerprints(
-        corpus_df.select(
-            F.col(id_col),
-            passage_array(F.col(text_col), passage_tokens).alias("_ps"),
-        ),
-        id_col,
-    )
     # corpus side: one scan, no corpus shuffle — the semi-join keeps only
     # fingerprints the batch also has, so the distinct that follows runs
     # over a batch-bounded frame

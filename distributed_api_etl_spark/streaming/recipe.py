@@ -7,12 +7,18 @@ dedup -> leakage-safe split -> mixture rates -> token budgets -> epoch
 shards -> concat-and-chunk packs) inside ``foreachBatch``, with the
 cross-batch state each stage needs held in a parquet/JSON RecipeStore:
 
-- **keepers/** (parquet, append) — raw gated text of every near-dup keeper
-  so far: the standing corpus the next batch's incremental MinHash
-  (operators/dedup.py:incremental_lsh_pairs) collides against, and the
-  infinite-prior corpus for incremental passage dedup
-  (operators/dedup.py:passage_incremental_dedup). Corpus-sized, never
-  shuffled — both incremental operators read it as one scan.
+- **keeper_feats/ + keeper_bands/** (parquet, append) — the stored dedup
+  state of every near-dup keeper so far (operators/dedup.py:
+  dedup_corpus_features: shingle sets + sizes, and the banded-signature
+  long table): what the next batch's incremental MinHash
+  (incremental_lsh_pairs_from_features) collides against. Text-sized
+  (feats) + 4 rows/doc (bands), but the standing corpus never
+  RE-SHINGLES — each batch pays storage scans, not text processing.
+- **passage_fps/** (parquet, append) — distinct 16-byte passage
+  fingerprints of the keepers: the infinite-prior corpus for incremental
+  passage dedup (passage_incremental_dedup_from_fps). Duplicate keys
+  across appended batches are absorbed by the operator's semi-join +
+  distinct.
 - **budget_state.json** — per-language (admitted tokens, closed) pairs: the
   streaming_token_budget_admission contract (first rejection closes the
   group for the stream's lifetime) enforced with plain DataFrame ops inside
@@ -95,7 +101,9 @@ class RecipeStore:
 
     def __init__(self, root: str) -> None:
         self.root = root
-        self.keepers_dir = os.path.join(root, "keepers")
+        self.feats_dir = os.path.join(root, "keeper_feats")
+        self.bands_dir = os.path.join(root, "keeper_bands")
+        self.pfps_dir = os.path.join(root, "passage_fps")
         self.manifest_dir = os.path.join(root, "manifest")
         self.budget_path = os.path.join(root, "budget_state.json")
         self.pack_path = os.path.join(root, "pack_state.json")
@@ -109,10 +117,20 @@ class RecipeStore:
             f.endswith(".parquet") for f in os.listdir(d)
         )
 
-    def read_keepers(self, spark: SparkSession) -> DataFrame | None:
-        if not self._has_parquet(self.keepers_dir):
+    def read_dedup_state(
+        self, spark: SparkSession
+    ) -> tuple[DataFrame, DataFrame, DataFrame] | None:
+        """(keeper features, keeper bands, passage fingerprints) of every
+        prior batch, or None before the first batch lands. The three dirs
+        are written together at the end of each batch, so feats presence
+        implies all three."""
+        if not self._has_parquet(self.feats_dir):
             return None
-        return spark.read.parquet(self.keepers_dir)
+        return (
+            spark.read.parquet(self.feats_dir),
+            spark.read.parquet(self.bands_dir),
+            spark.read.parquet(self.pfps_dir),
+        )
 
     def read_manifest(self, spark: SparkSession) -> DataFrame:
         if not self._has_parquet(self.manifest_dir):
@@ -162,10 +180,12 @@ def process_recipe_batch(
     family's job, upstream of this sink).
     """
     from distributed_api_etl_spark.operators.dedup import (
-        incremental_lsh_pairs,
+        dedup_corpus_features,
+        incremental_lsh_pairs_from_features,
         minhash_lsh_pairs,
         passage_exact_dedup,
-        passage_incremental_dedup,
+        passage_fingerprint_keys,
+        passage_incremental_dedup_from_fps,
     )
     from distributed_api_etl_spark.operators.graph import dedup_cluster_assignment
     from distributed_api_etl_spark.operators.sampling import (
@@ -192,23 +212,25 @@ def process_recipe_batch(
     )
 
     # -- stage 2: near-dup keep-set (standing-wins across batches) ---------
-    standing = store.read_keepers(spark)
+    standing = store.read_dedup_state(spark)
     if standing is None:
         survivors0 = gated
         within = minhash_lsh_pairs(
             gated, "doc_id", "text", cfg.shingle_n, cfg.jaccard_pct
         ).select("d1", "d2")
     else:
-        pairs = incremental_lsh_pairs(
+        st_feats, st_bands, st_pfps = standing
+        pairs = incremental_lsh_pairs_from_features(
             gated.select("doc_id", "text"),
-            standing,
+            st_feats,
+            st_bands,
             "doc_id",
             "text",
             cfg.shingle_n,
             cfg.jaccard_pct,
         ).select("d1", "d2")
-        s1 = standing.select(F.col("doc_id").alias("d1"))
-        s2 = standing.select(F.col("doc_id").alias("d2"))
+        s1 = st_feats.select(F.col("doc_id").alias("d1"))
+        s2 = st_feats.select(F.col("doc_id").alias("d2"))
         # the NEW side of every corpus-x-new pair is a dup of a standing
         # keeper -> dropped (arrival wins; the batch recompute would pick
         # min id instead — the documented divergence)
@@ -246,9 +268,9 @@ def process_recipe_batch(
             min_df=cfg.passage_min_df,
         )
     else:
-        cleaned = passage_incremental_dedup(
+        cleaned = passage_incremental_dedup_from_fps(
             keepers.select("doc_id", "text"),
-            standing,
+            st_pfps,
             "doc_id",
             "text",
             passage_tokens=cfg.passage_tokens,
@@ -402,14 +424,21 @@ def process_recipe_batch(
     for r in pupd:
         pstate[int(r["shard"])] = pstate.get(int(r["shard"]), 0) + int(r["_t"])
     store.write_pack_state(pstate)
-    # 3. keeper-store append LAST (pre-husk-drop keepers, raw text — husks
-    #    still block future dups and still count passage df, exactly as
-    #    they do inside one batch run). Append-mode adds part files; the
-    #    standing read's file index was pinned at creation, so this batch's
-    #    own reads never see them.
-    keepers.select("doc_id", "text").write.mode("append").parquet(
-        store.keepers_dir
+    # 3. dedup-state appends LAST (pre-husk-drop keepers — husks still
+    #    block future dups and still count passage df, exactly as they do
+    #    inside one batch run). The stored state is FEATURES, not text
+    #    (dedup_corpus_features / passage_fingerprint_keys), so future
+    #    batches scan storage instead of re-shingling the standing corpus.
+    #    Append-mode adds part files; the standing read's file index was
+    #    pinned at creation, so this batch's own reads never see them.
+    new_feats, new_bands = dedup_corpus_features(
+        keepers.select("doc_id", "text"), "doc_id", "text", cfg.shingle_n
     )
+    new_feats.write.mode("append").parquet(store.feats_dir)
+    new_bands.write.mode("append").parquet(store.bands_dir)
+    passage_fingerprint_keys(
+        keepers.select("doc_id", "text"), "doc_id", "text", cfg.passage_tokens
+    ).write.mode("append").parquet(store.pfps_dir)
 
 
 def run_streaming_training_recipe(
