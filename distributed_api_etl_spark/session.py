@@ -97,6 +97,34 @@ def release_caches() -> int:
     return n
 
 
+def cache_mark() -> int:
+    """Current length of the scoped-cache registry — pair with
+    :func:`release_caches_since` for batch-scoped cleanup."""
+    with _SCOPED_CACHES_LOCK:
+        return len(_SCOPED_CACHES)
+
+
+def release_caches_since(mark: int) -> int:
+    """Unpersist only the caches registered after ``mark``
+    (:func:`cache_mark`). The long-lived streaming sinks need this:
+    a foreachBatch body that persists per-batch intermediates would
+    otherwise accumulate one cache generation per micro-batch for the
+    stream's whole life (the round-15 recipe probe OOMed the shared
+    local-mode heap at sf0.1 x 5 batches exactly this way), while a full
+    release_caches() inside the sink could drop caches a surrounding
+    pipeline still depends on."""
+    with _SCOPED_CACHES_LOCK:
+        drained, _SCOPED_CACHES[mark:] = _SCOPED_CACHES[mark:], []
+    n = 0
+    for df in drained:
+        try:
+            df.unpersist()
+            n += 1
+        except Exception:  # pragma: no cover - session already stopped
+            pass
+    return n
+
+
 def apply_runtime_conf(spark: SparkSession) -> SparkSession:
     """Apply the subset of engine defaults that are settable at runtime.
 

@@ -179,6 +179,22 @@ def process_recipe_batch(
     require disjoint ids — re-delivery dedup is the idempotency anti-join
     family's job, upstream of this sink).
     """
+    from distributed_api_etl_spark.session import cache_mark, release_caches_since
+
+    # every cache below is BATCH-scoped: release them on exit or a
+    # long-lived stream accumulates one cache generation per micro-batch
+    # (measured: OOM of the shared local-mode heap at sf0.1 x 5 batches)
+    mark = cache_mark()
+    try:
+        _process_recipe_batch_inner(batch, store, cfg)
+    finally:
+        release_caches_since(mark)
+
+
+def _process_recipe_batch_inner(
+    batch: DataFrame, store: RecipeStore, cfg: RecipeConfig
+) -> None:
+    from distributed_api_etl_spark.functions.textfns import tokens
     from distributed_api_etl_spark.operators.dedup import (
         dedup_corpus_features,
         incremental_lsh_pairs_from_features,
@@ -194,7 +210,6 @@ def process_recipe_batch(
         shard_assignment,
     )
     from distributed_api_etl_spark.operators.text import gopher_combined_gate
-    from distributed_api_etl_spark.functions.textfns import tokens
     from distributed_api_etl_spark.session import scoped_persist
 
     spark = batch.sparkSession
@@ -393,8 +408,15 @@ def process_recipe_batch(
     )
 
     # -- actions, in state-safety order -------------------------------------
+    # every append is coalesced to a few files: a per-batch append
+    # otherwise emits one part file per shuffle partition (200 x 3 state
+    # dirs x batches = the classic small-files explosion; the probe
+    # measured the file-listing tax growing per batch). 4 files bounds
+    # listing cost at ~4 x batches; a real deployment adds periodic
+    # compaction (core/table_manager.py:compact_files) and sizes files
+    # with spark.sql.files.maxRecordsPerFile instead.
     # 1. manifest append (consumes the standing store read-only);
-    packed.write.mode("append").parquet(store.manifest_dir)
+    packed.coalesce(4).write.mode("append").parquet(store.manifest_dir)
     # 2. budget/pack state updates (bounded aggregates -> driver JSON);
     upd = (
         scored.groupBy("lang")
@@ -434,11 +456,11 @@ def process_recipe_batch(
     new_feats, new_bands = dedup_corpus_features(
         keepers.select("doc_id", "text"), "doc_id", "text", cfg.shingle_n
     )
-    new_feats.write.mode("append").parquet(store.feats_dir)
-    new_bands.write.mode("append").parquet(store.bands_dir)
+    new_feats.coalesce(4).write.mode("append").parquet(store.feats_dir)
+    new_bands.coalesce(4).write.mode("append").parquet(store.bands_dir)
     passage_fingerprint_keys(
         keepers.select("doc_id", "text"), "doc_id", "text", cfg.passage_tokens
-    ).write.mode("append").parquet(store.pfps_dir)
+    ).coalesce(4).write.mode("append").parquet(store.pfps_dir)
 
 
 def run_streaming_training_recipe(
