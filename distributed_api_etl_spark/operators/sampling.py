@@ -226,6 +226,14 @@ def rate_budget_sample(
     of (ids, token counts, budgets): reproducible across runs, engines,
     and partitionings, and batch-invariant under streaming arrival.
 
+    NULL groups stay ELIGIBLE, matching the window form's contract (a
+    NULL group is a real partition there): the broadcast join back is
+    null-safe (``<=>``) and the decision hash coalesces a NULL group to
+    the empty string (identical hash for every non-null group; the one
+    residual divergence from the window form is that a NULL group and a
+    ``''`` group share a hash stream — they still budget independently,
+    each against its own total).
+
     Exactness contract: kept tokens hit the budget in expectation with
     relative error O(sqrt(avg_doc_tokens / budget)) — ~1% when the budget
     spans ~10k documents, negligible at real pre-training budgets; groups
@@ -277,18 +285,21 @@ def rate_budget_sample(
     h = portable_hash32(
         F.concat(
             F.lit(f"{seed}:"),
-            F.col(group_col),
+            F.coalesce(F.col(group_col), F.lit("")),
             F.lit(":"),
             F.col(id_col).cast("string"),
         )
     ) % 1_000_000
+    probe = df.select(
+        F.col(id_col),
+        F.col(group_col),
+        F.col(tokens_col).cast("bigint").alias(tokens_col),
+    )
+    thr = thresholds.withColumnRenamed(group_col, "__thr_grp")
     return (
-        df.select(
-            F.col(id_col),
-            F.col(group_col),
-            F.col(tokens_col).cast("bigint").alias(tokens_col),
+        probe.join(
+            broadcast(thr), F.col(group_col).eqNullSafe(F.col("__thr_grp"))
         )
-        .join(broadcast(thresholds), group_col)
         .where(h < F.col("threshold_ppm"))
         .select(
             id_col, group_col, tokens_col, "grp_total_tokens", "threshold_ppm"

@@ -659,7 +659,10 @@ def streaming_training_recipe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     manifest, plan = run_streaming_training_recipe(spark, stream, store_dir, cfg)
     global LAST_EXECUTED_PLAN
-    LAST_EXECUTED_PLAN = plan if plan is not None else LAST_EXECUTED_PLAN
+    # unconditional (None on failure), matching every other streaming head:
+    # keeping a stale plan here would let the plan-guard tests assert
+    # against a DIFFERENT query's executed plan (ADVICE r15)
+    LAST_EXECUTED_PLAN = plan
     return manifest.select(
         "doc_id",
         "lang",

@@ -7,26 +7,52 @@ dedup -> leakage-safe split -> mixture rates -> token budgets -> epoch
 shards -> concat-and-chunk packs) inside ``foreachBatch``, with the
 cross-batch state each stage needs held in a parquet/JSON RecipeStore:
 
-- **keeper_feats/ + keeper_bands/** (parquet, append) — the stored dedup
-  state of every near-dup keeper so far (operators/dedup.py:
+- **keeper_feats/ + keeper_bands/** (parquet, batch-keyed subdirs) — the
+  stored dedup state of every near-dup keeper so far (operators/dedup.py:
   dedup_corpus_features: shingle sets + sizes, and the banded-signature
   long table): what the next batch's incremental MinHash
   (incremental_lsh_pairs_from_features) collides against. Text-sized
   (feats) + 4 rows/doc (bands), but the standing corpus never
   RE-SHINGLES — each batch pays storage scans, not text processing.
-- **passage_fps/** (parquet, append) — distinct 16-byte passage
-  fingerprints of the keepers: the infinite-prior corpus for incremental
-  passage dedup (passage_incremental_dedup_from_fps). Duplicate keys
-  across appended batches are absorbed by the operator's semi-join +
-  distinct.
-- **budget_state.json** — per-language (admitted tokens, closed) pairs: the
-  streaming_token_budget_admission contract (first rejection closes the
-  group for the stream's lifetime) enforced with plain DataFrame ops inside
-  foreachBatch. O(languages) — metadata-sized by construction.
-- **pack_state.json** — per-shard token base so pack ids/offsets continue
-  across batches. O(shards).
-- **manifest/** (parquet, append) — the shipped-document manifest, one row
-  per packed document: the recipe's loader-facing output.
+- **passage_fps/** (parquet, batch-keyed subdirs) — distinct 16-byte
+  passage fingerprints of the keepers: the infinite-prior corpus for
+  incremental passage dedup (passage_incremental_dedup_from_fps).
+  Duplicate keys across batches are absorbed by the operator's
+  semi-join + distinct.
+- **manifest/** (parquet, batch-keyed subdirs) — the shipped-document
+  manifest, one row per packed document: the recipe's loader-facing
+  output.
+- **commit.json** — the store's single ATOMIC commit point (tmp+rename):
+  the high-water mark of the last applied micro-batch plus the two
+  bounded per-group states — per-language (admitted tokens, closed)
+  pairs (the streaming_token_budget_admission contract: first rejection
+  closes the group for the stream's lifetime; O(languages)) and the
+  per-shard token base so pack ids/offsets continue across batches
+  (O(shards)).
+
+Exactly-once per batch_id (the backfill-bookmark pattern,
+orchestration/backfill.py, applied at the foreachBatch grain):
+foreachBatch is AT-LEAST-ONCE — after a sink failure Structured
+Streaming re-delivers the same (batch_id, rows) from the checkpoint. The
+store makes the replay a no-op or a clean redo:
+
+- every parquet write lands as ``mode("overwrite")`` into a
+  ``b{batch_id:09d}/`` subdir — a redo REPLACES the crashed attempt's
+  partial output instead of appending next to it;
+- readers enumerate COMMITTED inputs only (subdirs with id <= the
+  high-water mark, plus the flat compacted baseline) — a crashed
+  attempt's partial subdir is invisible to the batch that redoes it;
+- ``commit.json`` (mark + budget + pack state together) is written LAST
+  and atomically, so the budget/pack state a redo reads is always the
+  PRE-batch state;
+- a re-delivered ``batch_id <=`` the mark returns immediately.
+
+Hence crash at ANY point between writes yields exactly-once effects once
+the stream recovers — the same contract the batch loop gets from its
+sink anti-join (reference batch_processor.py:36-40) and the backfill
+driver from its bookmark. The store and the stream's checkpoint must
+live and die together (reset() both or neither): batch ids are
+checkpoint-scoped.
 
 Semantics contract (the same split the graded streaming family uses):
 
@@ -56,6 +82,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import shutil
 import tempfile
 from dataclasses import dataclass
@@ -89,14 +116,18 @@ class RecipeConfig:
 
 
 class RecipeStore:
-    """Filesystem state of the streaming recipe (layout in module doc).
+    """Filesystem state of the streaming recipe (layout + exactly-once
+    contract in the module doc).
 
-    JSON states are written atomically (tmp + rename) so a crashed batch
-    can never leave a torn file; parquet stores are append-only within a
-    stream's life (reset() starts a fresh stream). The JSON states are
-    bounded by construction (O(languages), O(shards)); only the parquet
-    stores scale with the corpus, and they are only ever scanned, never
-    collected.
+    ``commit.json`` is written atomically (tmp + rename) so a crashed
+    batch can never leave a torn commit; parquet stores hold one
+    ``b{batch_id:09d}/`` subdir per committed batch plus an optional flat
+    compacted baseline (:meth:`compact`). The JSON state is bounded by
+    construction (O(languages) + O(shards)); only the parquet stores
+    scale with the corpus, and they are only ever scanned, never
+    collected. The store's paths are driver-visible filesystem paths (a
+    POSIX path or a mounted object store) — the same deployment
+    constraint as a Structured Streaming checkpoint dir.
     """
 
     def __init__(self, root: str) -> None:
@@ -105,94 +136,211 @@ class RecipeStore:
         self.bands_dir = os.path.join(root, "keeper_bands")
         self.pfps_dir = os.path.join(root, "passage_fps")
         self.manifest_dir = os.path.join(root, "manifest")
-        self.budget_path = os.path.join(root, "budget_state.json")
-        self.pack_path = os.path.join(root, "pack_state.json")
+        self.commit_path = os.path.join(root, "commit.json")
 
     def reset(self) -> None:
         shutil.rmtree(self.root, ignore_errors=True)
         os.makedirs(self.root, exist_ok=True)
 
-    def _has_parquet(self, d: str) -> bool:
-        return os.path.isdir(d) and any(
-            f.endswith(".parquet") for f in os.listdir(d)
+    def _parquet_dirs(self) -> tuple[str, ...]:
+        return (self.feats_dir, self.bands_dir, self.pfps_dir, self.manifest_dir)
+
+    # -- commit marker ------------------------------------------------------
+
+    def _read_commit(self) -> dict:
+        if not os.path.exists(self.commit_path):
+            return {}
+        with open(self.commit_path) as f:
+            return json.load(f)
+
+    def last_committed(self) -> int:
+        """High-water mark: the largest batch_id whose effects are fully
+        applied, or -1 before the first commit."""
+        return int(self._read_commit().get("batch_id", -1))
+
+    def commit(self, batch_id: int, budget_state: dict, pack_state: dict) -> None:
+        """Atomically publish a batch: mark + both bounded states in ONE
+        rename, so a redo always reads the pre-batch state."""
+        obj = {
+            "batch_id": int(batch_id),
+            "budget": {k: list(v) for k, v in budget_state.items()},
+            "pack": {str(k): int(v) for k, v in pack_state.items()},
+        }
+        tmp = self.commit_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(obj, f)
+        os.replace(tmp, self.commit_path)
+
+    def read_budget_state(self) -> dict[str, tuple[int, bool]]:
+        return {
+            k: (int(v[0]), bool(v[1]))
+            for k, v in self._read_commit().get("budget", {}).items()
+        }
+
+    def read_pack_state(self) -> dict[int, int]:
+        return {
+            int(k): int(v) for k, v in self._read_commit().get("pack", {}).items()
+        }
+
+    # -- committed-only parquet reads --------------------------------------
+
+    @staticmethod
+    def batch_subdir(d: str, batch_id: int) -> str:
+        return os.path.join(d, f"b{batch_id:09d}")
+
+    @staticmethod
+    def _heal(d: str) -> None:
+        # a crash between compact()'s two renames leaves the data under
+        # d__old and nothing at d: restore it (the compaction is lost, the
+        # data is not)
+        old = d + "__old"
+        if not os.path.isdir(d) and os.path.isdir(old):
+            os.rename(old, d)
+
+    @staticmethod
+    def _dir_has_parquet(p: str) -> bool:
+        return os.path.isdir(p) and any(
+            f.endswith(".parquet") for f in os.listdir(p)
         )
+
+    def _committed_inputs(self, d: str) -> list[str]:
+        """Readable inputs under ``d``: the flat compacted baseline (only
+        ever produced from committed batches) + committed batch subdirs.
+        An in-flight or crashed batch's subdir (id > mark) is excluded —
+        that is what makes a redo read exactly the pre-batch corpus."""
+        self._heal(d)
+        if not os.path.isdir(d):
+            return []
+        hwm = self.last_committed()
+        out = []
+        for name in sorted(os.listdir(d)):
+            p = os.path.join(d, name)
+            if name.endswith(".parquet") and os.path.isfile(p):
+                out.append(p)
+            elif (
+                (m := re.fullmatch(r"b(\d{9})", name))
+                and int(m.group(1)) <= hwm
+                and self._dir_has_parquet(p)
+            ):
+                out.append(p)
+        return out
 
     def read_dedup_state(
         self, spark: SparkSession
     ) -> tuple[DataFrame, DataFrame, DataFrame] | None:
         """(keeper features, keeper bands, passage fingerprints) of every
-        prior batch, or None before the first batch lands. The three dirs
-        are written together at the end of each batch, so feats presence
-        implies all three."""
-        if not self._has_parquet(self.feats_dir):
+        COMMITTED batch, or None while no committed batch holds keepers."""
+        feats = self._committed_inputs(self.feats_dir)
+        bands = self._committed_inputs(self.bands_dir)
+        pfps = self._committed_inputs(self.pfps_dir)
+        if not (feats and bands and pfps):
             return None
         return (
-            spark.read.parquet(self.feats_dir),
-            spark.read.parquet(self.bands_dir),
-            spark.read.parquet(self.pfps_dir),
+            spark.read.parquet(*feats),
+            spark.read.parquet(*bands),
+            spark.read.parquet(*pfps),
         )
 
     def read_manifest(self, spark: SparkSession) -> DataFrame:
-        if not self._has_parquet(self.manifest_dir):
+        inputs = self._committed_inputs(self.manifest_dir)
+        if not inputs:
             raise ValueError(
-                f"recipe store {self.root!r} has no manifest — did the "
-                "stream produce zero admitted documents?"
+                f"recipe store {self.root!r} has no committed manifest — did "
+                "the stream produce zero admitted documents?"
             )
-        return spark.read.parquet(self.manifest_dir)
+        return spark.read.parquet(*inputs)
 
-    def _read_json(self, path: str) -> dict:
-        if not os.path.exists(path):
-            return {}
-        with open(path) as f:
-            return json.load(f)
+    # -- maintenance --------------------------------------------------------
 
-    def _write_json(self, path: str, obj: dict) -> None:
-        tmp = path + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(obj, f)
-        os.replace(tmp, path)
+    def discard_uncommitted(self) -> None:
+        """Drop batch subdirs above the high-water mark. Always safe: an
+        uncommitted subdir is a crashed attempt's partial output, and the
+        checkpoint will re-deliver that batch."""
+        hwm = self.last_committed()
+        for d in self._parquet_dirs():
+            self._heal(d)
+            if not os.path.isdir(d):
+                continue
+            for name in os.listdir(d):
+                m = re.fullmatch(r"b(\d{9})", name)
+                if m and int(m.group(1)) > hwm:
+                    shutil.rmtree(os.path.join(d, name), ignore_errors=True)
 
-    def read_budget_state(self) -> dict[str, tuple[int, bool]]:
-        return {
-            k: (int(v[0]), bool(v[1]))
-            for k, v in self._read_json(self.budget_path).items()
-        }
+    def compact(self, spark: SparkSession, target_files: int = 4) -> dict:
+        """Merge each store dir's committed content into a flat baseline of
+        ``target_files`` files — the per-batch-subdir file-listing tax
+        (O(batches) dirs) goes back to O(1) while results are byte-identical
+        (compaction == no-op oracle, pinned in tests/test_streaming.py).
 
-    def write_budget_state(self, state: dict[str, tuple[int, bool]]) -> None:
-        self._write_json(self.budget_path, {k: list(v) for k, v in state.items()})
-
-    def read_pack_state(self) -> dict[int, int]:
-        return {int(k): int(v) for k, v in self._read_json(self.pack_path).items()}
-
-    def write_pack_state(self, state: dict[int, int]) -> None:
-        self._write_json(self.pack_path, {str(k): v for k, v in state.items()})
+        Run BETWEEN micro-batches (foreachBatch is serial per query, so any
+        point outside the sink callback is a committed boundary). Crash
+        contract: the rewrite lands in a tmp dir, then two renames swap it
+        in; a crash between the renames is healed on the next read
+        (:meth:`_heal` — the compaction is lost, the store is not).
+        Uncommitted partials are discarded first so a crashed attempt's
+        rows can never be folded into the committed baseline. Returns a
+        per-dir {files_before, files_after} census."""
+        self.discard_uncommitted()
+        census: dict[str, dict[str, int]] = {}
+        for d in self._parquet_dirs():
+            inputs = self._committed_inputs(d)
+            if not inputs:
+                continue
+            files_before = sum(
+                len([f for f in os.listdir(p) if f.endswith(".parquet")])
+                if os.path.isdir(p)
+                else 1
+                for p in inputs
+            )
+            df = spark.read.parquet(*inputs)
+            tmp = d + "__compact_tmp"
+            shutil.rmtree(tmp, ignore_errors=True)
+            df.coalesce(target_files).write.parquet(tmp)
+            old = d + "__old"
+            shutil.rmtree(old, ignore_errors=True)
+            os.rename(d, old)
+            os.rename(tmp, d)
+            shutil.rmtree(old, ignore_errors=True)
+            census[os.path.basename(d)] = {
+                "files_before": files_before,
+                "files_after": len(
+                    [f for f in os.listdir(d) if f.endswith(".parquet")]
+                ),
+            }
+        return census
 
 
 def process_recipe_batch(
-    batch: DataFrame, store: RecipeStore, cfg: RecipeConfig
+    batch: DataFrame, store: RecipeStore, cfg: RecipeConfig, batch_id: int
 ) -> None:
     """Run one arriving micro-batch through the full recipe chain and
-    append its admitted documents to the manifest.
+    publish its admitted documents to the manifest — exactly once per
+    ``batch_id`` (module doc: re-delivery of a committed batch is a no-op;
+    re-delivery of a crashed batch is a clean redo over the pre-batch
+    state).
 
     ``batch`` must carry (doc_id, lang, text); doc_ids must be globally
     unique across the stream's life (the incremental dedup operators
-    require disjoint ids — re-delivery dedup is the idempotency anti-join
-    family's job, upstream of this sink).
+    require disjoint ids — re-delivery dedup WITHIN the source is the
+    idempotency anti-join family's job, upstream of this sink; sink-level
+    re-delivery of the same batch is handled here).
     """
     from distributed_api_etl_spark.session import cache_mark, release_caches_since
 
+    if batch_id <= store.last_committed():
+        return  # at-least-once replay of an already-applied batch
     # every cache below is BATCH-scoped: release them on exit or a
     # long-lived stream accumulates one cache generation per micro-batch
     # (measured: OOM of the shared local-mode heap at sf0.1 x 5 batches)
     mark = cache_mark()
     try:
-        _process_recipe_batch_inner(batch, store, cfg)
+        _process_recipe_batch_inner(batch, store, cfg, batch_id)
     finally:
         release_caches_since(mark)
 
 
 def _process_recipe_batch_inner(
-    batch: DataFrame, store: RecipeStore, cfg: RecipeConfig
+    batch: DataFrame, store: RecipeStore, cfg: RecipeConfig, batch_id: int
 ) -> None:
     from distributed_api_etl_spark.functions.textfns import tokens
     from distributed_api_etl_spark.operators.dedup import (
@@ -235,15 +383,20 @@ def _process_recipe_batch_inner(
         ).select("d1", "d2")
     else:
         st_feats, st_bands, st_pfps = standing
-        pairs = incremental_lsh_pairs_from_features(
-            gated.select("doc_id", "text"),
-            st_feats,
-            st_bands,
-            "doc_id",
-            "text",
-            cfg.shingle_n,
-            cfg.jaccard_pct,
-        ).select("d1", "d2")
+        # persisted: referenced by both new_dups branches AND the `within`
+        # anti-join chain — unpersisted, the candidate+verify join would
+        # re-execute up to three times per micro-batch (ADVICE r15)
+        pairs = scoped_persist(
+            incremental_lsh_pairs_from_features(
+                gated.select("doc_id", "text"),
+                st_feats,
+                st_bands,
+                "doc_id",
+                "text",
+                cfg.shingle_n,
+                cfg.jaccard_pct,
+            ).select("d1", "d2")
+        )
         s1 = st_feats.select(F.col("doc_id").alias("d1"))
         s2 = st_feats.select(F.col("doc_id").alias("d2"))
         # the NEW side of every corpus-x-new pair is a dup of a standing
@@ -407,17 +560,24 @@ def _process_recipe_batch_inner(
         ),
     )
 
-    # -- actions, in state-safety order -------------------------------------
-    # every append is coalesced to a few files: a per-batch append
+    # -- actions ------------------------------------------------------------
+    # Every write is an idempotent per-batch OVERWRITE into b{batch_id}/
+    # (module doc: a redo replaces a crashed attempt's partial output;
+    # readers see committed subdirs only), so write ORDER no longer
+    # matters for safety — only the atomic commit() at the end publishes
+    # anything. Each write is coalesced to a few files: a per-batch write
     # otherwise emits one part file per shuffle partition (200 x 3 state
     # dirs x batches = the classic small-files explosion; the probe
     # measured the file-listing tax growing per batch). 4 files bounds
-    # listing cost at ~4 x batches; a real deployment adds periodic
-    # compaction (core/table_manager.py:compact_files) and sizes files
-    # with spark.sql.files.maxRecordsPerFile instead.
-    # 1. manifest append (consumes the standing store read-only);
-    packed.coalesce(4).write.mode("append").parquet(store.manifest_dir)
-    # 2. budget/pack state updates (bounded aggregates -> driver JSON);
+    # listing cost at ~4 x batches; store.compact() between batches
+    # folds committed batches into a flat baseline (compaction == no-op,
+    # pinned in tests), returning the listing tax to O(1).
+    # 1. manifest (consumes the standing store read-only);
+    packed.coalesce(4).write.mode("overwrite").parquet(
+        store.batch_subdir(store.manifest_dir, batch_id)
+    )
+    # 2. budget/pack state updates (bounded aggregates -> driver dicts,
+    #    published only by the commit below);
     upd = (
         scored.groupBy("lang")
         .agg(
@@ -439,28 +599,32 @@ def _process_recipe_batch_inner(
             int(r["_mx"]) if r["_mx"] is not None else used0,
             bool(r["_rej"]),
         )
-    store.write_budget_state(bstate)
     pupd = (
         packed.groupBy("shard").agg(F.sum("n_tokens").alias("_t")).collect()
     )
     for r in pupd:
         pstate[int(r["shard"])] = pstate.get(int(r["shard"]), 0) + int(r["_t"])
-    store.write_pack_state(pstate)
-    # 3. dedup-state appends LAST (pre-husk-drop keepers — husks still
-    #    block future dups and still count passage df, exactly as they do
-    #    inside one batch run). The stored state is FEATURES, not text
+    # 3. dedup state (pre-husk-drop keepers — husks still block future
+    #    dups and still count passage df, exactly as they do inside one
+    #    batch run). The stored state is FEATURES, not text
     #    (dedup_corpus_features / passage_fingerprint_keys), so future
     #    batches scan storage instead of re-shingling the standing corpus.
-    #    Append-mode adds part files; the standing read's file index was
-    #    pinned at creation, so this batch's own reads never see them.
     new_feats, new_bands = dedup_corpus_features(
         keepers.select("doc_id", "text"), "doc_id", "text", cfg.shingle_n
     )
-    new_feats.coalesce(4).write.mode("append").parquet(store.feats_dir)
-    new_bands.coalesce(4).write.mode("append").parquet(store.bands_dir)
+    new_feats.coalesce(4).write.mode("overwrite").parquet(
+        store.batch_subdir(store.feats_dir, batch_id)
+    )
+    new_bands.coalesce(4).write.mode("overwrite").parquet(
+        store.batch_subdir(store.bands_dir, batch_id)
+    )
     passage_fingerprint_keys(
         keepers.select("doc_id", "text"), "doc_id", "text", cfg.passage_tokens
-    ).coalesce(4).write.mode("append").parquet(store.pfps_dir)
+    ).coalesce(4).write.mode("overwrite").parquet(
+        store.batch_subdir(store.pfps_dir, batch_id)
+    )
+    # 4. the ONE atomic publish: mark + budget + pack state together.
+    store.commit(batch_id, bstate, pstate)
 
 
 def run_streaming_training_recipe(
@@ -475,12 +639,13 @@ def run_streaming_training_recipe(
 
     The store is RESET — this runner is the graded/oracle entry point (one
     deterministic replay); a production deployment would keep the store and
-    checkpoint across runs instead."""
+    checkpoint across runs instead (they must live and die together —
+    exactly-once hinges on checkpoint-scoped batch ids, see module doc)."""
     store = RecipeStore(store_dir)
     store.reset()
 
-    def _sink(batch_df: DataFrame, _batch_id: int) -> None:
-        process_recipe_batch(batch_df, store, cfg)
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        process_recipe_batch(batch_df, store, cfg, batch_id)
 
     ckpt = tempfile.mkdtemp(prefix="recipe_stream_ckpt_")
     try:

@@ -94,10 +94,11 @@ def main(sf_dir: str, n_batches: int) -> None:
 
     def _sink(batch_df, batch_id):
         standing = 0
-        if store._has_parquet(store.feats_dir):
-            standing = spark.read.parquet(store.feats_dir).count()
+        feats_in = store._committed_inputs(store.feats_dir)
+        if feats_in:
+            standing = spark.read.parquet(*feats_in).count()
         t0 = time.time()
-        process_recipe_batch(batch_df, store, cfg)
+        process_recipe_batch(batch_df, store, cfg, batch_id)
         walls.append(
             {
                 "batch": int(batch_id),

@@ -2843,3 +2843,16 @@ def test_rate_budget_sample_tolerance_and_branches(spark):
     )
     out3 = rate_budget_sample(df3, "doc_id", "grp", "n_tokens", {}, 100).collect()
     assert len(out3) == 2 and all(r.grp_total_tokens == 4 for r in out3)
+    # NULL GROUPS stay eligible (ADVICE r15: the window form keeps the
+    # NULL-group partition; the rate form must not silently drop it) —
+    # null-safe join back + coalesced decision hash, budgeted
+    # independently of any '' group
+    df4 = spark.createDataFrame(
+        [(1, None, 3), (2, None, 4), (3, "x", 5)],
+        "doc_id bigint, grp string, n_tokens bigint",
+    )
+    out4 = rate_budget_sample(df4, "doc_id", "grp", "n_tokens", {}, 100).collect()
+    assert len(out4) == 3
+    nulls = [r for r in out4 if r.grp is None]
+    assert len(nulls) == 2 and all(r.grp_total_tokens == 7 for r in nulls)
+    assert [r.grp_total_tokens for r in out4 if r.grp == "x"] == [5]

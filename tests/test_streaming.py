@@ -892,3 +892,188 @@ def test_streaming_recipe_budget_closes_across_batches(spark, tmp_path):
     assert all(r.doc_id <= 8 for r in rows)  # closed before batch 2
     assert sum(r.n_tokens for r in rows) <= 200  # lifetime cap
     assert max(r.cum_tokens for r in rows) <= 200
+
+
+# -- exactly-once per batch_id (VERDICT r15 #2: the foreachBatch replay
+# contract) -----------------------------------------------------------------
+
+
+def _recipe_eo_cfg():
+    from distributed_api_etl_spark.streaming.recipe import RecipeConfig
+
+    return RecipeConfig(
+        mix_rates={},
+        mix_default=1000,
+        budgets={},
+        budget_default=10**9,
+        budget_seed="t",
+        n_shards=1,
+        shard_seed="t",
+        pack_budget=50,
+        train_pct=100,
+        val_pct=0,
+    )
+
+
+def _recipe_eo_batches(spark):
+    b1 = [(i, "en", _recipe_gate_text(i)) for i in range(1, 9)]
+    b2 = [(101, "en", _recipe_gate_text(1, tweak=30))] + [
+        (i, "en", _recipe_gate_text(i)) for i in (102, 103, 104)
+    ]
+    schema = "doc_id bigint, lang string, text string"
+    return spark.createDataFrame(b1, schema), spark.createDataFrame(b2, schema)
+
+
+def _recipe_census(spark, store):
+    """Logical store content: manifest rows, dedup-state cardinalities,
+    and the full commit JSON — everything a replay could corrupt."""
+    manifest = sorted(tuple(r) for r in store.read_manifest(spark).collect())
+    standing = store.read_dedup_state(spark)
+    feats, bands, pfps = (
+        (d.count() for d in standing) if standing else (0, 0, 0)
+    )
+    return {
+        "manifest": manifest,
+        "feats": feats,
+        "bands": bands,
+        "pfps": pfps,
+        "commit": store._read_commit(),
+    }
+
+
+def test_recipe_redelivery_of_committed_batch_is_noop(spark, tmp_path):
+    """foreachBatch is at-least-once: the SAME (batch_id, rows) delivered
+    twice (sink succeeded, checkpoint write crashed) must leave the store
+    byte-identical — no duplicate manifest rows, no double-counted budget
+    or pack state, no duplicated dedup corpus ids."""
+    from distributed_api_etl_spark.streaming.recipe import (
+        RecipeStore,
+        process_recipe_batch,
+    )
+
+    b1, b2 = _recipe_eo_batches(spark)
+    cfg = _recipe_eo_cfg()
+    store = RecipeStore(str(tmp_path / "eo_store"))
+    store.reset()
+    process_recipe_batch(b1, store, cfg, 0)
+    process_recipe_batch(b2, store, cfg, 1)
+    snap = _recipe_census(spark, store)
+    # redeliver BOTH committed batches, out of order for good measure
+    process_recipe_batch(b2, store, cfg, 1)
+    process_recipe_batch(b1, store, cfg, 0)
+    assert _recipe_census(spark, store) == snap
+
+
+def test_recipe_crash_before_commit_redoes_cleanly(spark, tmp_path):
+    """Crash AFTER the batch's parquet writes but BEFORE the commit marker
+    (the widest window: manifest + dedup state already on disk): the
+    partial output must stay invisible (no double admission between crash
+    and recovery) and the checkpoint's re-delivery must redo the batch to
+    the exact state a crash-free run reaches."""
+    from distributed_api_etl_spark.streaming.recipe import (
+        RecipeStore,
+        process_recipe_batch,
+    )
+
+    b1, b2 = _recipe_eo_batches(spark)
+    cfg = _recipe_eo_cfg()
+
+    clean = RecipeStore(str(tmp_path / "eo_clean"))
+    clean.reset()
+    process_recipe_batch(b1, clean, cfg, 0)
+    process_recipe_batch(b2, clean, cfg, 1)
+    want = _recipe_census(spark, clean)
+
+    class _CrashBeforeCommit(RecipeStore):
+        def commit(self, batch_id, budget_state, pack_state):
+            raise RuntimeError("injected crash between appends and commit")
+
+    root = str(tmp_path / "eo_crash")
+    store = RecipeStore(root)
+    store.reset()
+    process_recipe_batch(b1, store, cfg, 0)
+    after_b1 = _recipe_census(spark, store)
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="injected crash"):
+        process_recipe_batch(b2, _CrashBeforeCommit(root), cfg, 1)
+    # between crash and recovery: batch 1's partial subdirs exist on disk
+    # but every read exposes ONLY batch 0 — no double admission
+    import os as _os
+
+    assert _os.path.isdir(store.batch_subdir(store.manifest_dir, 1))
+    assert _recipe_census(spark, store) == after_b1
+    # recovery: the checkpoint re-delivers batch 1; the redo overwrites the
+    # partials and lands on the crash-free state
+    process_recipe_batch(b2, store, cfg, 1)
+    assert _recipe_census(spark, store) == want
+
+
+def test_recipe_partial_dedup_subdir_is_ignored_and_overwritten(spark, tmp_path):
+    """Crash BETWEEN the dedup-state writes (feats written, bands/pfps
+    not): ADVICE r15 recipe.py:126. The partial feats subdir must not make
+    read_dedup_state claim a standing corpus, and the redo must replace
+    it."""
+    from distributed_api_etl_spark.streaming.recipe import (
+        RecipeStore,
+        process_recipe_batch,
+    )
+
+    b1, b2 = _recipe_eo_batches(spark)
+    cfg = _recipe_eo_cfg()
+    store = RecipeStore(str(tmp_path / "eo_partial"))
+    store.reset()
+    # simulate a first-batch crash that got as far as writing feats only
+    b1.limit(3).write.parquet(store.batch_subdir(store.feats_dir, 0))
+    assert store.read_dedup_state(spark) is None  # uncommitted => invisible
+    process_recipe_batch(b1, store, cfg, 0)
+    process_recipe_batch(b2, store, cfg, 1)
+    clean = RecipeStore(str(tmp_path / "eo_partial_clean"))
+    clean.reset()
+    process_recipe_batch(b1, clean, cfg, 0)
+    process_recipe_batch(b2, clean, cfg, 1)
+    assert _recipe_census(spark, store) == _recipe_census(spark, clean)
+
+
+def test_recipe_compaction_between_batches_is_noop(spark, tmp_path):
+    """store.compact() between micro-batches (VERDICT r15 #3): file counts
+    drop to the target while batch N+1 reads the compacted state UNCHANGED
+    — the compaction == no-op oracle, at the recipe-store grain."""
+    from distributed_api_etl_spark.streaming.recipe import (
+        RecipeStore,
+        process_recipe_batch,
+    )
+
+    b1, b2 = _recipe_eo_batches(spark)
+    b3 = spark.createDataFrame(
+        [(i, "en", _recipe_gate_text(i)) for i in (201, 202)]
+        + [(203, "en", _recipe_gate_text(102, tweak=40))],  # near-dup of 102
+        "doc_id bigint, lang string, text string",
+    )
+    cfg = _recipe_eo_cfg()
+
+    plain = RecipeStore(str(tmp_path / "cmp_plain"))
+    plain.reset()
+    for i, b in enumerate((b1, b2, b3)):
+        process_recipe_batch(b, plain, cfg, i)
+    want = _recipe_census(spark, plain)
+
+    compacted = RecipeStore(str(tmp_path / "cmp_compact"))
+    compacted.reset()
+    process_recipe_batch(b1, compacted, cfg, 0)
+    process_recipe_batch(b2, compacted, cfg, 1)
+    pre = _recipe_census(spark, compacted)
+    census = compacted.compact(spark, target_files=1)
+    assert census, "two committed batches must leave something to compact"
+    for d, c in census.items():
+        assert c["files_after"] <= 1, (d, c)
+        assert c["files_after"] < c["files_before"], (d, c)
+    # committed reads unchanged by the rewrite...
+    assert _recipe_census(spark, compacted) == pre
+    # ...and the NEXT batch over the compacted baseline lands exactly where
+    # the uncompacted store does (near-dup 203 still collides with standing
+    # keeper 102 through the compacted feats/bands)
+    process_recipe_batch(b3, compacted, cfg, 2)
+    got = _recipe_census(spark, compacted)
+    assert got == want
+    assert all(r[0] != 203 for r in got["manifest"])  # standing-wins held
