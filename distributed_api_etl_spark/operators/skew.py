@@ -79,6 +79,89 @@ def salted_agg(
     )
 
 
+def derive_n_salts(
+    big: DataFrame,
+    key_cols: list[str],
+    target_rows_per_task: int | None = None,
+    max_salts: int = 64,
+    oversalt: int = 8,
+) -> tuple[int, dict]:
+    """Size the salt count from MEASURED key skew instead of a guess.
+
+    :func:`salted_join`'s docstring states the cost model — n_salts ~=
+    hot-key rows / target rows per task — but leaves the operand a manual
+    knob. This derives it: one map-side-combinable per-key count (the
+    first stage of the graded skew report, events_key_skew_report)
+    reduced to TWO scalars (hot-key rows, total rows), then
+
+        n_salts = 1                                  if hot <= target
+                  clamp(ceil(oversalt * hot / target), 1, max_salts) else
+
+    ``target_rows_per_task`` defaults to total_rows / defaultParallelism —
+    the even task share. ``oversalt`` exists because ceil(hot/target)
+    only sizes each BUCKET to the even share; after the shuffle hashes
+    (key, salt) into reducers, multiple hot buckets birthday-collide into
+    the same reducer and each collision re-adds a full task's worth of
+    rows. Buckets must be a small FRACTION of the even share for a
+    collision to be cheap — measured on the 30%-hot-key layout at sf0.1
+    (SCALE.md r16 table): minimum count n=10 leaves a 3.6x straggler,
+    n=20 2.62x, n=40 1.89x, n=64 1.59x, n=128 1.28x. The default
+    oversalt=8 lands at the flat end; ``max_salts`` still bounds the
+    small side's replication cost (n_salts x |small|) — raise it when the
+    dim is tiny, lower oversalt when it is not. At 100 TB the measurement
+    pass shuffles ONE combinable row per distinct key; a deployment that
+    already materializes a skew report or CMS heavy-hitter sketch
+    (operators/sketch.py) can feed hot_rows/total_rows from there and
+    skip the pass entirely — the formula is the contract, the measurement
+    source is pluggable.
+
+    Returns (n_salts, info) where info carries the measured inputs for
+    audit (hot_key_rows, total_rows, target_rows_per_task, n_salts).
+    """
+    stats = (
+        big.groupBy(*key_cols)
+        .agg(F.count("*").alias("_c"))
+        .agg(F.max("_c").alias("_hot"), F.sum("_c").alias("_total"))
+        .collect()[0]
+    )
+    hot = int(stats["_hot"] or 0)
+    total = int(stats["_total"] or 0)
+    if target_rows_per_task is None:
+        par = big.sparkSession.sparkContext.defaultParallelism
+        target_rows_per_task = max(1, total // max(1, par))
+    target = max(1, int(target_rows_per_task))
+    if hot <= target:
+        n_salts = 1  # no straggler to split; skip the replication tax
+    else:
+        n_salts = max(1, min(max_salts, -(-hot * oversalt // target)))
+    return n_salts, {
+        "hot_key_rows": hot,
+        "total_rows": total,
+        "target_rows_per_task": target,
+        "n_salts": n_salts,
+    }
+
+
+def auto_salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    key_cols: list[str],
+    how: str = "inner",
+    target_rows_per_task: int | None = None,
+    max_salts: int = 64,
+    oversalt: int = 8,
+) -> tuple[DataFrame, dict]:
+    """:func:`salted_join` with the salt count derived from measured skew
+    (:func:`derive_n_salts`) — measure -> size -> salt, no manual knob.
+    The result row set is EXACTLY the plain join's for ANY derived count
+    (salting only re-keys the shuffle), so the derivation affects balance,
+    never correctness. Returns (joined, info) with the audit dict."""
+    n_salts, info = derive_n_salts(
+        big, key_cols, target_rows_per_task, max_salts, oversalt
+    )
+    return salted_join(big, small, key_cols, n_salts=n_salts, how=how), info
+
+
 def salted_join(
     big: DataFrame,
     small: DataFrame,

@@ -1483,3 +1483,64 @@ def events_hot_user_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return salted_join(ev, dim, ["uid"], n_salts=16, how="left").select(
         "event_id", "uid", "uid_events"
     )
+
+
+@register(
+    "events_hot_user_autosalted_join",
+    oracle="""
+    WITH e AS (
+      SELECT event_id,
+             CAST(CASE WHEN user_id % 10 < 3 THEN 0 ELSE user_id END
+                  AS BIGINT) AS uid
+      FROM events
+    ),
+    dim AS (
+      SELECT uid, CAST(count(*) AS BIGINT) AS uid_events
+      FROM e GROUP BY uid HAVING uid % 2 = 0
+    )
+    SELECT e.event_id, e.uid, d.uid_events
+    FROM e LEFT JOIN dim d USING (uid)
+    """,
+    tags=("events", "skew", "join", "profiling"),
+)
+def events_hot_user_autosalted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The salted hot-key join with the salt count DERIVED from measured
+    skew (VERDICT r15 #5): measure -> size -> salt. Same deliberately
+    hot-keyed shape as events_hot_user_salted_join (~30% of events behind
+    uid=0), but instead of the fixed n_salts=16 that left a measured
+    3.15x residual straggler at sf0.1, operators/skew.py:auto_salted_join
+    runs the skew report's per-key count (one map-side-combinable row per
+    key), reduces it to (hot_key_rows, total_rows), and sizes
+
+        n_salts = clamp(ceil(8 * hot_rows / even_task_share), 1, 64)
+
+    — the 8x oversalt shrinks each hot bucket well below the even task
+    share so reducer-level birthday collisions between buckets stay
+    cheap (the measured residual-flattening curve in SCALE.md r16:
+    minimum-split 3.6x -> oversalted 1.59x at sf0.1).
+    The graded oracle is the PLAIN left join — identical to the fixed-salt
+    head's — because the derivation affects task balance, never the row
+    set; the head asserts the measurement actually detected the hot key
+    (derived n_salts > 1) so a silent measurement regression cannot grade
+    green. Residual-spread flattening vs fixed 16 salts is measured in
+    SCALE.md (scripts/probe_autosalt_r16.py)."""
+    from distributed_api_etl_spark.operators.skew import auto_salted_join
+
+    ev = table(spark, sf_dir, "events").select(
+        "event_id",
+        F.when(F.col("user_id") % 10 < 3, F.lit(0))
+        .otherwise(F.col("user_id"))
+        .cast("bigint")
+        .alias("uid"),
+    )
+    dim = (
+        ev.groupBy("uid")
+        .agg(F.count("*").alias("uid_events"))
+        .where(F.col("uid") % 2 == 0)
+    )
+    joined, info = auto_salted_join(ev, dim, ["uid"], how="left")
+    if info["n_salts"] <= 1:
+        raise AssertionError(
+            f"skew measurement failed to detect the hot key: {info}"
+        )
+    return joined.select("event_id", "uid", "uid_events")

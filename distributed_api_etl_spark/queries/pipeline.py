@@ -347,3 +347,95 @@ def api_pipeline_rate_limited(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= F.lit(burst) + F.lit(RATE_LIMIT_RPS) * F.col("span") + F.lit(1.5)
         ).alias("within_rate_limit"),
     )
+
+
+@register(
+    "backfill_resume_equals_oneshot",
+    oracle="""
+    SELECT CAST(((user_id % 8) + 8) % 8 AS BIGINT) AS unit,
+           CAST(user_id AS BIGINT) AS user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(floor(value * 1e2 + 0.5) AS BIGINT)) AS BIGINT)
+             AS sum_value_c
+    FROM events
+    GROUP BY 1, 2
+    """,
+    tags=("pipeline", "orchestration", "etl"),
+)
+def backfill_resume_equals_oneshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The backfill driver (orchestration/backfill.py) under the driver's
+    hash gate (VERDICT r15 #6) — the resume==oneshot argument at the
+    backfill grain, the way stream==batch grades the streaming recipe:
+
+    8 unit-partitioned recomputes over the event log (unit =
+    pmod(user_id, 8)), each writing its per-user aggregate idempotently
+    (overwrite into a hive ``unit=N/`` partition dir). The FIRST
+    invocation is killed by an injected failure at unit 5 after five
+    bookmarks committed; the SECOND invocation resumes from the bookmark
+    state table and must skip exactly the five committed units, redo the
+    crashed one, and finish the tail. The graded result is the final
+    sink read — its oracle is the SINGLE-SHOT aggregation SQL, so a green
+    row proves crash-resume converges to the one-shot run row-for-row.
+
+    Value sums cross engines as integer cents (floor(v*1e2+0.5) per row
+    before the bigint sum) — deterministic on identical stored doubles,
+    no float-sum ordering hazard. The driver loop holds UNIT IDS only;
+    each unit launches one distributed job (at 100 TB: a partition-pruned
+    scan per unit — here the unit predicate on a 10k-row table; the
+    bookmark table stays metadata-sized)."""
+    import os
+    import shutil
+    import tempfile
+
+    from distributed_api_etl_spark.orchestration.backfill import run_backfill
+
+    root = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_backfill_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    out_root = os.path.join(root, "out")
+    state = os.path.join(root, "state")
+    ev = table(spark, sf_dir, "events")
+
+    def process(spark_: SparkSession, unit: str) -> int:
+        u = int(unit)
+        agg = (
+            ev.where(F.pmod(F.col("user_id"), F.lit(8)) == u)
+            .groupBy("user_id")
+            .agg(
+                F.count("*").cast("bigint").alias("n_events"),
+                F.sum(
+                    F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5)).cast(
+                        "bigint"
+                    )
+                )
+                .cast("bigint")
+                .alias("sum_value_c"),
+            )
+        )
+        agg.write.mode("overwrite").parquet(os.path.join(out_root, f"unit={u}"))
+        return agg.count()
+
+    def crash_at_5(spark_: SparkSession, unit: str) -> int:
+        if unit == "5":
+            raise RuntimeError("injected mid-backfill crash")
+        return process(spark_, unit)
+
+    units = [str(u) for u in range(8)]
+    try:
+        run_backfill(spark, units, crash_at_5, state)
+        raise AssertionError("injected crash did not fire")
+    except RuntimeError:
+        pass
+    stats = run_backfill(spark, units, process, state)
+    # the resume must do exactly the un-bookmarked tail — a silent full
+    # restart (or a silent skip of the crashed unit) cannot grade green
+    if stats != {"processed": 3, "skipped": 5, "failed": 0}:
+        raise AssertionError(f"resume did not honor bookmarks: {stats}")
+    return spark.read.parquet(out_root).select(
+        F.col("unit").cast("bigint").alias("unit"),
+        F.col("user_id").cast("bigint").alias("user_id"),
+        "n_events",
+        "sum_value_c",
+    )

@@ -1045,6 +1045,56 @@ def test_salted_join_equals_plain_join(spark):
         assert rows(salted) == rows(plain), how
 
 
+def test_auto_salted_join_derivation(spark):
+    """derive_n_salts sizes the salt count from MEASURED skew: a hot key
+    with 60 of 100 rows at target 10 rows/task derives ceil(60/10)=6;
+    uniform data derives 1 (no salting tax); max_salts clamps the
+    replication cost; the empty frame degrades to 1. auto_salted_join
+    stays row-identical to the plain join for the derived count, left
+    misses included."""
+    from distributed_api_etl_spark.operators.skew import (
+        auto_salted_join,
+        derive_n_salts,
+    )
+
+    skewed = spark.createDataFrame(
+        [("hot", i) for i in range(60)]
+        + [(f"k{i % 40}", i) for i in range(40)],
+        "k string, payload int",
+    )
+    # minimum split: ceil(60/10) = 6 buckets of even-task size...
+    n_min, info = derive_n_salts(
+        skewed, ["k"], target_rows_per_task=10, oversalt=1
+    )
+    assert n_min == 6 and info["hot_key_rows"] == 60
+    assert info["total_rows"] == 100
+    # ...default oversalt=8 shrinks buckets below the even share so
+    # reducer collisions stay cheap (the measured SCALE.md r16 curve)
+    assert derive_n_salts(skewed, ["k"], target_rows_per_task=10)[0] == 48
+    n_clamped, _ = derive_n_salts(
+        skewed, ["k"], target_rows_per_task=10, max_salts=4
+    )
+    assert n_clamped == 4
+    uniform = spark.createDataFrame(
+        [(f"k{i}", i) for i in range(20)], "k string, payload int"
+    )
+    # hot <= target: no straggler to split -> no replication tax
+    assert derive_n_salts(uniform, ["k"], target_rows_per_task=10)[0] == 1
+    empty = spark.createDataFrame([], "k string, payload int")
+    assert derive_n_salts(empty, ["k"], target_rows_per_task=10)[0] == 1
+    small = spark.createDataFrame(
+        [("hot", 1), ("k1", 9)], "k string, dim int"
+    )
+    for how in ("inner", "left"):
+        joined, jinfo = auto_salted_join(
+            skewed, small, ["k"], how=how, target_rows_per_task=10
+        )
+        assert jinfo["n_salts"] == 48
+        assert sorted(tuple(r) for r in joined.collect()) == sorted(
+            tuple(r) for r in skewed.join(small, ["k"], how).collect()
+        ), how
+
+
 def test_operators_tolerate_empty_input(spark):
     """Every pipeline stage must yield an empty (not crashing) result on an
     empty input frame — at 100 TB, date-scoped runs routinely see empty
