@@ -670,6 +670,9 @@ def _rate_recipe_oracle_sql() -> str:
 @register(
     "documents_recipe_rate_budgeted",
     oracle=_rate_recipe_oracle_sql(),
+    # bench-tracked (VERDICT r15 #2): expensive multi-stage composition —
+    # without a wall/counter trend line it is invisible until it times out
+    bench=True,
     tags=("dedup", "text", "ml", "pipeline", "sampling", "packing", "skew"),
 )
 def documents_recipe_rate_budgeted(spark: SparkSession, sf_dir: str) -> DataFrame:

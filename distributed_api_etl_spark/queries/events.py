@@ -1435,6 +1435,9 @@ def events_next_event_examples(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "events_hot_user_salted_join",
+    # bench-tracked (VERDICT r15 #2): the 16x dim replication is a real
+    # shuffle-volume knob — counters watch it alongside the auto-sized head
+    bench=True,
     oracle="""
     WITH e AS (
       SELECT event_id,
@@ -1487,6 +1490,9 @@ def events_hot_user_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "events_hot_user_autosalted_join",
+    # bench-tracked from birth: the derived salt count moves the dim
+    # replication volume — the counter pair with the fixed-16 head shows it
+    bench=True,
     oracle="""
     WITH e AS (
       SELECT event_id,

@@ -601,6 +601,9 @@ def _streaming_recipe_oracle() -> str:
 @register(
     "streaming_training_recipe",
     oracle=_streaming_recipe_oracle(),
+    # bench-tracked (VERDICT r15 #2): the suite's costliest plan (~43 s
+    # sf0.1 drain, SCALE.md r15) — the one most in need of a trend line
+    bench=True,
     tags=("streaming", "dedup", "text", "ml", "pipeline", "sampling", "packing"),
 )
 def streaming_training_recipe(spark: SparkSession, sf_dir: str) -> DataFrame:
