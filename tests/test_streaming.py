@@ -1077,3 +1077,79 @@ def test_recipe_compaction_between_batches_is_noop(spark, tmp_path):
     got = _recipe_census(spark, compacted)
     assert got == want
     assert all(r[0] != 203 for r in got["manifest"])  # standing-wins held
+
+
+def test_recipe_stream_restart_from_checkpoint(spark, tmp_path):
+    """END-TO-END restart: the sink crashes AFTER batch 0's commit (so the
+    checkpoint never records batch 0 as done), the stream is restarted on
+    the SAME checkpoint + store, and Structured Streaming re-delivers
+    batch 0 — the at-least-once replay the exactly-once store exists for.
+    The restarted drain must observe the redelivery, skip it as already
+    applied, process the remaining batch, and land on the clean
+    uninterrupted run's state."""
+    from pyspark.sql.streaming import StreamingQueryException
+
+    from distributed_api_etl_spark.streaming.recipe import (
+        RecipeStore,
+        process_recipe_batch,
+    )
+
+    src = _write_recipe_batches(spark, tmp_path)
+    cfg = _recipe_eo_cfg()
+
+    # clean reference: both batches through a fresh store, no interruption
+    b1, b2 = _recipe_eo_batches(spark)
+    clean = RecipeStore(str(tmp_path / "restart_clean"))
+    clean.reset()
+    process_recipe_batch(b1, clean, cfg, 0)
+    process_recipe_batch(b2, clean, cfg, 1)
+    want = _recipe_census(spark, clean)
+
+    store = RecipeStore(str(tmp_path / "restart_store"))
+    store.reset()
+    ckpt = str(tmp_path / "restart_ckpt")
+    schema = "doc_id bigint, lang string, text string"
+    seen: list[int] = []
+
+    def crashing_sink(bdf, bid):
+        process_recipe_batch(bdf, store, cfg, bid)
+        seen.append(bid)
+        if len(seen) == 1:
+            # store committed, checkpoint not yet: the widest replay window
+            raise RuntimeError("injected sink failure after store commit")
+
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(crashing_sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(StreamingQueryException):
+        q.awaitTermination(600)
+    assert seen == [0]
+    assert store.last_committed() == 0  # batch 0 applied, checkpoint behind
+
+    replayed: list[int] = []
+
+    def resumed_sink(bdf, bid):
+        replayed.append(bid)
+        process_recipe_batch(bdf, store, cfg, bid)
+
+    q2 = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(resumed_sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q2.awaitTermination(600)
+    # the engine re-delivered the uncommitted batch 0; the store skipped it
+    assert replayed[0] == 0 and replayed[-1] == 1
+    assert _recipe_census(spark, store) == want
