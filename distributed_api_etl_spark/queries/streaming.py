@@ -682,3 +682,78 @@ def streaming_training_recipe(spark: SparkSession, sf_dir: str) -> DataFrame:
         "pack_id",
         "pack_offset",
     )
+
+
+@register(
+    "streaming_recipe_crash_recovery",
+    oracle=_streaming_recipe_oracle(),
+    tags=("streaming", "dedup", "text", "ml", "pipeline", "sampling", "packing"),
+)
+def streaming_recipe_crash_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming recipe's EXACTLY-ONCE recovery contract under the
+    driver's hash gate (round 16): the foreachBatch sink crashes AFTER
+    batch 0's store commit but BEFORE the checkpoint records it — the
+    widest at-least-once window — the stream is restarted on the same
+    checkpoint + store, Structured Streaming re-delivers batch 0, and
+    the RecipeStore's high-water mark makes the replay a no-op
+    (streaming/recipe.py module doc: batch-keyed idempotent overwrites,
+    committed-only reads, one atomic commit marker written last). The
+    oracle is the SAME batch-recipe replay SQL as
+    streaming_training_recipe, so a green row proves crash +
+    engine-level redelivery + restart converge to the crash-free batch
+    result row-for-row — the resume==oneshot argument
+    (backfill_resume_equals_oneshot) at the micro-batch grain. The
+    runner asserts the crash actually fired post-commit, so a
+    silently-not-exercised recovery path cannot grade green."""
+    from distributed_api_etl_spark.queries.curation import (
+        RECIPE_BUDGET_DEFAULT,
+        RECIPE_BUDGET_SEED,
+        RECIPE_BUDGETS,
+        RECIPE_PACK_BUDGET,
+        RECIPE_SHARD_SEED,
+        RECIPE_SHARDS,
+    )
+    from distributed_api_etl_spark.queries.dedup import (
+        PASSAGE_MIN_DF,
+        PASSAGE_TOKENS,
+    )
+    from distributed_api_etl_spark.queries.text import MIX_DEFAULT, MIX_RATES
+    from distributed_api_etl_spark.streaming.recipe import (
+        RecipeConfig,
+        run_streaming_training_recipe,
+    )
+
+    stream = _stream_source(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text"
+    )
+    cfg = RecipeConfig(
+        mix_rates=MIX_RATES,
+        mix_default=MIX_DEFAULT,
+        budgets=RECIPE_BUDGETS,
+        budget_default=RECIPE_BUDGET_DEFAULT,
+        budget_seed=RECIPE_BUDGET_SEED,
+        n_shards=RECIPE_SHARDS,
+        shard_seed=RECIPE_SHARD_SEED,
+        pack_budget=RECIPE_PACK_BUDGET,
+        passage_tokens=PASSAGE_TOKENS,
+        passage_min_df=PASSAGE_MIN_DF,
+    )
+    store_dir = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_recipe_crashrec_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    manifest, plan = run_streaming_training_recipe(
+        spark, stream, store_dir, cfg, crash_after_batch=0
+    )
+    global LAST_EXECUTED_PLAN
+    LAST_EXECUTED_PLAN = plan
+    return manifest.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        "cum_tokens",
+        "shard",
+        "sort_key",
+        "pack_id",
+        "pack_offset",
+    )

@@ -633,6 +633,7 @@ def run_streaming_training_recipe(
     store_dir: str,
     cfg: RecipeConfig,
     timeout_s: int = 600,
+    crash_after_batch: int | None = None,
 ) -> tuple[DataFrame, str | None]:
     """Drain ``stream`` (doc_id, lang, text) through the recipe sink with a
     fresh store, and return (manifest DataFrame, executed micro-batch plan).
@@ -640,17 +641,34 @@ def run_streaming_training_recipe(
     The store is RESET — this runner is the graded/oracle entry point (one
     deterministic replay); a production deployment would keep the store and
     checkpoint across runs instead (they must live and die together —
-    exactly-once hinges on checkpoint-scoped batch ids, see module doc)."""
+    exactly-once hinges on checkpoint-scoped batch ids, see module doc).
+
+    ``crash_after_batch=N`` exercises the RECOVERY path under the same
+    oracle: the sink raises AFTER batch N's store commit but BEFORE the
+    checkpoint records it, the first query dies, and the runner restarts
+    the stream on the SAME checkpoint + store — Structured Streaming
+    re-delivers batch N (at-least-once), the store's high-water mark skips
+    it, and the drain completes. The returned manifest must therefore be
+    identical to the crash-free drain's — which is exactly what the graded
+    head's batch-replay oracle asserts."""
+    from pyspark.errors import StreamingQueryException
+
     store = RecipeStore(store_dir)
     store.reset()
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         process_recipe_batch(batch_df, store, cfg, batch_id)
+        if crash_after_batch is not None and batch_id == crash_after_batch:
+            raise RuntimeError(
+                f"injected post-commit crash at batch {batch_id}"
+            )
 
-    ckpt = tempfile.mkdtemp(prefix="recipe_stream_ckpt_")
-    try:
+    def _clean_sink(batch_df: DataFrame, batch_id: int) -> None:
+        process_recipe_batch(batch_df, store, cfg, batch_id)
+
+    def _drain(sink) -> str | None:
         q = (
-            stream.writeStream.foreachBatch(_sink)
+            stream.writeStream.foreachBatch(sink)
             .option("checkpointLocation", ckpt)
             .trigger(availableNow=True)
             .start()
@@ -662,9 +680,29 @@ def run_streaming_training_recipe(
                 "refusing to grade a partial manifest"
             )
         try:
-            plan = q._jsq.explainInternal(False)
+            return q._jsq.explainInternal(False)
         except Exception:
-            plan = None
+            return None
+
+    ckpt = tempfile.mkdtemp(prefix="recipe_stream_ckpt_")
+    try:
+        if crash_after_batch is None:
+            plan = _drain(_sink)
+        else:
+            try:
+                _drain(_sink)
+                raise AssertionError(
+                    "injected crash did not fire — the restart path was "
+                    "not exercised"
+                )
+            except StreamingQueryException:
+                pass  # the injected at-least-once window: batch N committed
+                # to the store, not to the checkpoint
+            if store.last_committed() < crash_after_batch:
+                raise AssertionError(
+                    "crash fired before the store commit it must follow"
+                )
+            plan = _drain(_clean_sink)  # restart: engine redelivers batch N
     finally:
         shutil.rmtree(ckpt, ignore_errors=True)
     return store.read_manifest(spark), plan
