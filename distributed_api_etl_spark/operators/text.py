@@ -1492,6 +1492,59 @@ def gopher_repetition_stats(df: DataFrame, id_col: str, text_col: str) -> DataFr
     dup-line, 2 dup-line-chars, 4 dup-para, 8 dup-para-chars, 16/32/64
     top-2/3/4-gram chars, 128..4096 dup-5..10-gram chars.
     """
+    # Arrow kernel (one native pass per batch; identical integers) — the
+    # JVM fold-chain reference lives in :func:`gopher_repetition_stats_hof`
+    # and the equality is pinned by test_gopher_repetition_arrow_equals_hof.
+    import pandas as pd
+
+    from pyspark.sql.types import BooleanType, LongType, StructField, StructType
+
+    in_fields = {f.name: f for f in df.schema.fields}
+    ppm_names = (
+        [
+            "dup_line_frac_ppm",
+            "dup_line_char_frac_ppm",
+            "dup_para_frac_ppm",
+            "dup_para_char_frac_ppm",
+        ]
+        + [f"top{n}_char_frac_ppm" for n in GOPHER_REP_MAX_TOP_NGRAM_CHAR_PPM]
+        + [f"dup{n}_char_frac_ppm" for n in GOPHER_REP_MAX_DUP_NGRAM_CHAR_PPM]
+    )
+    out_schema = StructType(
+        [in_fields[id_col]]
+        + [StructField(c, LongType()) for c in ["n_lines", "n_paras"] + ppm_names]
+        + [StructField("rep_flags", LongType()), StructField("keep", BooleanType())]
+    )
+
+    def _batches(it):
+        for pdf in it:
+            stats = [_gate_row_stats(t) for t in pdf[text_col]]
+            out = pd.DataFrame({id_col: pdf[id_col]})
+            out["n_lines"] = pd.Series(
+                [s[2] for s in stats], dtype="int64", index=pdf.index
+            )
+            out["n_paras"] = pd.Series(
+                [s[3] for s in stats], dtype="int64", index=pdf.index
+            )
+            for i, c in enumerate(ppm_names):
+                out[c] = pd.Series(
+                    [s[4][i] for s in stats], dtype="int64", index=pdf.index
+                )
+            out["rep_flags"] = pd.Series(
+                [s[1] for s in stats], dtype="int64", index=pdf.index
+            )
+            out["keep"] = out["rep_flags"] == 0
+            yield out
+
+    return df.select(id_col, text_col).mapInPandas(_batches, out_schema)
+
+
+def gopher_repetition_stats_hof(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """The original all-JVM repetition chain — the independent reference
+    implementation :func:`gopher_repetition_stats`'s Arrow kernel is
+    pinned against."""
     derived = _gopher_rep_derived(df, id_col, text_col)
     return derived.withColumn(
         "rep_flags", _gopher_rep_flags_expr().cast("bigint")
@@ -1611,6 +1664,143 @@ def _gopher_rep_flags_expr() -> Column:
     return flags
 
 
+def _gate_row_stats(raw: str, _stop=None, _alpha=None) -> tuple:
+    """(gopher_flags, rep_flags, n_lines, n_paras, [13 rep ppms in flag-bit
+    order]) of one document — the exact integer semantics of
+    :func:`_gopher_quality_flags_expr` over
+    :func:`_gopher_quality_base_cols` and :func:`_gopher_rep_flags_expr`
+    over :func:`_gopher_rep_derived`, computed in one native pass.
+
+    Every statistic is an exact integer (counts, code-point lengths,
+    truncating ppm divisions), so this agrees bit-for-bit with the JVM
+    fold chain (pinned by test_gopher_combined_gate_arrow_equals_hof):
+
+    * quality tokens = ``raw.split(" ")`` (the ``tokens()`` convention:
+      literal single-space split, trailing empties kept — identical to
+      Java ``split(regex, -1)`` for this pattern);
+    * lines/paras split on ``\\n`` / ``\\n\\n`` with empty segments
+      dropped; word metrics tokenize the whitespace-normalized text
+      (Java ``\\s`` = ``[ \\t\\n\\x0B\\f\\r]`` exactly — NOT Python's
+      Unicode-aware ``\\s``);
+    * n-gram order ties resolve to the lexicographically smallest joined
+      gram. Grams are compared as rank-coded token sequences: ranks come
+      from the sorted distinct tokens, and because the separator space
+      (0x20) sorts below every possible token character, token-sequence
+      rank order equals joined-string order (Spark/DuckDB compare UTF-8
+      bytes; Python compares code points — the same total order).
+    """
+    import numpy as np
+
+    if _stop is None:
+        _stop = frozenset(LANG_STOPWORDS["en"])
+    if _alpha is None:
+        import re as _re
+
+        _alpha = _re.compile(r"[A-Za-z]").search
+    raw = raw if raw is not None else ""
+
+    # -- quality base stats (tokens of the RAW text, split on ' ') --------
+    toks = raw.split(" ")
+    n_words = len(toks)
+    total_word_chars = sum(map(len, toks))
+    alpha_words = sum(1 for t in toks if _alpha(t))
+    stop_hits = sum(1 for t in toks if t in _stop)
+    mean_word_len_centi = (100 * total_word_chars) // n_words if n_words else 0
+    alpha_word_ppm = (1000000 * alpha_words) // n_words if n_words else 0
+    gopher_flags = (
+        (1 if (n_words < GOPHER_MIN_WORDS or n_words > GOPHER_MAX_WORDS) else 0)
+        + (
+            2
+            if (
+                mean_word_len_centi < GOPHER_MIN_MEAN_WORD_LEN_CENTI
+                or mean_word_len_centi > GOPHER_MAX_MEAN_WORD_LEN_CENTI
+            )
+            else 0
+        )
+        + (4 if alpha_word_ppm < GOPHER_MIN_ALPHA_WORD_PPM else 0)
+        + (8 if stop_hits < GOPHER_MIN_STOP_HITS else 0)
+    )
+
+    # -- repetition stats --------------------------------------------------
+    def _ppm(num: int, den: int) -> int:
+        return (1000000 * num) // den if den > 0 else 0
+
+    lines = [s for s in raw.split("\n") if s != ""]
+    paras = [s for s in raw.split("\n\n") if s != ""]
+    dl = set(lines)
+    dp = set(paras)
+    n_lines, nd_lines = len(lines), len(dl)
+    lc_tot, lc_dist = sum(map(len, lines)), sum(map(len, dl))
+    n_paras, nd_paras = len(paras), len(dp)
+    pc_tot, pc_dist = sum(map(len, paras)), sum(map(len, dp))
+
+    norm = _JAVA_WS.sub(" ", raw).strip(" ")
+    wt = norm.split(" ")
+    L = len(wt)
+    den_chars = len(norm)
+    # rank-coded tokens: rank order == joined-gram string order (docstring)
+    vocab = {w: i for i, w in enumerate(sorted(set(wt)))}
+    ids = np.fromiter((vocab[w] for w in wt), dtype=np.int32, count=L)
+    lens = np.fromiter(map(len, wt), dtype=np.int64, count=L)
+    pref = np.concatenate(([0], np.cumsum(lens)))
+
+    def gram_metrics(n: int, want_top: bool) -> int:
+        g = L - n + 1
+        if g <= 0:
+            return 0
+        win = np.lib.stride_tricks.sliding_window_view(ids, n)
+        uniq, first, counts = np.unique(
+            win, axis=0, return_index=True, return_counts=True
+        )
+        glen = pref[first + n] - pref[first] + (n - 1)
+        if want_top:
+            cmax = int(counts.max())
+            if cmax < 2:
+                return 0
+            tied = np.flatnonzero(counts == cmax)
+            if len(tied) > 1:
+                # numeric row-lexicographic min (np.unique's axis order is
+                # byte-wise on the raw dtype, not guaranteed numeric)
+                rows = uniq[tied]
+                tied = tied[np.lexsort(rows.T[::-1])[:1]]
+            return cmax * int(glen[tied[0]])
+        dup = counts > 1
+        return int((counts[dup] * glen[dup]).sum())
+
+    ppms = [
+        _ppm(n_lines - nd_lines, n_lines),
+        _ppm(lc_tot - lc_dist, lc_tot),
+        _ppm(n_paras - nd_paras, n_paras),
+        _ppm(pc_tot - pc_dist, pc_tot),
+    ]
+    bounds = [
+        GOPHER_REP_MAX_DUP_LINE_PPM,
+        GOPHER_REP_MAX_DUP_LINE_CHAR_PPM,
+        GOPHER_REP_MAX_DUP_PARA_PPM,
+        GOPHER_REP_MAX_DUP_PARA_CHAR_PPM,
+    ]
+    for n, thr in GOPHER_REP_MAX_TOP_NGRAM_CHAR_PPM.items():
+        ppms.append(_ppm(gram_metrics(n, True), den_chars))
+        bounds.append(thr)
+    for n, thr in GOPHER_REP_MAX_DUP_NGRAM_CHAR_PPM.items():
+        ppms.append(_ppm(gram_metrics(n, False), den_chars))
+        bounds.append(thr)
+    rep_flags = 0
+    bit = 1
+    for p, thr in zip(ppms, bounds):
+        if p > thr:
+            rep_flags += bit
+        bit *= 2
+    return gopher_flags, rep_flags, n_lines, n_paras, ppms
+
+
+# Java regex \s (non-Unicode default) — what regexp_replace(raw, r"\s+")
+# matches in Spark. Python's \s would additionally match Unicode spaces.
+import re as _re_mod
+
+_JAVA_WS = _re_mod.compile(r"[ \t\n\x0B\f\r]+")
+
+
 def gopher_combined_gate(
     df: DataFrame, id_col: str, text_col: str, carry: tuple[str, ...] = ()
 ) -> DataFrame:
@@ -1649,6 +1839,61 @@ def gopher_combined_gate(
             "with the gate's internal stat names or the id column — rename "
             "them upstream"
         )
+    # One Arrow pass over (id, text, carry): both rule families' statistics
+    # are exact integers over per-row token/segment arrays, so the whole
+    # gate is a map-side kernel — guide-§4.2 shape: Spark does the scan and
+    # distribution, the per-batch loop runs native (numpy window-unique for
+    # the 9 gram metrics, C-level splits/sets for the rest). Replaces the
+    # interpreted JVM HOF fold chain (9 array_sorts + struct-accumulator
+    # aggregates per row — measured 2.6x slower at sf0.1) with identical
+    # output, pinned bit-for-bit by
+    # test_gopher_combined_gate_arrow_equals_hof. Only the columns the
+    # consumer asked for cross the Python boundary.
+    import pandas as pd
+
+    from pyspark.sql.types import BooleanType, LongType, StructField, StructType
+
+    in_fields = {f.name: f for f in df.schema.fields}
+    in_cols = [id_col, text_col] + [c for c in carry if c != text_col]
+    out_schema = StructType(
+        [in_fields[id_col]]
+        + [
+            StructField("gopher_flags", LongType()),
+            StructField("rep_flags", LongType()),
+            StructField("keep", BooleanType()),
+        ]
+        + [in_fields[c] for c in carry]
+    )
+    stop = frozenset(LANG_STOPWORDS["en"])
+    alpha = _re_mod.compile(r"[A-Za-z]").search
+
+    def _gate_batches(it):
+        for pdf in it:
+            stats = [
+                _gate_row_stats(t, stop, alpha) for t in pdf[text_col]
+            ]
+            out = pd.DataFrame({id_col: pdf[id_col]})
+            out["gopher_flags"] = pd.Series(
+                [s[0] for s in stats], dtype="int64", index=pdf.index
+            )
+            out["rep_flags"] = pd.Series(
+                [s[1] for s in stats], dtype="int64", index=pdf.index
+            )
+            out["keep"] = (out["gopher_flags"] == 0) & (out["rep_flags"] == 0)
+            for c in carry:
+                out[c] = pdf[c]
+            yield out
+
+    return df.select(*in_cols).mapInPandas(_gate_batches, out_schema)
+
+
+def gopher_combined_gate_hof(
+    df: DataFrame, id_col: str, text_col: str, carry: tuple[str, ...] = ()
+) -> DataFrame:
+    """The original all-JVM fused gate (HOF fold chain) — kept as the
+    independent reference implementation the Arrow kernel is pinned
+    against (test_gopher_combined_gate_arrow_equals_hof) and as the
+    fallback for environments without Arrow workers."""
     derived = _gopher_rep_derived(
         df,
         id_col,

@@ -417,8 +417,10 @@ def _process_recipe_batch_inner(
             .join(s1, "d1", "left_anti")
             .join(s2, "d2", "left_anti")
         )
+    # label propagation (see queries/curation.py — near-clique dup graphs,
+    # identical labels, measured ~2.5x less per-batch CC overhead)
     clusters = dedup_cluster_assignment(
-        within, survivors0.select("doc_id"), "doc_id", algorithm="two_phase"
+        within, survivors0.select("doc_id"), "doc_id", algorithm="label_propagation"
     )
     keepers = scoped_persist(
         survivors0.join(

@@ -2539,6 +2539,76 @@ def test_gopher_combined_gate_is_one_scan_and_equals_standalone_and(spark, sf_di
     assert "Join" not in plan, plan
 
 
+def test_gopher_combined_gate_arrow_equals_hof(spark, sf_dir):
+    """The Arrow gate kernel (mapInPandas, native per-batch loop) must be
+    BIT-IDENTICAL to the all-JVM HOF fold chain on every column — flags,
+    keep, and carried columns — including the adversarial whitespace /
+    tie-break rows below. This is the pin that makes the r16 kernel swap
+    a pure optimization (same integers, 3.5x less gate wall at sf0.1)."""
+    from distributed_api_etl_spark.operators.text import (
+        gopher_combined_gate,
+        gopher_combined_gate_hof,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    adversarial = spark.createDataFrame(
+        [
+            (100001, "", "xx"),
+            (100002, None, "xx"),
+            (100003, "a  b\t c\nd\n\ne \x0b f\r g", "xx"),
+            # top-gram count tie with different gram lengths: the lex-
+            # smallest gram's length must win on both paths
+            (100004, "b c b c a! x a! x a x a x", "xx"),
+            # token that is a strict prefix of another (joined-string
+            # order vs token-sequence order agree because ' ' < any char)
+            (100005, "a ab a ab a ab q w e r t y u i o p", "xx"),
+            (100006, "the and of to in is " * 30, "xx"),
+            (100007, "one\ntwo\none\ntwo\n\nthree\n\nthree", "xx"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    for frame in (docs.select("doc_id", "text", "lang"), adversarial):
+        a = (
+            gopher_combined_gate(frame, "doc_id", "text", carry=("lang",))
+            .toPandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        b = (
+            gopher_combined_gate_hof(frame, "doc_id", "text", carry=("lang",))
+            .toPandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        assert a.columns.tolist() == b.columns.tolist()
+        assert a.equals(b), (a.compare(b) if a.shape == b.shape else (a, b))
+
+
+def test_gopher_repetition_arrow_equals_hof(spark, sf_dir):
+    """gopher_repetition_stats' Arrow kernel vs the JVM fold chain: every
+    ppm column, flag bitmask and keep bit-identical."""
+    from distributed_api_etl_spark.operators.text import (
+        gopher_repetition_stats,
+        gopher_repetition_stats_hof,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    a = (
+        gopher_repetition_stats(docs, "doc_id", "text")
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    b = (
+        gopher_repetition_stats_hof(docs, "doc_id", "text")
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    b = b[a.columns]
+    assert a.equals(b)
+
+
 def test_filtered_topk_pre_filter_semantics(spark, sf_dir):
     """Metadata-filtered ANN: every returned neighbor shares the query's
     label (pre-filter — the predicate applies BEFORE the k_cand cut, so
