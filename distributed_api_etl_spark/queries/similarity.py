@@ -2969,20 +2969,12 @@ def ann_knn_graph_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, "vec_id", "embedding", IVF_CENTROIDS, KNN_GRAPH_K,
         nprobe=KNN_GRAPH_NPROBE,
     ).select("src", "dst")
-    # labeled exact truth tier: every ordered pair, window top-k per src
-    a = emb.select(F.col("vec_id").alias("src"), F.col("embedding").alias("sv"))
-    b = emb.select(F.col("vec_id").alias("dst"), F.col("embedding").alias("dv"))
-    from distributed_api_etl_spark.functions.vectors import cosine_similarity
-
-    ex = (
-        a.join(F.broadcast(b), F.col("src") != F.col("dst"))
-        .withColumn("cosine", cosine_similarity("sv", "dv"))
-    )
-    wt = Window.partitionBy("src").orderBy(F.desc("cosine"), F.asc("dst"))
-    truth = (
-        ex.withColumn("rnk", F.row_number().over(wt))
-        .where(F.col("rnk") <= KNN_GRAPH_K)
-        .select("src", "dst")
+    # labeled exact truth tier: one numpy fold kernel per src chunk vs a
+    # single broadcast corpus-matrix row — bit-identical cosines and tie
+    # order to the former N^2-row broadcast join + HOF cosine + window
+    # (operators/similarity.py:exact_knn_pairs; was 285 CPU-s at sf0.1)
+    truth = S.exact_knn_pairs(emb, "vec_id", "embedding", KNN_GRAPH_K).select(
+        "src", "dst"
     )
     hits = (
         approx.join(truth, ["src", "dst"])

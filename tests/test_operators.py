@@ -2609,6 +2609,49 @@ def test_gopher_repetition_arrow_equals_hof(spark, sf_dir):
     assert a.equals(b)
 
 
+def test_exact_knn_pairs_equals_window(spark, sf_dir):
+    """The numpy exact-kNN kernel (chunked src x one broadcast corpus-
+    matrix row, per-dimension fold accumulation) must be BIT-IDENTICAL to
+    the reference shape it replaced — broadcast N^2 self-join + JVM HOF
+    cosine + (cosine DESC, dst ASC) window — including exact-duplicate
+    vectors (tie groups) and a src id that hash-chunks away from its
+    duplicates."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from distributed_api_etl_spark.functions.vectors import cosine_similarity
+    from distributed_api_etl_spark.operators.similarity import exact_knn_pairs
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").repartition(8)
+    # adversarial: exact duplicates (cosine exactly 1.0 ties broken by id)
+    dups = emb.where("vec_id < 3").select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    frame = emb.select("vec_id", "embedding").unionByName(dups)
+    K = 5
+    new = (
+        exact_knn_pairs(frame, "vec_id", "embedding", K)
+        .toPandas()
+        .sort_values(["src", "dst"])
+        .reset_index(drop=True)
+    )
+    a = frame.select(F.col("vec_id").alias("src"), F.col("embedding").alias("sv"))
+    b = frame.select(F.col("vec_id").alias("dst"), F.col("embedding").alias("dv"))
+    ex = a.join(F.broadcast(b), F.col("src") != F.col("dst")).withColumn(
+        "cosine", cosine_similarity("sv", "dv")
+    )
+    w = Window.partitionBy("src").orderBy(F.desc("cosine"), F.asc("dst"))
+    old = (
+        ex.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= K)
+        .select("src", "dst")
+        .toPandas()
+        .sort_values(["src", "dst"])
+        .reset_index(drop=True)
+    )
+    assert new.equals(old)
+
+
 def test_filtered_topk_pre_filter_semantics(spark, sf_dir):
     """Metadata-filtered ANN: every returned neighbor shares the query's
     label (pre-filter — the predicate applies BEFORE the k_cand cut, so
