@@ -696,6 +696,7 @@ def ivf_int8_topk_from_index(
     levels: int = 127,
     qvecs: DataFrame | None = None,
     tombstones: DataFrame | None = None,
+    probes: DataFrame | None = None,
 ) -> DataFrame:
     """Serve top-k from a STORED IVF+int8 index
     (:func:`build_ivf_int8_index`, written ``partitionBy("centroid_id")``)
@@ -739,6 +740,14 @@ def ivf_int8_topk_from_index(
     composition, whose index is an in-plan subtree shared with the
     candidate scan) passes them via ``qvecs`` (``(id_col, qvec)``) and
     skips the extra embeddings scan.
+
+    ``probes`` lets a recall-sweep caller share ONE probe ranking across
+    nprobe tiers (each tier is a prefix of the same sort — see
+    :func:`ivf_probe_assign` ``with_rank``): a precomputed
+    ``(query_id, qv, centroid_id)`` frame for THIS nprobe — ``qv`` is the
+    quantized query vector, used by the candidate scoring join.
+    Semantics are unchanged; the default computes exactly what a caller
+    would pass.
     """
     if qvecs is None:
         qvecs = quantize_embeddings(
@@ -747,7 +756,8 @@ def ivf_int8_topk_from_index(
             vec_col,
             levels,
         ).select(id_col, "qvec")
-    probes = ivf_probe_assign(qvecs, centroids, id_col, "qvec", nprobe)
+    if probes is None:
+        probes = ivf_probe_assign(qvecs, centroids, id_col, "qvec", nprobe)
     cand_src = index
     if prune_partitions:
         probed = sorted(
