@@ -73,6 +73,24 @@ def main() -> None:
     embedding_lsh_pairs(
         emb50, "vec_id", "embedding", threshold=0.3, dim=64
     ).write.format("noop").mode("overwrite").save()
+    # warm EVERY Python worker slot, not just one: the 50-row frames above
+    # run on a single partition, so only ONE of local[N]'s workers pays its
+    # fork + numpy/pandas import during warmup — the other N-1 would start
+    # (measured ~5s for 32 workers) inside the FIRST timed pandas-UDF query.
+    # Same one-time-per-executor cost class as the Janino warmup above: a
+    # long-lived cluster job pays it once, not per query.
+    import pandas as _pd
+
+    @F.pandas_udf("long")
+    def _warm_worker(s: _pd.Series) -> _pd.Series:
+        import numpy  # noqa: F401 — the kernels' import, paid here once
+
+        return s
+
+    par = spark.sparkContext.defaultParallelism
+    spark.range(0, par * 4, 1, par * 4).select(
+        _warm_worker("id")
+    ).write.format("noop").mode("overwrite").save()
 
     # two measured runs per query, report the MIN: single-sample timings on
     # a shared box conflate the query's cost with GC pauses / first-touch

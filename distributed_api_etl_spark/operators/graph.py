@@ -22,6 +22,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def truncate_lineage(df: DataFrame, eager: bool = True) -> DataFrame:
@@ -95,11 +96,74 @@ class _loop_shuffle_partitions:
         return False
 
 
+# Below this many edges the whole component computation happens on the
+# driver: ONE bounded collect (2 ints/edge — ~16 bytes, so the cap is a
+# few MB of driver memory) + exact union-find, instead of 3-8 distributed
+# label-propagation rounds of ~2 tiny shuffle jobs each. The iterative
+# loop's wall at small |E| is pure job-scheduling overhead (SCALE.md
+# round-6 profile); the collect is the same bounded-metadata class as the
+# probed-centroid / MMR collects. Dup graphs larger than the cap (a 100 TB
+# corpus can exceed it) take the distributed loop unchanged — the gate is
+# on MEASURED edge count, which connected_components computes anyway.
+DRIVER_CC_MAX_EDGES = 200_000
+
+# id types whose Python ordering equals Spark's ORDER BY (min-label must
+# agree with the distributed loop): integers trivially; strings because
+# UTF-8 byte order equals code-point order for valid UTF-8.
+_DRIVER_CC_SAFE_TYPES = (
+    "tinyint", "smallint", "int", "bigint", "string",
+)
+
+
+def _connected_components_driver(
+    edges: DataFrame, src: str, dst: str
+) -> DataFrame:
+    """Exact min-label components of a BOUNDED edge list via driver-side
+    union-find — identical output contract to the distributed loop
+    (pinned by test_connected_components_driver_equals_loop)."""
+    rows = edges.collect()
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for r in rows:
+        a, b = r[0], r[1]
+        if a not in parent:
+            parent[a] = a
+        if b not in parent:
+            parent[b] = b
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[rb] = ra
+    comp_min: dict = {}
+    roots = {n: find(n) for n in parent}
+    for n, r in roots.items():
+        m = comp_min.get(r)
+        if m is None or n < m:
+            comp_min[r] = n
+    node_t = edges.schema[0].dataType
+    out_schema = T.StructType(
+        [
+            T.StructField("node", node_t),
+            T.StructField("cluster_id", node_t),
+        ]
+    )
+    data = [(n, comp_min[r]) for n, r in roots.items()]
+    return edges.sparkSession.createDataFrame(data, out_schema)
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "d1",
     dst: str = "d2",
     max_iter: int = 25,
+    driver_max_edges: int = DRIVER_CC_MAX_EDGES,
 ) -> DataFrame:
     """(node, cluster_id) for every node in ``edges``; cluster_id = min
     node id reachable. Deterministic for any id type with a total order."""
@@ -111,6 +175,14 @@ def connected_components(
     # be computed regardless; every later round then reads pure cache.
     edges = edges.select(F.col(src), F.col(dst)).persist()
     n_edges = edges.count()
+    if (
+        n_edges <= driver_max_edges
+        and edges.schema[0].dataType.simpleString() in _DRIVER_CC_SAFE_TYPES
+    ):
+        try:
+            return _connected_components_driver(edges, src, dst)
+        finally:
+            edges.unpersist()
     with _loop_shuffle_partitions(edges.sparkSession, 2 * n_edges):
         return _connected_components_loop(edges, src, dst, max_iter)
 
