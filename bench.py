@@ -79,17 +79,15 @@ def main() -> None:
     # (measured ~5s for 32 workers) inside the FIRST timed pandas-UDF query.
     # Same one-time-per-executor cost class as the Janino warmup above: a
     # long-lived cluster job pays it once, not per query.
-    import pandas as _pd
-
-    @F.pandas_udf("long")
-    def _warm_worker(s: _pd.Series) -> _pd.Series:
+    def _warm_batches(it):
         import numpy  # noqa: F401 — the kernels' import, paid here once
+        import pandas  # noqa: F401
 
-        return s
+        yield from it
 
     par = spark.sparkContext.defaultParallelism
-    spark.range(0, par * 4, 1, par * 4).select(
-        _warm_worker("id")
+    spark.range(0, par * 4, 1, par * 4).mapInPandas(
+        _warm_batches, "id long"
     ).write.format("noop").mode("overwrite").save()
 
     # two measured runs per query, report the MIN: single-sample timings on

@@ -682,6 +682,53 @@ def ivf_index_stats(
     )
 
 
+def ivf_int8_candidate_scores(
+    index: DataFrame,
+    probes: DataFrame,
+    id_col: str,
+    prune_partitions: bool = True,
+    probed_ids: list | None = None,
+    tombstones: DataFrame | None = None,
+    carry_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """``(query_id, neighbor_id, qcos, *carry_cols)`` — every candidate
+    pair induced by ``probes`` over a stored IVF+int8 index, int8-scored.
+
+    The shared-scoring half of :func:`ivf_int8_topk_from_index` (which
+    consumes it via ``qscored``): a recall sweep computes this ONCE at
+    max(nprobe) with the probe rank in ``carry_cols``, then derives every
+    tier as a ``probe_rnk <= n`` filter — valid because a pair exists in
+    tier n iff its probed centroid ranks <= n for that query, and its
+    score depends only on the pair, never on the tier. ``probes`` must
+    carry ``(query_id, qv, centroid_id, *carry_cols)``."""
+    cand_src = index
+    if prune_partitions:
+        probed = (
+            sorted(probed_ids)
+            if probed_ids is not None
+            else sorted(
+                r["centroid_id"]
+                for r in probes.select("centroid_id").distinct().collect()
+            )
+        )
+        cand_src = index.where(F.col("centroid_id").isin(probed))
+    if tombstones is not None:
+        cand_src = cand_src.join(
+            F.broadcast(tombstones.select(id_col)), id_col, "left_anti"
+        )
+    cand = cand_src.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col("qvec").alias("nqv"),
+        "centroid_id",
+    )
+    return (
+        cand.join(F.broadcast(probes), "centroid_id")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("qcos", cosine_similarity("qv", "nqv"))
+        .select("query_id", "neighbor_id", "qcos", *carry_cols)
+    )
+
+
 def ivf_int8_topk_from_index(
     index: DataFrame,
     centroids: DataFrame,
@@ -697,6 +744,7 @@ def ivf_int8_topk_from_index(
     qvecs: DataFrame | None = None,
     tombstones: DataFrame | None = None,
     probes: DataFrame | None = None,
+    qscored: DataFrame | None = None,
 ) -> DataFrame:
     """Serve top-k from a STORED IVF+int8 index
     (:func:`build_ivf_int8_index`, written ``partitionBy("centroid_id")``)
@@ -746,39 +794,31 @@ def ivf_int8_topk_from_index(
     :func:`ivf_probe_assign` ``with_rank``): a precomputed
     ``(query_id, qv, centroid_id)`` frame for THIS nprobe — ``qv`` is the
     quantized query vector, used by the candidate scoring join.
-    Semantics are unchanged; the default computes exactly what a caller
-    would pass.
+    ``qscored`` goes one step further (guide §1.2 step 1): a precomputed
+    ``(query_id, neighbor_id, qcos)`` candidate-score frame for THIS
+    nprobe (:func:`ivf_int8_candidate_scores` at max(nprobe), filtered by
+    the carried probe rank) — the candidate scan + scoring join then run
+    ONCE per sweep instead of once per tier; only the bounded
+    window + rerank stay per-tier. Semantics are unchanged; the
+    defaults compute exactly what a caller would pass.
     """
-    if qvecs is None:
-        qvecs = quantize_embeddings(
-            emb.join(F.broadcast(queries.select(id_col)), id_col),
+    if qscored is None:
+        if qvecs is None:
+            qvecs = quantize_embeddings(
+                emb.join(F.broadcast(queries.select(id_col)), id_col),
+                id_col,
+                vec_col,
+                levels,
+            ).select(id_col, "qvec")
+        if probes is None:
+            probes = ivf_probe_assign(qvecs, centroids, id_col, "qvec", nprobe)
+        qscored = ivf_int8_candidate_scores(
+            index,
+            probes,
             id_col,
-            vec_col,
-            levels,
-        ).select(id_col, "qvec")
-    if probes is None:
-        probes = ivf_probe_assign(qvecs, centroids, id_col, "qvec", nprobe)
-    cand_src = index
-    if prune_partitions:
-        probed = sorted(
-            r["centroid_id"]
-            for r in probes.select("centroid_id").distinct().collect()
+            prune_partitions=prune_partitions,
+            tombstones=tombstones,
         )
-        cand_src = index.where(F.col("centroid_id").isin(probed))
-    if tombstones is not None:
-        cand_src = cand_src.join(
-            F.broadcast(tombstones.select(id_col)), id_col, "left_anti"
-        )
-    cand = cand_src.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col("qvec").alias("nqv"),
-        "centroid_id",
-    )
-    qscored = (
-        cand.join(F.broadcast(probes), "centroid_id")
-        .where(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("qcos", cosine_similarity("qv", "nqv"))
-    )
     wc = Window.partitionBy("query_id").orderBy(F.desc("qcos"), F.asc("neighbor_id"))
     cands = (
         qscored.withColumn("crnk", F.row_number().over(wc))
@@ -1655,6 +1695,60 @@ def build_ivf_pq_index(
     return index, cents, codebook
 
 
+def ivf_pq_candidate_scores(
+    index: DataFrame,
+    probes: DataFrame,
+    luts: DataFrame,
+    id_col: str,
+    m: int,
+    prune_partitions: bool = True,
+    probed_ids: list | None = None,
+    tombstones: DataFrame | None = None,
+    filter_col: str | None = None,
+    carry_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """``(query_id, neighbor_id, adc, *carry_cols)`` — every candidate
+    pair induced by ``probes`` over a stored IVF-PQ index, LUT-ADC-scored.
+
+    The shared-scoring half of :func:`ivf_pq_topk_from_index` (which
+    consumes it via ``scored``): a recall sweep computes this ONCE at
+    max(nprobe) with the probe rank in ``carry_cols``, then derives every
+    tier as a ``probe_rnk <= n`` filter — valid because a pair exists in
+    tier n iff its probed centroid ranks <= n for that query, and the ADC
+    value depends only on (query LUT, candidate codes), never on the
+    tier. ``probes`` must carry ``(query_id, centroid_id[, qflt]
+    [, *carry_cols])``."""
+    cand_src = index
+    if prune_partitions:
+        # bounded metadata collect: <= n_queries x nprobe distinct ids
+        probed = (
+            sorted(probed_ids)
+            if probed_ids is not None
+            else sorted(
+                r["centroid_id"]
+                for r in probes.select("centroid_id").distinct().collect()
+            )
+        )
+        cand_src = index.where(F.col("centroid_id").isin(probed))
+    if tombstones is not None:
+        cand_src = cand_src.join(
+            F.broadcast(tombstones.select(id_col)), id_col, "left_anti"
+        )
+    flt_cols = [F.col(filter_col).alias("nflt")] if filter_col is not None else []
+    scored = (
+        cand_src.select(
+            F.col(id_col).alias("neighbor_id"), "codes", "centroid_id", *flt_cols
+        )
+        .join(F.broadcast(probes), "centroid_id")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+    )
+    if filter_col is not None:
+        scored = scored.where(F.col("nflt") == F.col("qflt"))
+    return scored.join(F.broadcast(luts), "query_id").select(
+        "query_id", "neighbor_id", _adc_sum(m).alias("adc"), *carry_cols
+    )
+
+
 def ivf_pq_topk_from_index(
     index: DataFrame,
     centroids: DataFrame,
@@ -1675,6 +1769,7 @@ def ivf_pq_topk_from_index(
     probes: DataFrame | None = None,
     probed_ids: list | None = None,
     luts: DataFrame | None = None,
+    scored: DataFrame | None = None,
 ) -> DataFrame:
     """Serve top-k from a STORED IVF-PQ index
     (:func:`build_ivf_pq_index`, written ``partitionBy("centroid_id")``)
@@ -1717,56 +1812,43 @@ def ivf_pq_topk_from_index(
     whole query-side chain per tier: ``probes`` is a precomputed
     ``(query_id, centroid_id)`` frame for THIS nprobe, ``probed_ids`` the
     matching sorted distinct centroid ids (skips the per-tier collect),
-    ``luts`` the :func:`_pq_luts` output. Semantics are unchanged — the
-    defaults compute exactly what the caller would pass.
+    ``luts`` the :func:`_pq_luts` output. ``scored`` goes one step
+    further (guide §1.2 step 1): a precomputed ``(query_id, neighbor_id,
+    adc)`` frame for THIS nprobe (:func:`ivf_pq_candidate_scores` at
+    max(nprobe), filtered by the carried probe rank), so the pruned
+    candidate scan + ADC join run ONCE per sweep instead of once per
+    tier. Semantics are unchanged — the defaults compute exactly what
+    the caller would pass.
     """
-    if probes is None:
-        qvecs = quantize_embeddings(
-            emb.join(F.broadcast(queries.select(id_col)), id_col),
-            id_col,
-            vec_col,
-            levels,
-        ).select(id_col, "qvec")
-        probes = ivf_probe_assign(qvecs, centroids, id_col, "qvec", nprobe).select(
-            "query_id", "centroid_id"
-        )
-    if filter_col is not None:
-        qflt = emb.join(F.broadcast(queries.select(id_col)), id_col).select(
-            F.col(id_col).alias("query_id"), F.col(filter_col).alias("qflt")
-        )
-        probes = probes.join(F.broadcast(qflt), "query_id")
-    cand_src = index
-    if prune_partitions:
-        # bounded metadata collect: <= n_queries x nprobe distinct ids
-        probed = (
-            probed_ids
-            if probed_ids is not None
-            else sorted(
-                r["centroid_id"]
-                for r in probes.select("centroid_id").distinct().collect()
+    if scored is None:
+        if probes is None:
+            qvecs = quantize_embeddings(
+                emb.join(F.broadcast(queries.select(id_col)), id_col),
+                id_col,
+                vec_col,
+                levels,
+            ).select(id_col, "qvec")
+            probes = ivf_probe_assign(
+                qvecs, centroids, id_col, "qvec", nprobe
+            ).select("query_id", "centroid_id")
+        if filter_col is not None:
+            qflt = emb.join(F.broadcast(queries.select(id_col)), id_col).select(
+                F.col(id_col).alias("query_id"), F.col(filter_col).alias("qflt")
             )
+            probes = probes.join(F.broadcast(qflt), "query_id")
+        if luts is None:
+            luts = _pq_luts(emb, queries, codebook, id_col, vec_col, dim, m)
+        scored = ivf_pq_candidate_scores(
+            index,
+            probes,
+            luts,
+            id_col,
+            m,
+            prune_partitions=prune_partitions,
+            probed_ids=probed_ids,
+            tombstones=tombstones,
+            filter_col=filter_col,
         )
-        cand_src = index.where(F.col("centroid_id").isin(probed))
-    if tombstones is not None:
-        cand_src = cand_src.join(
-            F.broadcast(tombstones.select(id_col)), id_col, "left_anti"
-        )
-    if luts is None:
-        luts = _pq_luts(emb, queries, codebook, id_col, vec_col, dim, m)
-    flt_cols = [F.col(filter_col).alias("nflt")] if filter_col is not None else []
-    scored = (
-        cand_src.select(
-            F.col(id_col).alias("neighbor_id"), "codes", "centroid_id", *flt_cols
-        )
-        .join(F.broadcast(probes), "centroid_id")
-        .where(F.col("neighbor_id") != F.col("query_id"))
-    )
-    if filter_col is not None:
-        scored = scored.where(F.col("nflt") == F.col("qflt"))
-    scored = (
-        scored.join(F.broadcast(luts), "query_id")
-        .select("query_id", "neighbor_id", _adc_sum(m).alias("adc"))
-    )
     wc = Window.partitionBy("query_id").orderBy(F.desc("adc"), F.asc("neighbor_id"))
     cands = (
         scored.withColumn("crnk", F.row_number().over(wc))

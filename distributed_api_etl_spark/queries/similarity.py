@@ -488,6 +488,19 @@ def ann_ivf_int8_rerank_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFra
             qvecs, cents, "vec_id", "qvec", max(NPROBE_SWEEP), with_rank=True
         ).select("query_id", "qv", "centroid_id", "probe_rnk")
     )
+    # Score the candidates ONCE at max(nprobe) with the probe rank carried
+    # (the PQ sweep's shared-scoring pattern on the int8 copy): each tier
+    # is a probe_rnk filter over this persisted frame, so the bucket join
+    # + int8 scoring fold run once per sweep instead of once per tier.
+    qscored_max = scoped_persist(
+        S.ivf_int8_candidate_scores(
+            index,
+            ranked,
+            "vec_id",
+            prune_partitions=False,
+            carry_cols=("probe_rnk",),
+        )
+    )
     tiers = []
     for np_ in NPROBE_SWEEP:
         topk = S.ivf_int8_topk_from_index(
@@ -500,10 +513,8 @@ def ann_ivf_int8_rerank_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFra
             IVF_K,
             K_CAND_IVF,
             nprobe=np_,
-            prune_partitions=False,
-            qvecs=qvecs,
-            probes=ranked.where(F.col("probe_rnk") <= np_).select(
-                "query_id", "qv", "centroid_id"
+            qscored=qscored_max.where(F.col("probe_rnk") <= np_).select(
+                "query_id", "neighbor_id", "qcos"
             ),
         ).select("query_id", "neighbor_id")
         hits = (
@@ -1915,6 +1926,25 @@ def ann_ivf_pq_rerank_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame
     luts = scoped_persist(
         S._pq_luts(emb, queries.select("vec_id"), cb, "vec_id", "embedding", 64, PQ_M)
     )
+    # Score the candidates ONCE at max(nprobe) with the probe rank carried
+    # (guide §1.2 step 1 one level deeper than the shared ranking): a pair
+    # exists in tier n iff its probed centroid ranks <= n, and its ADC
+    # value never depends on the tier — so each tier below is a
+    # probe_rnk filter over this persisted frame instead of its own
+    # pruned-scan + ADC join (previously len(NPROBE_SWEEP) scan+score
+    # passes totalling ~sum(nprobe)/max(nprobe) = ~2x the max tier's work).
+    scored_max = scoped_persist(
+        S.ivf_pq_candidate_scores(
+            stored,
+            ranked,
+            luts,
+            "vec_id",
+            PQ_M,
+            prune_partitions=True,
+            probed_ids=sorted({c for c, _ in probe_rows}),
+            carry_cols=("probe_rnk",),
+        )
+    )
     tiers = []
     for np_ in NPROBE_SWEEP:
         topk = S.ivf_pq_topk_from_index(
@@ -1930,12 +1960,9 @@ def ann_ivf_pq_rerank_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame
             IVF_K,
             K_CAND_IVF,
             nprobe=np_,
-            prune_partitions=True,
-            probes=ranked.where(F.col("probe_rnk") <= np_).select(
-                "query_id", "centroid_id"
+            scored=scored_max.where(F.col("probe_rnk") <= np_).select(
+                "query_id", "neighbor_id", "adc"
             ),
-            probed_ids=sorted({c for c, rnk in probe_rows if rnk <= np_}),
-            luts=luts,
         ).select("query_id", "neighbor_id")
         hits = (
             topk.join(exact, ["query_id", "neighbor_id"])
