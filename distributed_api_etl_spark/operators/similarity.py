@@ -1326,7 +1326,179 @@ def _sub_slice(vec_col: str, s, d_sub: int):
     )
 
 
+def _collect_codebook(codebook: DataFrame) -> dict:
+    """``{s: (codes int64[k], centers float64[k, d_sub])}`` off a codebook
+    frame, rows sorted by code within each subspace — the SAME bounded
+    m x k_codes rows :func:`_cb_array` broadcasts, collected once so the
+    numpy assignment kernels ship it in their closure."""
+    import numpy as np
+
+    by_s: dict[int, list] = {}
+    for r in codebook.select("s", "code", "cw").collect():
+        by_s.setdefault(int(r["s"]), []).append((int(r["code"]), list(r["cw"])))
+    out = {}
+    for s, lst in by_s.items():
+        lst.sort()
+        out[s] = (
+            np.array([c for c, _ in lst], dtype=np.int64),
+            np.array([cw for _, cw in lst], dtype=np.float64),
+        )
+    return out
+
+
+def _argmin_codes(V, codes, cents):
+    """Per-row nearest code of ``V`` (n x d_sub float64) under EXACTLY the
+    HOF fold's semantics: squared-L2 terms ``(x-y)*(x-y)`` accumulated in
+    component order into a float64 (the :func:`_sq_l2` sequence, so
+    distances are BIT-IDENTICAL), strictly-less comparison keeping the
+    lowest code on exact ties (rows sorted by code; argmin returns the
+    first minimum)."""
+    import numpy as np
+
+    acc = np.zeros((V.shape[0], cents.shape[0]), dtype=np.float64)
+    for j in range(cents.shape[1]):
+        d = V[:, j, None] - cents[None, :, j]
+        acc += d * d
+    return codes[np.argmin(acc, axis=1)]
+
+
 def pq_train(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    m: int = 8,
+    k_codes: int = 16,
+    iters: int = 2,
+    round_decimals: int = 6,
+) -> DataFrame:
+    """Deterministic PQ codebook — the Arrow-kernel form of
+    :func:`pq_train_hof` (output pinned identical by
+    test_pq_train_kernel_equals_hof; the docstring there holds verbatim).
+
+    Per iteration the corpus-side assignment runs as ONE numpy pass per
+    Arrow batch (:func:`_argmin_codes` — bit-identical distances and
+    tie-breaks to the interpreted k_codes x d_sub JVM fold it replaces,
+    guide §4.2) against the collected codebook (bounded m x k_codes rows,
+    an iteration boundary the driver already pays in spirit: the HOF
+    form's lazy 2-iteration chain re-executed per consumer until the
+    caller persisted it, and the collect also truncates the repeated
+    subtree lineage). The means aggregation is the unchanged JVM
+    k*m*d_sub-cell aggregate; the returned frame is rebuilt from the
+    final collected rows (exact doubles), so consumers read a 1-line
+    LocalRelation instead of the whole training chain.
+    """
+    spark = emb.sparkSession
+    d_sub = dim // m
+    import numpy as np
+
+    # seeds: the k_codes LOWEST-id vectors (bounded collect), dense codes
+    # 0..k-1 by id rank — the same rows the HOF form broadcast-joined.
+    # _sub_slice casts components to double; float32 widens exactly.
+    seed_rows = (
+        emb.select(id_col, vec_col)
+        .orderBy(F.col(id_col))
+        .limit(k_codes)
+        .collect()
+    )
+    seed_mat = np.array([list(r[1]) for r in seed_rows], dtype=np.float64)
+    cb = {
+        s: (
+            np.arange(len(seed_rows), dtype=np.int64),
+            seed_mat[:, s * d_sub : (s + 1) * d_sub].copy(),
+        )
+        for s in range(m)
+    }
+    subv = _explode_subvectors(emb, id_col, vec_col, m, d_sub)
+    cents_rows = None
+    for _ in range(iters):
+        assigned = _pq_assign_subv_kernel(subv, cb, id_col)
+        comps = assigned.select(
+            "s", "code", F.posexplode(F.col("sv")).alias("pos", "x")
+        )
+        means = comps.groupBy("s", "code", "pos").agg(
+            F.round(F.avg("x"), round_decimals).alias("v")
+        )
+        cents = means.groupBy("s", "code").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "v"))),
+                lambda t: t["v"],
+            ).alias("cw")
+        )
+        # iteration boundary: bounded m x k_codes collect feeds the next
+        # round's kernel closure (and the returned LocalRelation)
+        cents_rows = [(int(r["s"]), int(r["code"]), list(r["cw"])) for r in cents.collect()]
+        by_s: dict[int, list] = {}
+        for s, code, cw in cents_rows:
+            by_s.setdefault(s, []).append((code, cw))
+        cb = {}
+        for s, lst in by_s.items():
+            lst.sort()
+            cb[s] = (
+                np.array([c for c, _ in lst], dtype=np.int64),
+                np.array([cw for _, cw in lst], dtype=np.float64),
+            )
+    return spark.createDataFrame(
+        cents_rows, "s int, code int, cw array<double>"
+    )
+
+
+def _explode_subvectors(
+    emb: DataFrame, id_col: str, vec_col: str, m: int, d_sub: int
+) -> DataFrame:
+    """(id, s, sv) — one double-cast subvector row per (vector, subspace)."""
+    sub_entries = F.array(
+        *[
+            F.struct(
+                F.lit(s).cast("int").alias("s"),
+                _sub_slice(vec_col, s, d_sub).alias("sv"),
+            )
+            for s in range(m)
+        ]
+    )
+    return emb.select(F.col(id_col), F.explode(sub_entries).alias("e")).select(
+        F.col(id_col), F.col("e.s").alias("s"), F.col("e.sv").alias("sv")
+    )
+
+
+def _pq_assign_subv_kernel(subv: DataFrame, cb: dict, id_col: str) -> DataFrame:
+    """(id, s, sv) -> + ``code`` via :func:`_argmin_codes` — the numpy form
+    of :func:`_pq_assign_subv` against a collected codebook. Rows whose
+    subvector is null or shorter than the codeword width get a null code
+    (the fold's null-propagation contract)."""
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    # NOTE: StructType.add mutates in place — never .add() onto the input
+    # frame's cached .schema object (it corrupts DataFrame.columns)
+    out_schema = StructType(
+        list(subv.schema.fields) + [StructField("code", IntegerType())]
+    )
+
+    def _batches(it):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            code = pd.array([None] * len(pdf), dtype="Int32")
+            svs = pdf["sv"]
+            for s, (codes, cents) in cb.items():
+                d_sub = cents.shape[1]
+                mask = (pdf["s"] == s).to_numpy()
+                ok = mask & svs.map(
+                    lambda v: v is not None and len(v) >= d_sub
+                ).to_numpy()
+                if not ok.any():
+                    continue
+                V = np.array([list(v[:d_sub]) for v in svs[ok]], dtype=np.float64)
+                code[ok] = _argmin_codes(V, codes, cents).astype(np.int32)
+            out = pdf.copy()
+            out["code"] = code
+            yield out
+
+    return subv.mapInPandas(_batches, out_schema)
+
+
+def pq_train_hof(
     emb: DataFrame,
     id_col: str,
     vec_col: str,
@@ -1351,7 +1523,9 @@ def pq_train(
     Scale: one exploded (corpus x m) frame per iteration for the means
     (a k*m*d_sub-cell aggregate — tiny), assignment via one broadcast
     codebook-array row folded inside the scan; at 100 TB train on a
-    ``.sample`` — the iteration loop is unchanged.
+    ``.sample`` — the iteration loop is unchanged. This all-JVM form is
+    the independent reference implementation :func:`pq_train`'s numpy
+    kernel is pinned against.
     """
     d_sub = dim // m
     sub_entries = F.array(
@@ -1435,13 +1609,74 @@ def pq_encode(
     extra_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Encode each vector as its m nearest-codeword ids —
+    ``(id_col, codes array<int>, *extra_cols)`` with position = subspace.
+    The Arrow-kernel form of :func:`pq_encode_hof` (output pinned
+    identical by test_pq_encode_kernel_equals_hof): still ENTIRELY
+    MAP-SIDE and zero-shuffle, but the m interpreted argmin folds per row
+    run as ONE numpy pass per Arrow batch (:func:`_argmin_codes` —
+    bit-identical distances and tie-breaks, guide §4.2) against the
+    collected codebook (bounded m x k_codes rows). A null or
+    shorter-than-``dim`` vector encodes to an all-null codes array (the
+    fold's null-propagation contract). Only (id, vec, extra) columns
+    cross the Python boundary."""
+    from pyspark.sql.types import ArrayType, IntegerType, StructField, StructType
+
+    d_sub = dim // m
+    cbn = _collect_codebook(codebook)
+    in_schema = {f.name: f for f in emb.schema.fields}
+    out_schema = StructType(
+        [in_schema[id_col], StructField("codes", ArrayType(IntegerType()))]
+        + [in_schema[c] for c in extra_cols]
+    )
+
+    def _batches(it):
+        import numpy as np
+
+        for pdf in it:
+            vs = pdf[vec_col]
+            ok = vs.map(lambda v: v is not None and len(v) >= dim).to_numpy()
+            codes_out = [[None] * m] * len(pdf)
+            if ok.any():
+                V = np.array([list(v[:dim]) for v in vs[ok]], dtype=np.float64)
+                per_s = [
+                    _argmin_codes(
+                        V[:, s * d_sub : (s + 1) * d_sub], cbn[s][0], cbn[s][1]
+                    )
+                    for s in range(m)
+                ]
+                mat = np.stack(per_s, axis=1).astype(np.int32)
+                rows = iter(mat.tolist())
+                codes_out = [
+                    next(rows) if k else [None] * m for k in ok
+                ]
+            out = pdf[[id_col, *extra_cols]].copy()
+            out.insert(1, "codes", codes_out)
+            yield out
+
+    return emb.select(id_col, vec_col, *extra_cols).mapInPandas(
+        _batches, out_schema
+    )
+
+
+def pq_encode_hof(
+    emb: DataFrame,
+    codebook: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    m: int = 8,
+    extra_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Encode each vector as its m nearest-codeword ids —
     ``(id_col, codes array<int>)`` with position = subspace. ENTIRELY
     MAP-SIDE: m argmin folds over one broadcast codebook-array row inside
     the corpus scan, no explode, no shuffle — this is the ingest
     projection a 100-TB system runs once at write time and stores as the
     m-byte serving copy (alongside ``centroid_id`` when composed with
     IVF — :func:`build_ivf_pq_index` passes it through ``extra_cols`` so
-    assignment + encode stay ONE scan)."""
+    assignment + encode stay ONE scan). This all-JVM form is the
+    independent reference implementation :func:`pq_encode`'s numpy
+    kernel is pinned against."""
     d_sub = dim // m
     init = F.struct(
         F.lit(float("inf")).alias("d"), F.lit(None).cast("int").alias("code")

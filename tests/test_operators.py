@@ -2323,6 +2323,70 @@ def test_ivf_kmeans_int8_composition_degenerates_to_bruteforce(spark, sf_dir):
             assert c == exact_cos[(q, nb)]
 
 
+def test_pq_train_kernel_equals_hof(spark, sf_dir):
+    """The numpy PQ assignment kernel (r16) must reproduce the interpreted
+    JVM fold chain BIT-exactly: same codebook rows (same (s, code) keys,
+    same rounded doubles) on the real corpus AND on an adversarial frame
+    with exact-duplicate vectors (argmin tie groups — the strictly-less /
+    lowest-code contract)."""
+    from distributed_api_etl_spark.operators.similarity import (
+        pq_train,
+        pq_train_hof,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+    def rows(df):
+        return sorted((r.s, r.code, tuple(r.cw)) for r in df.collect())
+
+    assert rows(
+        pq_train(emb, "vec_id", "embedding", 64, m=4, k_codes=8, iters=2)
+    ) == rows(
+        pq_train_hof(emb, "vec_id", "embedding", 64, m=4, k_codes=8, iters=2)
+    )
+    # ties: duplicated vectors, including duplicated SEEDS
+    base = [float(x) for x in range(8)]
+    dup = spark.createDataFrame(
+        [(i, [v + (i % 3) for v in base]) for i in range(24)],
+        "vec_id bigint, embedding array<double>",
+    )
+    assert rows(pq_train(dup, "vec_id", "embedding", 8, m=2, k_codes=4)) == rows(
+        pq_train_hof(dup, "vec_id", "embedding", 8, m=2, k_codes=4)
+    )
+
+
+def test_pq_encode_kernel_equals_hof(spark, sf_dir):
+    """The numpy PQ encode kernel (r16) must emit the exact codes of the
+    m interpreted argmin folds it replaces — real corpus + a trained
+    codebook, extra_cols carried through, null vector -> all-null codes."""
+    from distributed_api_etl_spark.operators.similarity import (
+        pq_encode,
+        pq_encode_hof,
+        pq_train,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cb = pq_train(emb, "vec_id", "embedding", 64, m=4, k_codes=8, iters=1)
+
+    def rows(df):
+        return sorted(
+            (r[0], tuple(r.codes) if r.codes is not None else None, r[2])
+            for r in df.collect()
+        )
+
+    new = pq_encode(emb, cb, "vec_id", "embedding", 64, 4, extra_cols=("label",))
+    old = pq_encode_hof(
+        emb, cb, "vec_id", "embedding", 64, 4, extra_cols=("label",)
+    )
+    assert rows(new) == rows(old)
+    # null vector: the fold null-propagates to an all-null codes array
+    nulls = spark.createDataFrame(
+        [(1, None)], "vec_id bigint, embedding array<double>"
+    )
+    got = pq_encode(nulls, cb, "vec_id", "embedding", 64, 4).collect()
+    assert [tuple(r.codes) for r in got] == [(None, None, None, None)]
+
+
 def test_pq_encode_is_map_side_and_codes_are_codebook_members(spark, sf_dir):
     """The PQ ingest projection must run at scan speed: with the (tiny)
     codebook provided as a static table, pq_encode's plan contains NO
