@@ -97,15 +97,23 @@ def main() -> None:
     from distributed_api_etl_spark.session import shuffle_bytes_snapshot
 
     RUNS = 2
+    # VERDICT r16 #8: when the first RUNS walls spread >30% the box was
+    # loaded mid-query and even the min is suspect — take ONE extra run
+    # (still min-of-all, additions-only: the parsed summary line's schema
+    # is unchanged, the detail line declares runs per query)
+    RESPREAD_PCT = 30.0
+    MAX_RUNS = 3
     timings: dict[str, float] = {}
     spread_pct: dict[str, float] = {}
+    runs_done: dict[str, int] = {}
     shuffle_mb: dict[str, float] = {}
     total = 0.0
     load_start = os.getloadavg()[0]
     for name, spec in bench_specs.items():
         best = None
         worst = None
-        for _ in range(RUNS):
+        n_runs = 0
+        while n_runs < MAX_RUNS:
             # clear cached frames so every run pays the FULL pipeline —
             # operator-internal persists otherwise leak into the next run
             # via CacheManager plan-matching and we'd time partial queries
@@ -122,12 +130,16 @@ def main() -> None:
             w1, _ = shuffle_bytes_snapshot(spark)
             best = dt if best is None else min(best, dt)
             worst = dt if worst is None else max(worst, dt)
+            n_runs += 1
+            if n_runs >= RUNS and 100.0 * (worst / best - 1.0) <= RESPREAD_PCT:
+                break
         # bytes from the LAST run (deterministic modulo AQE; runs agree)
         shuffle_mb[name] = round((w1 - w0) / 1e6, 2)
         timings[name] = round(best, 3)
         # max/min - 1 across the runs: a large spread means the box was
         # loaded mid-query and the wall number is suspect even as a min
         spread_pct[name] = round(100.0 * (worst / best - 1.0), 1)
+        runs_done[name] = n_runs
         total += best
 
     # VERDICT r7 #1: the r7 official bench record was unparseable because one
@@ -155,6 +167,8 @@ def main() -> None:
         "metric": "bench_detail",
         "sf": float(sf),
         "runs_per_query": RUNS,
+        "runs_done": runs_done,
+        "respread_extra_run_pct": RESPREAD_PCT,
         "agg": "min",
         "git_head": git_head,
         # walls live here too so a quiet-box detail file IS the trend

@@ -120,8 +120,16 @@ def _connected_components_driver(
 ) -> DataFrame:
     """Exact min-label components of a BOUNDED edge list via driver-side
     union-find — identical output contract to the distributed loop
-    (pinned by test_connected_components_driver_equals_loop)."""
+    (pinned by test_connected_components_driver_equals_loop).
+
+    Returns None when a collected endpoint is null: the distributed loop
+    handles nulls via join semantics (a null node labels itself, nothing
+    propagates across it), which Python's ``<`` cannot mirror — the caller
+    falls back to the loop (ADVICE r16 #1).
+    """
     rows = edges.collect()
+    if any(r[0] is None or r[1] is None for r in rows):
+        return None
     parent: dict = {}
 
     def find(x):
@@ -175,14 +183,22 @@ def connected_components(
     # be computed regardless; every later round then reads pure cache.
     edges = edges.select(F.col(src), F.col(dst)).persist()
     n_edges = edges.count()
+    # driver gate requires BOTH endpoint columns to share one safe type:
+    # the union-find stamps both output columns with src's type, so a
+    # wider dst would silently narrow (the loop widens via unionByName) —
+    # and mixed-type Python comparisons diverge from Spark's (ADVICE r16 #1)
+    src_t = edges.schema[0].dataType
+    dst_t = edges.schema[1].dataType
     if (
         n_edges <= driver_max_edges
-        and edges.schema[0].dataType.simpleString() in _DRIVER_CC_SAFE_TYPES
+        and src_t == dst_t
+        and src_t.simpleString() in _DRIVER_CC_SAFE_TYPES
     ):
-        try:
-            return _connected_components_driver(edges, src, dst)
-        finally:
+        out = _connected_components_driver(edges, src, dst)
+        if out is not None:
             edges.unpersist()
+            return out
+        # null endpoint collected: the loop's join semantics handle it
     with _loop_shuffle_partitions(edges.sparkSession, 2 * n_edges):
         return _connected_components_loop(edges, src, dst, max_iter)
 
@@ -211,6 +227,7 @@ def _connected_components_loop(
         .select("node", F.col("node").alias("label")),
         eager=False,  # the first round's convergence count materializes it
     )
+    changed = 0
     for _ in range(max_iter):
         neighbor_min = (
             sym.join(labels, sym["a"] == labels["node"])
@@ -237,6 +254,16 @@ def _connected_components_loop(
         if changed == 0:
             break
     sym.unpersist()
+    if changed != 0:
+        # min-label propagation needs DIAMETER rounds; a long transitive dup
+        # chain can exceed max_iter and would otherwise return silently SPLIT
+        # clusters (VERDICT r16 "What's wrong" #1). Fall back to the O(log n)
+        # star-contraction algorithm, which converges on any graph shape.
+        # ``edges`` is still persisted, so the upstream LSH pipeline is not
+        # re-run; two_phase checkpoints its own state before we release it.
+        out = connected_components_two_phase(edges, src, dst)
+        edges.unpersist()
+        return out
     edges.unpersist()
     return labels.select(F.col("node"), F.col("label").alias("cluster_id"))
 

@@ -1376,32 +1376,44 @@ def pq_train(
     :func:`pq_train_hof` (output pinned identical by
     test_pq_train_kernel_equals_hof; the docstring there holds verbatim).
 
-    Per iteration the corpus-side assignment runs as ONE numpy pass per
-    Arrow batch (:func:`_argmin_codes` — bit-identical distances and
-    tie-breaks to the interpreted k_codes x d_sub JVM fold it replaces,
-    guide §4.2) against the collected codebook (bounded m x k_codes rows,
-    an iteration boundary the driver already pays in spirit: the HOF
-    form's lazy 2-iteration chain re-executed per consumer until the
-    caller persisted it, and the collect also truncates the repeated
-    subtree lineage). The means aggregation is the unchanged JVM
-    k*m*d_sub-cell aggregate; the returned frame is rebuilt from the
-    final collected rows (exact doubles), so consumers read a 1-line
+    Per iteration the corpus-side assignment AND the cluster partial sums
+    run as ONE numpy pass per Arrow batch (:func:`_argmin_codes` —
+    bit-identical distances and tie-breaks to the interpreted
+    k_codes x d_sub JVM fold it replaces, guide §4.2) against the
+    collected codebook (bounded m x k_codes rows, an iteration boundary
+    the driver already pays in spirit: the HOF form's lazy 2-iteration
+    chain re-executed per consumer until the caller persisted it, and the
+    collect also truncates the repeated subtree lineage). The means
+    reduction (VERDICT r16 #4) aggregates the kernel's per-batch
+    (s, code, cnt, sums) PARTIALS — at most m x k_codes rows per Arrow
+    batch — instead of posexploding corpus x m x d_sub component rows per
+    iteration, so the per-iteration shuffle is bounded by batch count,
+    not corpus size. Partial sums accumulate in numpy (pairwise) rather
+    than the JVM avg's sequential order; ``round_decimals`` absorbs the
+    reordering exactly as it absorbs partition-order differences — pinned
+    bit-identical to the HOF form on real corpora and hash-graded by the
+    DuckDB oracle on every PQ head. The returned frame is rebuilt from
+    the final collected rows (exact doubles), so consumers read a 1-line
     LocalRelation instead of the whole training chain.
     """
     spark = emb.sparkSession
     d_sub = dim // m
     import numpy as np
 
-    # seeds: the k_codes LOWEST-id vectors (bounded collect), dense codes
-    # 0..k-1 by id rank — the same rows the HOF form broadcast-joined.
+    # seeds: the k_codes LOWEST-id VALID vectors (bounded collect), dense
+    # codes 0..k-1 by id rank — identical to the rows the HOF form
+    # broadcast-joins on any corpus where the lowest-id vectors are valid
+    # (null/short vectors would crash the numpy seed matrix; the HOF form
+    # degrades to null codewords there — ADVICE r16 #2 picks the filter).
     # _sub_slice casts components to double; float32 widens exactly.
     seed_rows = (
         emb.select(id_col, vec_col)
+        .where(F.col(vec_col).isNotNull() & (F.size(F.col(vec_col)) >= dim))
         .orderBy(F.col(id_col))
         .limit(k_codes)
         .collect()
     )
-    seed_mat = np.array([list(r[1]) for r in seed_rows], dtype=np.float64)
+    seed_mat = np.array([list(r[1])[:dim] for r in seed_rows], dtype=np.float64)
     cb = {
         s: (
             np.arange(len(seed_rows), dtype=np.int64),
@@ -1412,12 +1424,17 @@ def pq_train(
     subv = _explode_subvectors(emb, id_col, vec_col, m, d_sub)
     cents_rows = None
     for _ in range(iters):
-        assigned = _pq_assign_subv_kernel(subv, cb, id_col)
-        comps = assigned.select(
-            "s", "code", F.posexplode(F.col("sv")).alias("pos", "x")
-        )
-        means = comps.groupBy("s", "code", "pos").agg(
-            F.round(F.avg("x"), round_decimals).alias("v")
+        partials = _pq_assign_sum_kernel(subv, cb)
+        # tiny reduction: |batches| x m x k_codes partial rows, posexploded
+        # to d_sub components each — never corpus-sized
+        means = (
+            partials.select(
+                "s", "code", "cnt", F.posexplode(F.col("sums")).alias("pos", "x")
+            )
+            .groupBy("s", "code", "pos")
+            .agg(
+                F.round(F.sum("x") / F.sum("cnt"), round_decimals).alias("v")
+            )
         )
         cents = means.groupBy("s", "code").agg(
             F.transform(
@@ -1461,41 +1478,69 @@ def _explode_subvectors(
     )
 
 
-def _pq_assign_subv_kernel(subv: DataFrame, cb: dict, id_col: str) -> DataFrame:
-    """(id, s, sv) -> + ``code`` via :func:`_argmin_codes` — the numpy form
-    of :func:`_pq_assign_subv` against a collected codebook. Rows whose
-    subvector is null or shorter than the codeword width get a null code
-    (the fold's null-propagation contract)."""
-    from pyspark.sql.types import IntegerType, StructField, StructType
+def _pq_assign_sum_kernel(subv: DataFrame, cb: dict) -> DataFrame:
+    """(id, s, sv) -> per-batch cluster PARTIALS ``(s, code, cnt, sums)``
+    via :func:`_argmin_codes` — assignment AND the Lloyd-means partial
+    sums fused in one numpy pass (VERDICT r16 #4), so the means reduction
+    aggregates at most m x k_codes rows per Arrow batch instead of
+    corpus x m x d_sub posexploded components. Rows whose subvector is
+    null or shorter than the codeword width are skipped (the fold's
+    null-code rows never contributed a mean component; ADVICE r16 #2).
+    The validity mask is computed ONCE per batch (ADVICE r16 #3), not per
+    subspace."""
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
 
     # NOTE: StructType.add mutates in place — never .add() onto the input
     # frame's cached .schema object (it corrupts DataFrame.columns)
     out_schema = StructType(
-        list(subv.schema.fields) + [StructField("code", IntegerType())]
+        [
+            StructField("s", IntegerType()),
+            StructField("code", IntegerType()),
+            StructField("cnt", LongType()),
+            StructField("sums", ArrayType(DoubleType())),
+        ]
     )
+    # every subspace shares one codeword width (dim // m)
+    d_sub = next(iter(cb.values()))[1].shape[1] if cb else 0
 
     def _batches(it):
         import numpy as np
         import pandas as pd
 
         for pdf in it:
-            code = pd.array([None] * len(pdf), dtype="Int32")
             svs = pdf["sv"]
+            s_arr = pdf["s"].to_numpy()
+            valid = svs.map(
+                lambda v: v is not None and len(v) >= d_sub
+            ).to_numpy()
+            out_s: list = []
+            out_code: list = []
+            out_cnt: list = []
+            out_sums: list = []
             for s, (codes, cents) in cb.items():
-                d_sub = cents.shape[1]
-                mask = (pdf["s"] == s).to_numpy()
-                ok = mask & svs.map(
-                    lambda v: v is not None and len(v) >= d_sub
-                ).to_numpy()
+                ok = (s_arr == s) & valid
                 if not ok.any():
                     continue
                 V = np.array([list(v[:d_sub]) for v in svs[ok]], dtype=np.float64)
-                code[ok] = _argmin_codes(V, codes, cents).astype(np.int32)
-            out = pdf.copy()
-            out["code"] = code
-            yield out
+                assigned = _argmin_codes(V, codes, cents)
+                for c in np.unique(assigned):
+                    sel = assigned == c
+                    out_s.append(s)
+                    out_code.append(int(c))
+                    out_cnt.append(int(sel.sum()))
+                    out_sums.append(V[sel].sum(axis=0).tolist())
+            yield pd.DataFrame(
+                {"s": out_s, "code": out_code, "cnt": out_cnt, "sums": out_sums}
+            )
 
-    return subv.mapInPandas(_batches, out_schema)
+    return subv.select("s", "sv").mapInPandas(_batches, out_schema)
 
 
 def pq_train_hof(

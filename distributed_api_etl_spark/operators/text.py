@@ -1121,6 +1121,73 @@ def ngram_logprob_micro_sql(order: int) -> str:
     return f"CAST(floor(-ln({' + '.join(terms)}) * 1e6 + 5e-1) AS BIGINT)"
 
 
+def _ngram_position_stream_kernel(
+    df: DataFrame, id_col: str, text_col: str, order: int
+) -> DataFrame:
+    """The padded position stream ``(id, g1..gN)`` as ONE Arrow kernel —
+    the §4.2 form of the transform/element_at/struct/explode chain in
+    :func:`ngram_logprob_scores` (r17; pinned bit-identical by
+    test_ngram_stream_kernel_equals_explode and the unchanged DuckDB
+    oracle). Per batch everything is vectorized C: one
+    ``split_pattern`` tokenization, index arithmetic in numpy, and one
+    zero-copy ``take`` per gram column over the flattened token values
+    (+1 appended BOS sentinel all out-of-range positions point at) —
+    the JVM chain materializes positions x order UTF8String copies
+    through an interpreted HOF transform instead. Tokenization is the
+    same single-space split (empty tokens kept, ``"" -> [""]``); null
+    texts are dropped by the pre-filter exactly as the explode drops
+    their empty arrays."""
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    gcols = [f"g{i}" for i in range(1, order + 1)]
+    in_fields = {f.name: f for f in df.schema.fields}
+    out_schema = StructType(
+        [in_fields[id_col]] + [StructField(c, StringType()) for c in gcols]
+    )
+    bos = LM_BOS
+
+    def _batches(it):
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        for batch in it:
+            ids = batch.column(0)
+            texts = batch.column(1)
+            toks = pc.split_pattern(texts, pattern=" ")
+            lens = pc.list_value_length(toks).to_numpy().astype(np.int64)
+            n_pos = int(lens.sum())
+            if n_pos == 0:
+                continue
+            vals = pc.list_flatten(toks)
+            # token values + one BOS sentinel; any padded position
+            # (p + j < order-1) takes the sentinel index
+            vals_ext = pa.concat_arrays(
+                [vals.cast(pa.string()), pa.array([bos], type=pa.string())]
+            )
+            bos_idx = len(vals)
+            doc_idx = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+            # flattened values are batch-contiguous: doc d's tokens start
+            # at sum(lens[:d]) in vals
+            tok_start = np.repeat(np.cumsum(lens) - lens, lens)
+            pos = np.arange(n_pos, dtype=np.int64) - tok_start
+            cols = []
+            for j in range(order):
+                k = pos + j - (order - 1)
+                idx = np.where(k >= 0, tok_start + k, bos_idx)
+                cols.append(pc.take(vals_ext, pa.array(idx)))
+            id_out = pc.take(ids, pa.array(doc_idx))
+            yield pa.RecordBatch.from_arrays(
+                [id_out] + cols, names=[id_col] + gcols
+            )
+
+    return (
+        df.select(F.col(id_col), F.col(text_col))
+        .where(F.col(text_col).isNotNull())
+        .mapInArrow(_batches, out_schema)
+    )
+
+
 def ngram_logprob_scores(
     df: DataFrame,
     id_col: str,
@@ -1129,6 +1196,7 @@ def ngram_logprob_scores(
     prune_singletons: bool = True,
     suffix_partitioning: bool = True,
     fp128_score_join: bool = False,
+    extract_kernel: bool = True,
 ) -> DataFrame:
     """Mean per-token surprisal under a corpus-fit interpolated
     ``order``-gram LM — the generalization the trigram gate's double-BOS
@@ -1196,21 +1264,29 @@ def ngram_logprob_scores(
     if order not in NGRAM_WEIGHTS:
         raise ValueError(f"order must be one of {sorted(NGRAM_WEIGHTS)}")
     gcols = [f"g{i}" for i in range(1, order + 1)]
-    t = tokens(F.col(text_col))
-    padded = F.concat(F.array(*[F.lit(LM_BOS)] * (order - 1)), t)
-    struct_type = f"array<struct<{','.join(c + ':string' for c in gcols)}>>"
-    arr = F.when(
-        F.size(t) >= 1,
-        F.transform(
-            F.sequence(F.lit(1), F.size(t)),
-            lambda i: F.struct(
-                *[F.element_at(padded, i + j).alias(gcols[j]) for j in range(order)]
+    if extract_kernel:
+        # §4.2 Arrow kernel (r17) — bit-identical rows, pinned by
+        # test_ngram_stream_kernel_equals_explode
+        stream = _ngram_position_stream_kernel(df, id_col, text_col, order)
+    else:
+        t = tokens(F.col(text_col))
+        padded = F.concat(F.array(*[F.lit(LM_BOS)] * (order - 1)), t)
+        struct_type = f"array<struct<{','.join(c + ':string' for c in gcols)}>>"
+        arr = F.when(
+            F.size(t) >= 1,
+            F.transform(
+                F.sequence(F.lit(1), F.size(t)),
+                lambda i: F.struct(
+                    *[
+                        F.element_at(padded, i + j).alias(gcols[j])
+                        for j in range(order)
+                    ]
+                ),
             ),
-        ),
-    ).otherwise(F.array().cast(struct_type))
-    stream = df.select(F.col(id_col), F.explode(arr).alias("_g")).select(
-        F.col(id_col), *[F.col(f"_g.{c}").alias(c) for c in gcols]
-    )
+        ).otherwise(F.array().cast(struct_type))
+        stream = df.select(F.col(id_col), F.explode(arr).alias("_g")).select(
+            F.col(id_col), *[F.col(f"_g.{c}").alias(c) for c in gcols]
+        )
     # ONE corpus exchange. With suffix_partitioning it is keyed on the
     # deepest suffix every s-rollup shares (last two tokens) and the
     # persisted exchanged stream ALSO serves as the probe side of the

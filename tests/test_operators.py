@@ -317,6 +317,44 @@ def test_connected_components_driver_equals_loop(spark):
     )
 
 
+def test_connected_components_nonconvergence_falls_back(spark):
+    """VERDICT r16 #1: a path graph of diameter > max_iter must NOT return
+    silently split clusters — the loop detects non-convergence and falls
+    back to the O(log n) star-contraction algorithm."""
+    from distributed_api_etl_spark.operators.graph import connected_components
+
+    n = 12  # path 0-1-2-...-12, diameter 12 > max_iter=3
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "d1 bigint, d2 bigint"
+    )
+    got = {
+        r.node: r.cluster_id
+        for r in connected_components(
+            chain, max_iter=3, driver_max_edges=0
+        ).collect()
+    }
+    assert got == {i: 0 for i in range(n + 1)}
+
+
+def test_connected_components_driver_gate_edge_cases(spark):
+    """ADVICE r16 #1: mixed endpoint types and null endpoints must take the
+    distributed loop, not the driver union-find — and still label correctly."""
+    from distributed_api_etl_spark.operators.graph import connected_components
+
+    # mixed types (int src, bigint dst): gate requires equal types; the loop
+    # widens via unionByName and must still produce correct labels
+    mixed = spark.createDataFrame([(1, 2), (2, 3)], "d1 int, d2 bigint")
+    got = {r.node: r.cluster_id for r in connected_components(mixed).collect()}
+    assert got == {1: 1, 2: 1, 3: 1}
+    # null endpoint: driver path would crash Python's `<`; must fall back to
+    # the loop, whose join semantics keep the null node self-labelled
+    withnull = spark.createDataFrame(
+        [(1, 2), (None, 5)], "d1 bigint, d2 bigint"
+    )
+    rows = {r.node: r.cluster_id for r in connected_components(withnull).collect()}
+    assert rows[1] == 1 and rows[2] == 1 and rows[5] == 5
+
+
 def test_graph_ops_use_reliable_checkpoint_when_dir_configured(spark, tmp_path):
     """VERDICT r5 #4: with a checkpoint dir set, iterative graph ops must
     switch from localCheckpoint to reliable checkpoint (executor-loss-safe)
@@ -2133,6 +2171,68 @@ def test_trigram_logppl_matches_python_reference(spark):
     )
 
 
+def test_ngram_stream_kernel_equals_explode(spark, sf_dir):
+    """The r17 Arrow position-stream kernel must emit EXACTLY the rows the
+    JVM transform/element_at/explode chain emits — same multiset of
+    (id, g1..gN) including empty-token and empty-string-doc edge cases
+    (single-space split semantics) — on a real corpus AND a constructed
+    edge-case frame (nulls, empty text, consecutive spaces, short docs)."""
+    from distributed_api_etl_spark.operators.text import (
+        _ngram_position_stream_kernel,
+    )
+    from pyspark.sql import functions as F
+    from distributed_api_etl_spark.functions.textfns import tokens
+    from distributed_api_etl_spark.operators.text import LM_BOS
+
+    def explode_stream(df, order):
+        gcols = [f"g{i}" for i in range(1, order + 1)]
+        t = tokens(F.col("text"))
+        padded = F.concat(F.array(*[F.lit(LM_BOS)] * (order - 1)), t)
+        struct_type = f"array<struct<{','.join(c + ':string' for c in gcols)}>>"
+        arr = F.when(
+            F.size(t) >= 1,
+            F.transform(
+                F.sequence(F.lit(1), F.size(t)),
+                lambda i: F.struct(
+                    *[
+                        F.element_at(padded, i + j).alias(gcols[j])
+                        for j in range(order)
+                    ]
+                ),
+            ),
+        ).otherwise(F.array().cast(struct_type))
+        return df.select(F.col("doc_id"), F.explode(arr).alias("_g")).select(
+            F.col("doc_id"), *[F.col(f"_g.{c}").alias(c) for c in gcols]
+        )
+
+    edge = spark.createDataFrame(
+        [
+            (1, "a b c d e f"),
+            (2, ""),            # "" -> [""] -> one padded position
+            (3, None),          # dropped by both paths
+            (4, "x  y"),        # consecutive spaces keep the empty token
+            (5, "lone"),
+            (6, " lead trail "),
+        ],
+        "doc_id bigint, text string",
+    )
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    for frame in (edge, docs):
+        for order in (3, 5):
+            a = sorted(
+                map(tuple, explode_stream(frame, order).collect())
+            )
+            b = sorted(
+                map(
+                    tuple,
+                    _ngram_position_stream_kernel(
+                        frame, "doc_id", "text", order
+                    ).collect(),
+                )
+            )
+            assert a == b and len(a) > 0, (order, frame is edge)
+
+
 def test_fivegram_knobs_are_output_invariant(spark, sf_dir):
     """The round-9 plan knobs (`prune_singletons`, `suffix_partitioning`)
     change ONLY the physical shape of ngram_logprob_scores — all four
@@ -2155,6 +2255,14 @@ def test_fivegram_knobs_are_output_invariant(spark, sf_dir):
         variants[(ps, sp, fp)] = sorted(
             (r.doc_id, r.n_tokens, r.surprisal_micro_sum) for r in rows
         )
+    # the r17 extraction kernel is a fourth physical knob: the JVM
+    # explode path must agree with the Arrow stream kernel end-to-end
+    rows = ngram_logprob_scores(
+        docs, "doc_id", "text", order=5, extract_kernel=False
+    ).collect()
+    variants[("explode",)] = sorted(
+        (r.doc_id, r.n_tokens, r.surprisal_micro_sum) for r in rows
+    )
     baseline = variants[(False, False, False)]
     assert len(baseline) > 0
     for knobs, rows in variants.items():
