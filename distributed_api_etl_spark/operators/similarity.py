@@ -1362,6 +1362,90 @@ def _argmin_codes(V, codes, cents):
     return codes[np.argmin(acc, axis=1)]
 
 
+# Below this many VALID vectors the whole PQ training loop runs on the
+# driver: ONE bounded collect (rows x dim doubles — 100 MB at the cap for
+# dim=64) + numpy Lloyd's, instead of per-iteration distributed kernel
+# passes whose job/planning latency dominates at bench scale (profiled
+# r17: 2.3 s of iteration jobs + gaps for a 2k-vector corpus). Same
+# size-gate discipline as graph.py's DRIVER_CC_MAX_EDGES: the gate is on
+# a MEASURED count, larger corpora take the distributed loop unchanged —
+# and a 100 TB system trains PQ on a sample of about this size anyway.
+PQ_TRAIN_DRIVER_MAX_ROWS = 200_000
+
+# id types whose Python ordering equals Spark's ORDER BY (seed selection
+# must agree with the distributed path): the graph.py argument verbatim.
+_PQ_DRIVER_SAFE_ID_TYPES = ("tinyint", "smallint", "int", "bigint", "string")
+
+
+def _pq_train_driver(
+    spark,
+    rows,
+    dim: int,
+    m: int,
+    k_codes: int,
+    iters: int,
+    round_decimals: int,
+):
+    """Numpy Lloyd's over a BOUNDED collected corpus — identical output to
+    the distributed pq_train loop (same :func:`_argmin_codes` assignment
+    over the same float64 matrix, same seed rule). The per-centroid mean
+    is computed unrounded in numpy, then rounded BY SPARK's own round
+    expression via a LocalRelation projection (ConvertToLocalRelation
+    folds it on the driver — zero jobs), so the graded float grid is the
+    engine's, not a Python reimplementation of java's HALF_UP."""
+    import numpy as np
+
+    d_sub = dim // m
+    rows = sorted(rows, key=lambda r: r[0])
+    V = np.array([list(r[1])[:dim] for r in rows], dtype=np.float64)
+    seed_mat = V[:k_codes]
+    cb = {
+        s: (
+            np.arange(min(k_codes, len(rows)), dtype=np.int64),
+            seed_mat[:, s * d_sub : (s + 1) * d_sub].copy(),
+        )
+        for s in range(m)
+    }
+    cents_rows = None
+    for _ in range(iters):
+        raw = []  # (s, code, pos, unrounded mean)
+        for s, (codes, cents) in cb.items():
+            sub = V[:, s * d_sub : (s + 1) * d_sub]
+            assigned = _argmin_codes(sub, codes, cents)
+            for c in np.unique(assigned):
+                sel = assigned == c
+                mean = sub[sel].sum(axis=0) / sel.sum()
+                raw.extend(
+                    (int(s), int(c), int(p), float(x))
+                    for p, x in enumerate(mean)
+                )
+        rounded = (
+            spark.createDataFrame(
+                raw, "s int, code int, pos int, x double"
+            )
+            .select("s", "code", "pos", F.round("x", round_decimals).alias("v"))
+            .collect()
+        )
+        by_key: dict = {}
+        for r in rounded:
+            by_key.setdefault((r["s"], r["code"]), []).append((r["pos"], r["v"]))
+        cents_rows = [
+            (s, c, [v for _, v in sorted(pv)])
+            for (s, c), pv in sorted(by_key.items())
+        ]
+        by_s: dict[int, list] = {}
+        for s, code, cw in cents_rows:
+            by_s.setdefault(s, []).append((code, cw))
+        cb = {}
+        for s, lst in by_s.items():
+            lst.sort()
+            cb[s] = (
+                np.array([c for c, _ in lst], dtype=np.int64),
+                np.array([cw for _, cw in lst], dtype=np.float64),
+            )
+    return spark.createDataFrame(cents_rows, "s int, code int, cw array<double>")
+
+
 def pq_train(
     emb: DataFrame,
     id_col: str,
@@ -1371,6 +1455,7 @@ def pq_train(
     k_codes: int = 16,
     iters: int = 2,
     round_decimals: int = 6,
+    driver_max_rows: int = PQ_TRAIN_DRIVER_MAX_ROWS,
 ) -> DataFrame:
     """Deterministic PQ codebook — the Arrow-kernel form of
     :func:`pq_train_hof` (output pinned identical by
@@ -1400,19 +1485,32 @@ def pq_train(
     d_sub = dim // m
     import numpy as np
 
+    valid = emb.select(id_col, vec_col).where(
+        F.col(vec_col).isNotNull() & (F.size(F.col(vec_col)) >= dim)
+    )
+    # driver gate (r17): ONE bounded collect replaces the seed collect plus
+    # per-iteration distributed kernel passes when the valid corpus fits —
+    # limit(cap+1) bounds driver memory without a separate count job; a
+    # larger corpus falls through to the distributed loop below, paying
+    # only this one truncated scan extra
+    if (
+        driver_max_rows > 0
+        and emb.schema[id_col].dataType.simpleString()
+        in _PQ_DRIVER_SAFE_ID_TYPES
+    ):
+        bounded = valid.limit(driver_max_rows + 1).collect()
+        if len(bounded) <= driver_max_rows:
+            return _pq_train_driver(
+                spark, bounded, dim, m, k_codes, iters, round_decimals
+            )
+
     # seeds: the k_codes LOWEST-id VALID vectors (bounded collect), dense
     # codes 0..k-1 by id rank — identical to the rows the HOF form
     # broadcast-joins on any corpus where the lowest-id vectors are valid
     # (null/short vectors would crash the numpy seed matrix; the HOF form
     # degrades to null codewords there — ADVICE r16 #2 picks the filter).
     # _sub_slice casts components to double; float32 widens exactly.
-    seed_rows = (
-        emb.select(id_col, vec_col)
-        .where(F.col(vec_col).isNotNull() & (F.size(F.col(vec_col)) >= dim))
-        .orderBy(F.col(id_col))
-        .limit(k_codes)
-        .collect()
-    )
+    seed_rows = valid.orderBy(F.col(id_col)).limit(k_codes).collect()
     seed_mat = np.array([list(r[1])[:dim] for r in seed_rows], dtype=np.float64)
     cb = {
         s: (

@@ -1006,7 +1006,7 @@ def trigram_logprob_micro_sql(
 
 
 def trigram_logprob_scores(
-    df: DataFrame, id_col: str, text_col: str
+    df: DataFrame, id_col: str, text_col: str, extract_kernel: bool = True
 ) -> DataFrame:
     """Mean per-token surprisal under a corpus-fit INTERPOLATED TRIGRAM
     LM — one model order above :func:`bigram_logprob_scores`, one closer
@@ -1031,25 +1031,37 @@ def trigram_logprob_scores(
     DOUBLE) — n_tokens == the number of scored trigrams, by construction
     of the padding.
     """
-    t = tokens(F.col(text_col))
-    padded = F.concat(F.array(F.lit(LM_BOS), F.lit(LM_BOS)), t)
-    tri_arr = F.when(
-        F.size(t) >= 1,
-        F.transform(
-            F.sequence(F.lit(1), F.size(t)),
-            lambda i: F.struct(
-                F.element_at(padded, i).alias("u"),
-                F.element_at(padded, i + 1).alias("v"),
-                F.element_at(padded, i + 2).alias("w"),
+    if extract_kernel:
+        # the r17 Arrow position-stream kernel at order 3 — bit-identical
+        # rows (pinned by test_ngram_stream_kernel_equals_explode at this
+        # order); the bespoke broadcast-interpolation PLAN below is
+        # unchanged, only the extraction runs vectorized (guide §4.2)
+        tri = _ngram_position_stream_kernel(df, id_col, text_col, 3).select(
+            F.col(id_col),
+            F.col("g1").alias("u"),
+            F.col("g2").alias("v"),
+            F.col("g3").alias("w"),
+        )
+    else:
+        t = tokens(F.col(text_col))
+        padded = F.concat(F.array(F.lit(LM_BOS), F.lit(LM_BOS)), t)
+        tri_arr = F.when(
+            F.size(t) >= 1,
+            F.transform(
+                F.sequence(F.lit(1), F.size(t)),
+                lambda i: F.struct(
+                    F.element_at(padded, i).alias("u"),
+                    F.element_at(padded, i + 1).alias("v"),
+                    F.element_at(padded, i + 2).alias("w"),
+                ),
             ),
-        ),
-    ).otherwise(F.array().cast("array<struct<u:string,v:string,w:string>>"))
-    tri = df.select(F.col(id_col), F.explode(tri_arr).alias("_g")).select(
-        F.col(id_col),
-        F.col("_g.u").alias("u"),
-        F.col("_g.v").alias("v"),
-        F.col("_g.w").alias("w"),
-    )
+        ).otherwise(F.array().cast("array<struct<u:string,v:string,w:string>>"))
+        tri = df.select(F.col(id_col), F.explode(tri_arr).alias("_g")).select(
+            F.col(id_col),
+            F.col("_g.u").alias("u"),
+            F.col("_g.v").alias("v"),
+            F.col("_g.w").alias("w"),
+        )
     ct = tri.groupBy("u", "v", "w").agg(F.count("*").alias("c_uvw"))
     # read four times (prefix/tail/unigram rollups + the score join):
     # persist so the corpus-keyed exchange runs once

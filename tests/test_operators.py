@@ -2447,19 +2447,36 @@ def test_pq_train_kernel_equals_hof(spark, sf_dir):
     def rows(df):
         return sorted((r.s, r.code, tuple(r.cw)) for r in df.collect())
 
-    assert rows(
-        pq_train(emb, "vec_id", "embedding", 64, m=4, k_codes=8, iters=2)
-    ) == rows(
+    ref = rows(
         pq_train_hof(emb, "vec_id", "embedding", 64, m=4, k_codes=8, iters=2)
     )
+    # the default path (the r17 size-gated driver Lloyd's fires at this
+    # corpus size) AND the forced distributed kernel loop must both equal
+    # the interpreted HOF reference
+    assert rows(
+        pq_train(emb, "vec_id", "embedding", 64, m=4, k_codes=8, iters=2)
+    ) == ref
+    assert rows(
+        pq_train(
+            emb, "vec_id", "embedding", 64, m=4, k_codes=8, iters=2,
+            driver_max_rows=0,
+        )
+    ) == ref
     # ties: duplicated vectors, including duplicated SEEDS
     base = [float(x) for x in range(8)]
     dup = spark.createDataFrame(
         [(i, [v + (i % 3) for v in base]) for i in range(24)],
         "vec_id bigint, embedding array<double>",
     )
-    assert rows(pq_train(dup, "vec_id", "embedding", 8, m=2, k_codes=4)) == rows(
-        pq_train_hof(dup, "vec_id", "embedding", 8, m=2, k_codes=4)
+    dup_ref = rows(pq_train_hof(dup, "vec_id", "embedding", 8, m=2, k_codes=4))
+    assert rows(pq_train(dup, "vec_id", "embedding", 8, m=2, k_codes=4)) == dup_ref
+    assert (
+        rows(
+            pq_train(
+                dup, "vec_id", "embedding", 8, m=2, k_codes=4, driver_max_rows=0
+            )
+        )
+        == dup_ref
     )
 
 
